@@ -1,0 +1,336 @@
+"""PyTorch -> JAX weight converters.
+
+Handles the reference's four checkpoint dialects (SURVEY.md §5):
+  1. fair-esm / HF-ESM encoder weights (incl. the CSTP Lightning ckpt's
+     fine-tuned `protein_model.model.*` overlay, cstp_v3/modelling.py:25-30)
+  2. Lightning `.ckpt` CSTP adapters (protein_projector/builder.py:16-25)
+  3. HF safetensors/bin LLM checkpoints (Llama-3 / OPT / Qwen2)
+  4. PEFT LoRA adapter dirs, merged a la builder.py:105-111
+
+torch (CPU) is used only at conversion time; everything downstream is JAX.
+All converters accept a `state_dict`-like mapping of numpy/torch tensors.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import BertConfig, CSTPConfig, DecoderConfig, ESM2Config, SwitchProjectorConfig
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().to("cpu").float().numpy()  # torch tensor
+
+
+def _linear(sd: Mapping[str, Any], prefix: str, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """torch Linear stores (out, in); we store kernel as (in, out)."""
+    p = {"kernel": jnp.asarray(_np(sd[prefix + ".weight"]).T, dtype=dtype)}
+    if prefix + ".bias" in sd:
+        p["bias"] = jnp.asarray(_np(sd[prefix + ".bias"]), dtype=dtype)
+    return p
+
+
+def _norm(sd: Mapping[str, Any], prefix: str, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    p = {"scale": jnp.asarray(_np(sd[prefix + ".weight"]), dtype=dtype)}
+    if prefix + ".bias" in sd:
+        p["bias"] = jnp.asarray(_np(sd[prefix + ".bias"]), dtype=dtype)
+    return p
+
+
+def _embedding(sd: Mapping[str, Any], key: str, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    return {"embedding": jnp.asarray(_np(sd[key]), dtype=dtype)}
+
+
+# ---------------------------------------------------------------------------
+# ESM2
+# ---------------------------------------------------------------------------
+
+def esm2_from_hf(sd: Mapping[str, Any], cfg: ESM2Config, dtype=jnp.float32):
+    """Convert a HF `EsmModel` state dict (facebook/esm2_* ports)."""
+    pre = "esm." if any(k.startswith("esm.") for k in sd) else ""
+    params = {
+        "embed_tokens": _embedding(sd, pre + "embeddings.word_embeddings.weight", dtype),
+        "final_norm": _norm(sd, pre + "encoder.emb_layer_norm_after", dtype),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        lp = f"{pre}encoder.layer.{i}."
+        params["layers"].append({
+            "attn_norm": _norm(sd, lp + "attention.LayerNorm", dtype),
+            "q_proj": _linear(sd, lp + "attention.self.query", dtype),
+            "k_proj": _linear(sd, lp + "attention.self.key", dtype),
+            "v_proj": _linear(sd, lp + "attention.self.value", dtype),
+            "o_proj": _linear(sd, lp + "attention.output.dense", dtype),
+            "ffn_norm": _norm(sd, lp + "LayerNorm", dtype),
+            "fc1": _linear(sd, lp + "intermediate.dense", dtype),
+            "fc2": _linear(sd, lp + "output.dense", dtype),
+        })
+    return params
+
+
+def esm2_from_fair_esm(sd: Mapping[str, Any], cfg: ESM2Config, dtype=jnp.float32):
+    """Convert a fair-esm ESM2 state dict (keys like `layers.0.self_attn.q_proj`).
+
+    This is the dialect stored inside the CSTP Lightning checkpoint under
+    `protein_model.model.*` (cstp_v3/modelling.py:25-30); strip that prefix
+    with `filter_prefix` before calling.
+    """
+    params = {
+        "embed_tokens": _embedding(sd, "embed_tokens.weight", dtype),
+        "final_norm": _norm(sd, "emb_layer_norm_after", dtype),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        lp = f"layers.{i}."
+        params["layers"].append({
+            "attn_norm": _norm(sd, lp + "self_attn_layer_norm", dtype),
+            "q_proj": _linear(sd, lp + "self_attn.q_proj", dtype),
+            "k_proj": _linear(sd, lp + "self_attn.k_proj", dtype),
+            "v_proj": _linear(sd, lp + "self_attn.v_proj", dtype),
+            "o_proj": _linear(sd, lp + "self_attn.out_proj", dtype),
+            "ffn_norm": _norm(sd, lp + "final_layer_norm", dtype),
+            "fc1": _linear(sd, lp + "fc1", dtype),
+            "fc2": _linear(sd, lp + "fc2", dtype),
+        })
+    return params
+
+
+def filter_prefix(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """Sub-dict of keys under `prefix`, prefix stripped (opus_arch.py:85-89)."""
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# ---------------------------------------------------------------------------
+# Decoder LLMs (HF Llama / OPT / Qwen2 state dicts)
+# ---------------------------------------------------------------------------
+
+def decoder_from_hf(sd: Mapping[str, Any], cfg: DecoderConfig, dtype=None):
+    dtype = dtype or cfg.jnp_dtype
+    if cfg.family in ("llama", "qwen2"):
+        return _llama_like_from_hf(sd, cfg, dtype)
+    if cfg.family == "opt":
+        return _opt_from_hf(sd, cfg, dtype)
+    raise ValueError(cfg.family)
+
+
+def _llama_like_from_hf(sd, cfg: DecoderConfig, dtype):
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+    params = {
+        "embed_tokens": _embedding(sd, pre + "embed_tokens.weight", dtype),
+        "final_norm": {"scale": jnp.asarray(_np(sd[pre + "norm.weight"]), dtype=dtype)},
+        "layers": [],
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _linear(sd, "lm_head", dtype)
+    for i in range(cfg.num_layers):
+        lp = f"{pre}layers.{i}."
+        params["layers"].append({
+            "attn_norm": {"scale": jnp.asarray(_np(sd[lp + "input_layernorm.weight"]), dtype=dtype)},
+            "q_proj": _linear(sd, lp + "self_attn.q_proj", dtype),
+            "k_proj": _linear(sd, lp + "self_attn.k_proj", dtype),
+            "v_proj": _linear(sd, lp + "self_attn.v_proj", dtype),
+            "o_proj": _linear(sd, lp + "self_attn.o_proj", dtype),
+            "ffn_norm": {"scale": jnp.asarray(_np(sd[lp + "post_attention_layernorm.weight"]), dtype=dtype)},
+            "gate_proj": _linear(sd, lp + "mlp.gate_proj", dtype),
+            "up_proj": _linear(sd, lp + "mlp.up_proj", dtype),
+            "down_proj": _linear(sd, lp + "mlp.down_proj", dtype),
+        })
+    return params
+
+
+def _opt_from_hf(sd, cfg: DecoderConfig, dtype):
+    pre = ""
+    for c in ("model.decoder.", "decoder."):
+        if any(k.startswith(c) for k in sd):
+            pre = c
+            break
+    params = {
+        "embed_tokens": _embedding(sd, pre + "embed_tokens.weight", dtype),
+        "embed_positions": _embedding(sd, pre + "embed_positions.weight", dtype),
+        "final_norm": _norm(sd, pre + "final_layer_norm", dtype),
+        "layers": [],
+    }
+    if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
+        params["lm_head"] = _linear(sd, "lm_head", dtype)
+    for i in range(cfg.num_layers):
+        lp = f"{pre}layers.{i}."
+        params["layers"].append({
+            "attn_norm": _norm(sd, lp + "self_attn_layer_norm", dtype),
+            "q_proj": _linear(sd, lp + "self_attn.q_proj", dtype),
+            "k_proj": _linear(sd, lp + "self_attn.k_proj", dtype),
+            "v_proj": _linear(sd, lp + "self_attn.v_proj", dtype),
+            "o_proj": _linear(sd, lp + "self_attn.out_proj", dtype),
+            "ffn_norm": _norm(sd, lp + "final_layer_norm", dtype),
+            "fc1": _linear(sd, lp + "fc1", dtype),
+            "fc2": _linear(sd, lp + "fc2", dtype),
+        })
+    return params
+
+
+# ---------------------------------------------------------------------------
+# BERT (BioBERT for BERTScore)
+# ---------------------------------------------------------------------------
+
+def bert_from_hf(sd: Mapping[str, Any], cfg: BertConfig, dtype=jnp.float32):
+    pre = "bert." if any(k.startswith("bert.") for k in sd) else ""
+    params = {
+        "word_embeddings": _embedding(sd, pre + "embeddings.word_embeddings.weight", dtype),
+        "position_embeddings": _embedding(sd, pre + "embeddings.position_embeddings.weight", dtype),
+        "token_type_embeddings": _embedding(sd, pre + "embeddings.token_type_embeddings.weight", dtype),
+        "embed_norm": _norm(sd, pre + "embeddings.LayerNorm", dtype),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        lp = f"{pre}encoder.layer.{i}."
+        params["layers"].append({
+            "q_proj": _linear(sd, lp + "attention.self.query", dtype),
+            "k_proj": _linear(sd, lp + "attention.self.key", dtype),
+            "v_proj": _linear(sd, lp + "attention.self.value", dtype),
+            "o_proj": _linear(sd, lp + "attention.output.dense", dtype),
+            "attn_norm": _norm(sd, lp + "attention.output.LayerNorm", dtype),
+            "fc1": _linear(sd, lp + "intermediate.dense", dtype),
+            "fc2": _linear(sd, lp + "output.dense", dtype),
+            "ffn_norm": _norm(sd, lp + "output.LayerNorm", dtype),
+        })
+    return params
+
+
+# ---------------------------------------------------------------------------
+# CSTP adapter + switch projector
+# ---------------------------------------------------------------------------
+
+def cstp_from_lightning(ckpt_or_sd: Any, cfg: CSTPConfig, dtype=jnp.float32):
+    """Convert a CSTP Lightning checkpoint (or its state dict).
+
+    Lightning stores the module under `state_dict`; active weights are the
+    two projection linears (cstp_v3/modelling.py:370-371).
+    """
+    sd = ckpt_or_sd.get("state_dict", ckpt_or_sd) if isinstance(ckpt_or_sd, dict) else ckpt_or_sd
+    return {
+        "protein_projection": _linear(sd, "protein_projection.linear", dtype),
+        "text_projection": _linear(sd, "text_projection.linear", dtype),
+    }
+
+
+def switch_projector_from_torch(sd: Mapping[str, Any], cfg: SwitchProjectorConfig,
+                                dtype=jnp.float32):
+    """Convert switch-projector weights saved as `switch_projector.{i}.weight`
+    (nn.Sequential indices; see opus_arch.py:85-89 and
+    scripts/extract_mm_projector.py). Also accepts already-stripped `{i}.weight`.
+    """
+    sd = {k.replace("switch_projector.", ""): v for k, v in sd.items()}
+    layer_ids = sorted({int(k.split(".")[0]) for k in sd if k[0].isdigit()})
+    layers = [_linear(sd, str(i), dtype) for i in layer_ids]
+    if not layers:  # single nn.Linear saved without Sequential indices
+        layers = [_linear(sd, "", dtype)] if "weight" in sd else []
+        if not layers:
+            raise ValueError("no switch projector weights found")
+    return {"layers": layers}
+
+
+# ---------------------------------------------------------------------------
+# PEFT LoRA
+# ---------------------------------------------------------------------------
+
+def lora_from_peft(sd: Mapping[str, Any], dtype=jnp.float32):
+    """Convert a PEFT LoRA state dict into {layer_path: {A, B}} numpy trees.
+
+    PEFT keys look like
+    `base_model.model.model.layers.{i}.self_attn.q_proj.lora_A.weight`.
+    Returns a dict keyed by (layer_index, proj_name).
+    """
+    out: Dict[Any, Dict[str, jnp.ndarray]] = {}
+    for k, v in sd.items():
+        if ".lora_A." not in k and ".lora_B." not in k:
+            continue
+        which = "A" if ".lora_A." in k else "B"
+        parts = k.split(".")
+        li = int(parts[parts.index("layers") + 1])
+        proj = parts[parts.index("layers") + 3]  # e.g. self_attn.q_proj
+        w = _np(v)
+        # torch Linear (out,in) -> A: (in, r) kernel, B: (r, out) kernel
+        out.setdefault((li, proj), {})[which] = jnp.asarray(w.T, dtype=dtype)
+    return out
+
+
+def merge_lora_into_decoder(params, lora_tree, scaling: float):
+    """Merge LoRA deltas into base weights: W += scaling * A @ B.
+
+    Mirrors PEFT `merge_and_unload` (builder.py:107-109).
+    """
+    import jax
+
+    params = jax.tree.map(lambda x: x, params)  # shallow copy
+    for (li, proj), ab in lora_tree.items():
+        base = params["layers"][li][proj]["kernel"]
+        delta = (ab["A"] @ ab["B"]) * scaling
+        params["layers"][li][proj]["kernel"] = (
+            base.astype(jnp.float32) + delta.astype(jnp.float32)
+        ).astype(base.dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint file loading (torch / safetensors), used by the CLI
+# ---------------------------------------------------------------------------
+
+def load_torch_file(path: str) -> Dict[str, Any]:
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return obj
+
+
+def load_hf_dir(path: str) -> Dict[str, Any]:
+    """Load all weights from a HF model dir (safetensors shards or .bin)."""
+    sd: Dict[str, Any] = {}
+    st_files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    if st_files:
+        from safetensors.numpy import load_file
+        for f in st_files:
+            sd.update(load_file(os.path.join(path, f)))
+        return sd
+    bin_files = sorted(f for f in os.listdir(path) if f.endswith(".bin"))
+    import torch
+    for f in bin_files:
+        sd.update(torch.load(os.path.join(path, f), map_location="cpu"))
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# NF4 (bitsandbytes) dequantize-on-load
+# ---------------------------------------------------------------------------
+
+# The 16 NF4 code values (normalized-float4 quantiles), as defined by
+# bitsandbytes; reference loads LLMs 4-bit NF4 + double quant
+# (builder.py:50-55). We dequantize at load time to bf16/int8.
+NF4_CODE = np.array([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
+], dtype=np.float32)
+
+
+def dequantize_nf4(packed: np.ndarray, absmax: np.ndarray, blocksize: int,
+                   shape) -> np.ndarray:
+    """Dequantize bitsandbytes NF4 data: packed uint8 (2 nibbles/elem),
+    per-block absmax scales. Returns fp32 of `shape`."""
+    flat = np.empty(packed.size * 2, dtype=np.float32)
+    hi = (packed >> 4) & 0xF
+    lo = packed & 0xF
+    flat[0::2] = NF4_CODE[hi]
+    flat[1::2] = NF4_CODE[lo]
+    n = int(np.prod(shape))
+    flat = flat[:n]
+    nblocks = (n + blocksize - 1) // blocksize
+    scales = np.repeat(absmax[:nblocks].astype(np.float32), blocksize)[:n]
+    return (flat * scales).reshape(shape)

@@ -1,0 +1,104 @@
+"""Batched KV-cache generation engine.
+
+TPU-native replacement for HF `generate` as driven by the reference runners
+(run_opus_ddp.py:120-132, opus_llama.py:96-132): left-padded prompt
+*embeddings* in (generate is always called with inputs_embeds, so outputs
+contain no prompt ids), greedy or temperature/top-p sampling out.
+
+The whole prefill+decode pipeline is one jitted function over static shapes:
+prefill fills a fixed-capacity cache, then a `lax.while_loop` emits one token
+per step with early exit when every row has hit EOS. Reference behavioral
+quirks preserved: `do_sample iff temperature > 0` (run_opus_ddp.py:126),
+defaults T=0.1 / top_p=0.7 / greedy beams=1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import DecoderConfig, GenerationConfig
+from ..models import decoder
+
+
+class GenerateOutput(NamedTuple):
+    tokens: jnp.ndarray    # (B, max_new) int32, pad_token after EOS
+    lengths: jnp.ndarray   # (B,) tokens generated incl. EOS
+
+
+def sample_token(logits, key, temperature: float, top_p: float):
+    """Temperature + nucleus sampling over (B, V) fp32 logits.
+
+    HF semantics: keep the smallest prefix of the sorted distribution whose
+    cumulative probability reaches top_p (always keeping the best token).
+    """
+    if temperature <= 0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / temperature
+    probs = jax.nn.softmax(logits, axis=-1)
+    sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
+    csum = jnp.cumsum(sorted_probs, axis=-1)
+    # probability mass strictly before each token; drop token if >= top_p
+    keep_mass = csum - sorted_probs
+    cutoff = jnp.sum((keep_mass < top_p).astype(jnp.int32), axis=-1)  # >=1
+    kth = jnp.take_along_axis(sorted_probs, cutoff[:, None] - 1, axis=-1)
+    masked = jnp.where(probs >= kth, logits, -jnp.inf)
+    return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
+                     "eos_token_id", "pad_token_id", "impl"))
+def generate(params, cfg: DecoderConfig, input_embeds, attn_mask, positions,
+             rng, *, max_new_tokens: int, temperature: float = 0.1,
+             top_p: float = 0.7, eos_token_id: int = -1, pad_token_id: int = 0,
+             impl: str = "auto") -> GenerateOutput:
+    """input_embeds (B, L, H) LEFT-padded; attn_mask/positions (B, L)."""
+    b, l, h = input_embeds.shape
+    cap = l + max_new_tokens
+    cache = decoder.init_cache(cfg, b, cap, dtype=cfg.jnp_dtype)
+    cache["mask"] = cache["mask"].at[:, :l].set(attn_mask)
+
+    # prefill: causal over the prompt, nothing beyond slot l
+    rows = jnp.arange(l)[None, None, :, None]
+    cols = jnp.arange(cap)[None, None, None, :]
+    pre_mask4 = cache["mask"][:, None, None, :] & (cols <= rows)
+    logits, cache = decoder.forward(
+        params, cfg, input_embeds.astype(cfg.jnp_dtype), positions,
+        pre_mask4, cache, impl=impl)
+    last_logits = logits[:, -1].astype(jnp.float32)  # left-pad: last is real
+
+    last_pos = positions[:, -1]
+
+    def cond(state):
+        step, done, *_ = state
+        return (step < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        step, done, cur_logits, cache, key, out = state
+        key, sub = jax.random.split(key)
+        nxt = sample_token(cur_logits, sub, temperature, top_p)
+        nxt = jnp.where(done, pad_token_id, nxt)
+        out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, step))
+        new_done = done | (nxt == eos_token_id)
+
+        emb = decoder.embed_tokens(params, nxt)[:, None].astype(cfg.jnp_dtype)
+        pos = (last_pos + 1 + step)[:, None]
+        slot = l + step
+        cache["mask"] = jax.lax.dynamic_update_slice(
+            cache["mask"], ~done[:, None], (0, slot))
+        step_mask4 = cache["mask"][:, None, None, :]
+        lg, cache = decoder.forward(params, cfg, emb, pos, step_mask4, cache,
+                                    impl=impl)
+        return (step + 1, new_done, lg[:, 0].astype(jnp.float32), cache, key, out)
+
+    out0 = jnp.full((b, max_new_tokens), pad_token_id, jnp.int32)
+    state = (jnp.int32(0), jnp.zeros((b,), bool), last_logits, cache, rng, out0)
+    step, done, _, _, _, out = jax.lax.while_loop(cond, body, state)
+
+    lengths = jnp.sum((out != pad_token_id).astype(jnp.int32), axis=-1)
+    return GenerateOutput(out, lengths)

@@ -1,0 +1,158 @@
+"""Pallas TPU flash attention (forward).
+
+TPU-native replacement for the reference's xformers memory-efficient attention
+(reference README.md:20-24 — xformers is the CUDA attention inside the HF
+Llama/OPT/Qwen it wraps). Online-softmax blockwise attention: O(S) VMEM,
+logits never materialized in HBM.
+
+Layout: grid (B, Hq, nQ, nK); the last grid dim is sequential ("arbitrary"),
+so the (m, l, acc) running-softmax state lives in VMEM scratch across the KV
+sweep. GQA is handled in the index maps (KV head = q head // group size).
+
+Masks: a bool mask (B, Sq, Skv) streams in block-by-block; `causal=True`
+additionally lets whole KV blocks above the diagonal skip their matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_LARGE = -1e30  # exp(NEG_LARGE - m) == 0 in fp32
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+
+
+def supports(q, k, mask) -> bool:
+    """Shapes the kernel handles; callers fall back to XLA otherwise."""
+    b, sq, hq, d = q.shape
+    skv = k.shape[1]
+    if d % 128 != 0:
+        return False
+    bq = min(DEFAULT_BLOCK_Q, sq)
+    bk = min(DEFAULT_BLOCK_K, skv)
+    if sq % bq != 0 or skv % bk != 0 or bq % 8 != 0 or bk % 128 != 0:
+        return False
+    if mask is not None and mask.shape[1] not in (1,):
+        return False
+    return True
+
+
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_s, l_s, acc_s,
+            *, scale: float, causal: bool, block_q: int, block_k: int):
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, NEG_LARGE)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    iq = pl.program_id(2)
+    # Causal: skip KV blocks strictly above the diagonal.
+    run = (iq * block_q + block_q - 1 >= ik * block_k) if causal else True
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32) * scale          # (BQ, D)
+        k = k_ref[0, 0].astype(jnp.float32)                  # (BK, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (BQ, BK)
+        if causal:
+            rows = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            cols = ik * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(rows >= cols, s, NEG_LARGE)
+        if mask_ref is not None:
+            s = jnp.where(mask_ref[0], s, NEG_LARGE)
+
+        m_prev = m_s[:, :1]                                   # (BQ, 1)
+        l_prev = l_s[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                                # (BQ, BK)
+        alpha = jnp.exp(m_prev - m_new)                       # (BQ, 1)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+            p, v_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_s[...] = jnp.broadcast_to(m_new, m_s.shape)
+        l_s[...] = jnp.broadcast_to(l_new, l_s.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_s[:, :1]
+        o_ref[0, 0] = (acc_s[...] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
+def flash_attention(q, k, v, mask=None, *, causal: bool = False,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K):
+    """q: (B, Sq, Hq, D); k, v: (B, Skv, Hkv, D); mask: (B, 1, Sq, Skv) bool.
+
+    Returns (B, Sq, Hq, D) in q.dtype. Softmax statistics in fp32.
+    """
+    b, sq, hq, d = q.shape
+    skv, hkv = k.shape[1], k.shape[2]
+    groups = hq // hkv
+    bq = min(block_q, sq)
+    bk = min(block_k, skv)
+    scale = 1.0 / math.sqrt(d)
+
+    # (B, H, S, D) layout so blocks are (S, D) tiles per head
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    grid = (b, hq, sq // bq, skv // bk)
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        pl.BlockSpec((1, 1, bk, d), lambda ib, ih, iq, ik: (ib, ih // groups, ik, 0)),
+        pl.BlockSpec((1, 1, bk, d), lambda ib, ih, iq, ik: (ib, ih // groups, ik, 0)),
+    ]
+    args = [qt, kt, vt]
+    if mask is not None:
+        m3 = mask.reshape(b, sq, skv)
+        in_specs.append(pl.BlockSpec((1, bq, bk),
+                                     lambda ib, ih, iq, ik: (ib, iq, ik)))
+        args.append(m3)
+        kern = functools.partial(_kernel, scale=scale, causal=causal,
+                                 block_q=bq, block_k=bk)
+    else:
+        kern = functools.partial(
+            lambda qr, kr, vr, o, m_s, l_s, a_s, **kw: _kernel(
+                qr, kr, vr, None, o, m_s, l_s, a_s, **kw),
+            scale=scale, causal=causal, block_q=bq, block_k=bk)
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, bq, d),
+                               lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),   # running max m
+            pltpu.VMEM((bq, 128), jnp.float32),   # running denom l
+            pltpu.VMEM((bq, d), jnp.float32),     # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * sq * skv * d,
+            bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
+            transcendentals=b * hq * sq * skv,
+        ),
+    )(*args)
+    return out.transpose(0, 2, 1, 3)

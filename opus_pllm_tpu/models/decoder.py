@@ -1,0 +1,200 @@
+"""Decoder-only LLMs: Llama-3, Qwen2.5, OPT/Galactica — one functional module.
+
+TPU-native re-design of the reference's three HF wrapper families
+(multi_modality_v1/model/language_model/opus_{llama,opt,qwen}.py): instead of
+subclassing HF models, one pure forward covers all three architectures,
+switched by `DecoderConfig.family`:
+
+  llama : RMSNorm, RoPE, GQA, SiLU-gated MLP, no biases
+  qwen2 : llama skeleton + QKV biases
+  opt   : LayerNorm(+bias), learned positions (offset 2), ReLU/GELU MLP,
+          MHA (no GQA), optional final LN
+
+Static shapes throughout; generation uses a fixed-capacity KV cache pytree
+updated with dynamic_update_slice so the whole decode loop jits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import DecoderConfig
+from .layers import (ACTIVATIONS, apply_rope, attention, dense, dense_init,
+                     embed, embed_init, layer_norm, rms_norm, rope_cos_sin)
+
+OPT_POS_OFFSET = 2  # HF OPT learned-position offset
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init(key, cfg: DecoderConfig):
+    dt = cfg.jnp_dtype
+    h, d = cfg.hidden_size, cfg.head_dim
+    qdim, kvdim = cfg.num_heads * d, cfg.num_kv_heads * d
+    is_opt = cfg.family == "opt"
+    bias_attn = cfg.attention_bias or is_opt
+    keys = jax.random.split(key, cfg.num_layers + 4)
+
+    def norm_p(full: bool):
+        p = {"scale": jnp.ones((h,), dt)}
+        if full:
+            p["bias"] = jnp.zeros((h,), dt)
+        return p
+
+    params: Dict[str, Any] = {
+        "embed_tokens": embed_init(keys[0], cfg.vocab_size, h, dt),
+        "final_norm": norm_p(is_opt),
+        "layers": [],
+    }
+    if is_opt:
+        params["embed_positions"] = embed_init(
+            keys[1], cfg.max_position_embeddings + OPT_POS_OFFSET, h, dt)
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense_init(keys[2], h, cfg.vocab_size, dt)
+
+    for i in range(cfg.num_layers):
+        lk = jax.random.split(keys[i + 3], 7)
+        lp: Dict[str, Any] = {
+            "attn_norm": norm_p(is_opt),
+            "q_proj": dense_init(lk[0], h, qdim, dt, bias=bias_attn),
+            "k_proj": dense_init(lk[1], h, kvdim, dt, bias=bias_attn),
+            "v_proj": dense_init(lk[2], h, kvdim, dt, bias=bias_attn),
+            "o_proj": dense_init(lk[3], qdim, h, dt, bias=is_opt),
+            "ffn_norm": norm_p(is_opt),
+        }
+        if is_opt:
+            lp["fc1"] = dense_init(lk[4], h, cfg.intermediate_size, dt, bias=True)
+            lp["fc2"] = dense_init(lk[5], cfg.intermediate_size, h, dt, bias=True)
+        else:
+            lp["gate_proj"] = dense_init(lk[4], h, cfg.intermediate_size, dt)
+            lp["up_proj"] = dense_init(lk[5], h, cfg.intermediate_size, dt)
+            lp["down_proj"] = dense_init(lk[6], cfg.intermediate_size, h, dt)
+        params["layers"].append(lp)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None):
+    dtype = dtype or cfg.jnp_dtype
+    kv = lambda: jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype)
+    return {
+        "layers": [{"k": kv(), "v": kv()} for _ in range(cfg.num_layers)],
+        "index": jnp.zeros((), jnp.int32),        # next free slot
+        "mask": jnp.zeros((batch, max_len), bool),  # slot validity
+    }
+
+
+def _write_cache(layer_cache, k_new, v_new, index):
+    k = jax.lax.dynamic_update_slice(layer_cache["k"], k_new, (0, index, 0, 0))
+    v = jax.lax.dynamic_update_slice(layer_cache["v"], v_new, (0, index, 0, 0))
+    return {"k": k, "v": v}
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _norm(cfg, p, x):
+    if cfg.family == "opt":
+        return layer_norm(p, x, eps=1e-5)
+    return rms_norm(p, x, eps=cfg.rms_norm_eps)
+
+
+def _mlp(cfg, p, x):
+    if cfg.family == "opt":
+        return dense(p["fc2"], ACTIVATIONS[cfg.activation](dense(p["fc1"], x)))
+    return dense(p["down_proj"],
+                 ACTIVATIONS["silu"](dense(p["gate_proj"], x)) * dense(p["up_proj"], x))
+
+
+def _block(cfg: DecoderConfig, p, x, mask4, cos, sin, layer_cache, index, impl):
+    b, s, _ = x.shape
+    hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    r = _norm(cfg, p["attn_norm"], x)
+    q = dense(p["q_proj"], r).reshape(b, s, hq, d)
+    k = dense(p["k_proj"], r).reshape(b, s, hkv, d)
+    v = dense(p["v_proj"], r).reshape(b, s, hkv, d)
+    if cos is not None:
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+    new_cache = None
+    if layer_cache is not None:
+        new_cache = _write_cache(layer_cache, k, v, index)
+        k, v = new_cache["k"], new_cache["v"]
+    a = attention(q, k, v, mask4, impl=impl).reshape(b, s, hq * d)
+    x = x + dense(p["o_proj"], a)
+    r = _norm(cfg, p["ffn_norm"], x)
+    return x + _mlp(cfg, p, r), new_cache
+
+
+def embed_tokens(params, ids):
+    return embed(params["embed_tokens"], ids)
+
+
+def forward(params, cfg: DecoderConfig, input_embeds, positions, mask4,
+            cache=None, *, impl: str = "auto",
+            return_hidden: bool = False) -> Tuple[jnp.ndarray, Optional[dict]]:
+    """Run the decoder stack on already-embedded inputs.
+
+    input_embeds : (B, S, H) — token and/or protein soft-token embeddings
+                   (the multimodal splicer always feeds embeddings, mirroring
+                   HF generate(inputs_embeds=...) in opus_llama.py:127-132)
+    positions    : (B, S) int32 positions of these tokens (left-pad aware)
+    mask4        : (B, 1, S, Skv) bool attention mask. Skv == S without cache,
+                   else the cache capacity.
+    cache        : optional KV cache pytree from init_cache; new k/v are
+                   written at slots [cache.index, cache.index+S).
+
+    Returns (logits (B, S, V) or hidden, updated cache or None).
+    """
+    x = input_embeds
+    if cfg.family == "opt":
+        cos = sin = None
+        x = x + embed(params["embed_positions"], positions + OPT_POS_OFFSET)
+    else:
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, theta=cfg.rope_theta)
+        cos, sin = cos.astype(x.dtype), sin.astype(x.dtype)
+
+    new_layers = []
+    index = cache["index"] if cache is not None else None
+    for i, p in enumerate(params["layers"]):
+        lc = cache["layers"][i] if cache is not None else None
+        x, nlc = _block(cfg, p, x, mask4, cos, sin, lc, index, impl)
+        if nlc is not None:
+            new_layers.append(nlc)
+
+    new_cache = None
+    if cache is not None:
+        s = input_embeds.shape[1]
+        new_cache = {"layers": new_layers, "index": cache["index"] + s,
+                     "mask": cache["mask"]}
+
+    if cfg.family == "opt":
+        if cfg.do_layer_norm_before:
+            x = layer_norm(params["final_norm"], x)
+    else:
+        x = rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps)
+    if return_hidden:
+        return x, new_cache
+
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        logits = jnp.dot(x, params["embed_tokens"]["embedding"].T,
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.dot(x, params["lm_head"]["kernel"],
+                         preferred_element_type=jnp.float32)
+    return logits, new_cache
+
+
+def positions_from_mask(attn_mask):
+    """Left-pad-aware positions: 0 at the first valid token (opus_arch.py:257)."""
+    pos = jnp.cumsum(attn_mask.astype(jnp.int32), axis=-1) - 1
+    return jnp.maximum(pos, 0)

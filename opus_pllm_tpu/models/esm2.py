@@ -1,0 +1,144 @@
+"""ESM2 protein language model in JAX (encoder + pooled sequence embedding).
+
+TPU-native re-implementation of the frozen fair-esm `esm2_t33_650M_UR50D`
+encoder the reference wraps (cstp_v3/modelling.py:18-77): a pre-LN
+transformer with rotary attention over the 33-token protein alphabet, final
+layer norm, and mean-pooled per-sequence embeddings that exclude BOS/EOS —
+matching `get_protein_seq_embeddings` (modelling.py:37-57) semantics.
+
+Functional style: `init(key, cfg)` -> params pytree; `encode(params, cfg,
+tokens)` -> final-layer representations; `pooled_embedding(...)` -> (B, E).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import ESM2Config
+from . import layers
+from .layers import (apply_rope, attention, dense, dense_init, embed,
+                     layer_norm, padding_mask, rope_cos_sin)
+
+# fair-esm protein alphabet (standard ESM-1b/ESM2 ordering; prepend <cls>,
+# append <eos> around the residue sequence).
+ALPHABET: List[str] = [
+    "<cls>", "<pad>", "<eos>", "<unk>",
+    "L", "A", "G", "V", "S", "E", "R", "T", "I", "D", "P", "K", "Q", "N",
+    "F", "Y", "M", "H", "W", "C", "X", "B", "U", "Z", "O", ".", "-",
+    "<null_1>", "<mask>",
+]
+TOKEN_TO_ID = {t: i for i, t in enumerate(ALPHABET)}
+STANDARD_AA = "ACDEFGHIKLMNPQRSTVWY"
+MASK_RATIO_TRAIN = 0.15 * 0.8   # ESM2 token-dropout rescale constant
+
+
+def tokenize(seqs: List[str], max_len: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+    """Batch-convert sequences -> (tokens (B, L), lengths (B,)).
+
+    Mirrors fair-esm's batch converter: <cls> seq <eos>, right-padded with
+    <pad>. Unknown residues map to <unk>. `lengths` counts non-pad tokens.
+    """
+    enc = [[TOKEN_TO_ID["<cls>"]]
+           + [TOKEN_TO_ID.get(c, TOKEN_TO_ID["<unk>"]) for c in s.upper()]
+           + [TOKEN_TO_ID["<eos>"]] for s in seqs]
+    longest = max(len(e) for e in enc)
+    pad_to = max_len if max_len is not None else longest
+    toks = np.full((len(enc), pad_to), TOKEN_TO_ID["<pad>"], dtype=np.int32)
+    for i, e in enumerate(enc):
+        e = e[:pad_to]
+        toks[i, :len(e)] = e
+    return toks, (toks != TOKEN_TO_ID["<pad>"]).sum(-1).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def init(key, cfg: ESM2Config):
+    dt = jnp.float32 if cfg.dtype == "float32" else jnp.bfloat16
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    params = {
+        "embed_tokens": layers.embed_init(keys[0], cfg.vocab_size, cfg.embed_dim, dt),
+        "final_norm": {"scale": jnp.ones((cfg.embed_dim,), dt),
+                       "bias": jnp.zeros((cfg.embed_dim,), dt)},
+        "layers": [],
+    }
+    e = cfg.embed_dim
+    for i in range(cfg.num_layers):
+        lk = jax.random.split(keys[i + 1], 6)
+        params["layers"].append({
+            "attn_norm": {"scale": jnp.ones((e,), dt), "bias": jnp.zeros((e,), dt)},
+            "q_proj": dense_init(lk[0], e, e, dt, bias=True),
+            "k_proj": dense_init(lk[1], e, e, dt, bias=True),
+            "v_proj": dense_init(lk[2], e, e, dt, bias=True),
+            "o_proj": dense_init(lk[3], e, e, dt, bias=True),
+            "ffn_norm": {"scale": jnp.ones((e,), dt), "bias": jnp.zeros((e,), dt)},
+            "fc1": dense_init(lk[4], e, cfg.ffn_dim, dt, bias=True),
+            "fc2": dense_init(lk[5], cfg.ffn_dim, e, dt, bias=True),
+        })
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _block(p, cfg: ESM2Config, x, mask, cos, sin, impl):
+    b, s, e = x.shape
+    h, d = cfg.num_heads, cfg.head_dim
+    r = layer_norm(p["attn_norm"], x)
+    q = dense(p["q_proj"], r).reshape(b, s, h, d)
+    k = dense(p["k_proj"], r).reshape(b, s, h, d)
+    v = dense(p["v_proj"], r).reshape(b, s, h, d)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    a = attention(q, k, v, mask, impl=impl).reshape(b, s, e)
+    x = x + dense(p["o_proj"], a)
+    r = layer_norm(p["ffn_norm"], x)
+    r = dense(p["fc2"], layers.ACTIVATIONS["gelu"](dense(p["fc1"], r)))
+    return x + r
+
+
+def encode(params, cfg: ESM2Config, tokens, *, impl: str = "auto"):
+    """tokens (B, L) int32 -> final-layer representations (B, L, E).
+
+    Matches fair-esm `representations[num_layers]`: embedding with ESM2's
+    token-dropout rescale, pre-LN blocks with rotary attention, then the
+    final layer norm.
+    """
+    pad_mask = tokens != cfg.pad_idx                        # (B, L)
+    x = embed(params["embed_tokens"], jnp.maximum(tokens, 0))
+    if cfg.token_dropout:
+        # ESM2 zeroes <mask> embeddings and rescales by observed mask ratio
+        # (at inference with no masks this is a constant 1-0.12 factor).
+        x = jnp.where((tokens == cfg.mask_idx)[..., None], 0.0, x)
+        src_len = jnp.sum(pad_mask, axis=-1, keepdims=True)
+        n_mask = jnp.sum(tokens == cfg.mask_idx, axis=-1, keepdims=True)
+        ratio = n_mask.astype(jnp.float32) / jnp.maximum(src_len, 1)
+        x = x * ((1.0 - MASK_RATIO_TRAIN) / (1.0 - ratio))[..., None].astype(x.dtype)
+    x = jnp.where(pad_mask[..., None], x, 0.0)
+
+    mask4 = padding_mask(pad_mask)
+    positions = jnp.arange(tokens.shape[1])
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, theta=10000.0)
+    for p in params["layers"]:
+        x = _block(p, cfg, x, mask4, cos, sin, impl)
+    return layer_norm(params["final_norm"], x)
+
+
+def pooled_embedding(params, cfg: ESM2Config, tokens, *, impl: str = "auto"):
+    """Mean of final-layer reps over residues (exclude BOS/EOS/pad) -> (B, E).
+
+    fp32 output, mirroring `.float()` at cstp_v3/modelling.py:55.
+    """
+    reps = encode(params, cfg, tokens, impl=impl).astype(jnp.float32)
+    lengths = jnp.sum(tokens != cfg.pad_idx, axis=-1)        # incl. cls+eos
+    pos = jnp.arange(tokens.shape[1])[None, :]
+    residue = (pos >= 1) & (pos < (lengths - 1)[:, None])    # drop cls & eos
+    num = jnp.sum(jnp.where(residue[..., None], reps, 0.0), axis=1)
+    den = jnp.maximum(jnp.sum(residue, axis=-1), 1)[:, None]
+    return num / den

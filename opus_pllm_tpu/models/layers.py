@@ -1,0 +1,169 @@
+"""Shared transformer building blocks as pure functions over param pytrees.
+
+Design notes (TPU-first):
+- Params are plain nested dicts of jnp arrays: transparent for pjit sharding
+  rules and for PyTorch checkpoint conversion.
+- Matmuls accumulate in fp32 (`preferred_element_type`); softmax runs fp32.
+- Attention is a single swappable call site: the XLA einsum path here, the
+  Pallas flash-attention kernel in `kernels/` behind the same signature.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # large finite mask value (matches reference masked_fill -1e9)
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+def dense_init(key, in_dim: int, out_dim: int, dtype=jnp.float32,
+               bias: bool = False, scale: Optional[float] = None):
+    """Kaiming-uniform style linear init (same family torch.nn.Linear uses)."""
+    bound = scale if scale is not None else 1.0 / math.sqrt(in_dim)
+    kw, kb = jax.random.split(key)
+    p = {"kernel": jax.random.uniform(kw, (in_dim, out_dim), dtype=jnp.float32,
+                                      minval=-bound, maxval=bound).astype(dtype)}
+    if bias:
+        p["bias"] = jax.random.uniform(kb, (out_dim,), dtype=jnp.float32,
+                                       minval=-bound, maxval=bound).astype(dtype)
+    return p
+
+
+def embed_init(key, vocab: int, dim: int, dtype=jnp.float32, std: float = 0.02):
+    return {"embedding": (jax.random.normal(key, (vocab, dim)) * std).astype(dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers
+# ---------------------------------------------------------------------------
+
+def dense(params, x):
+    # fp32 activations get true-fp32 matmuls (JAX's "default" precision may
+    # run fp32 dots at ~bf16 precision); bf16 stays on the fast MXU path.
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    y = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32,
+                precision=prec)
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def embed(params, ids):
+    return jnp.take(params["embedding"], ids, axis=0)
+
+
+def rms_norm(params, x, eps: float = 1e-5):
+    h = x.astype(jnp.float32)
+    var = jnp.mean(h * h, axis=-1, keepdims=True)
+    h = h * jax.lax.rsqrt(var + eps)
+    return (h * params["scale"].astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(params, x, eps: float = 1e-5):
+    h = x.astype(jnp.float32)
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+    h = (h - mu) * jax.lax.rsqrt(var + eps)
+    return (h * params["scale"].astype(jnp.float32)
+            + params["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+ACTIVATIONS = {
+    "silu": jax.nn.silu,
+    "relu": jax.nn.relu,
+    "gelu": partial(jax.nn.gelu, approximate=False),  # erf gelu (torch default)
+    "gelu_tanh": partial(jax.nn.gelu, approximate=True),
+}
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embeddings (GPT-NeoX half-split convention — used by both
+# fair-esm ESM2 and Llama/Qwen)
+# ---------------------------------------------------------------------------
+
+def rope_cos_sin(positions, head_dim: int, theta: float = 10000.0):
+    """cos/sin tables for given integer positions, shape (*pos, head_dim)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # (*pos, hd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(x, cos, sin):
+    """x: (B, S, H, D); cos/sin: (B, S, D) or (S, D)."""
+    if cos.ndim == 2:
+        cos, sin = cos[None], sin[None]
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    xf = x.astype(jnp.float32)
+    return (xf * cos + _rotate_half(xf) * sin).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention (XLA reference path; Pallas flash kernel plugs in behind same API)
+# ---------------------------------------------------------------------------
+
+def attention(q, k, v, mask=None, *, impl: str = "auto"):
+    """Multi-head (grouped-query) scaled dot-product attention.
+
+    q: (B, Sq, Hq, D); k, v: (B, Skv, Hkv, D) with Hq % Hkv == 0.
+    mask: bool (B, 1|Hq, Sq, Skv) — True = attend. Softmax in fp32.
+    """
+    if impl in ("auto", "flash") and _flash_ok(q, k, mask):
+        from ..kernels.flash_attention import flash_attention
+        return flash_attention(q, k, v, mask)
+    return attention_xla(q, k, v, mask)
+
+
+def _flash_ok(q, k, mask) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    # flash kernel needs seq lens divisible by its block size and D>=64
+    from ..kernels.flash_attention import supports
+    return supports(q, k, mask)
+
+
+def attention_xla(q, k, v, mask=None):
+    b, sq, hq, d = q.shape
+    hkv = k.shape[2]
+    groups = hq // hkv
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    q_ = (q * (1.0 / math.sqrt(d))).reshape(b, sq, hkv, groups, d)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", q_, k,
+                        preferred_element_type=jnp.float32, precision=prec)
+    if mask is not None:
+        m = mask[:, :, None] if mask.shape[1] == 1 else \
+            mask.reshape(b, hkv, groups, sq, -1)
+        logits = jnp.where(m, logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)  # fp32
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", w.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32, precision=prec)
+    return out.reshape(b, sq, hq, d).astype(q.dtype)
+
+
+def causal_mask(attn_mask, sq: Optional[int] = None):
+    """Combine a padding mask (B, Skv) with causality into (B, 1, Sq, Skv)."""
+    b, skv = attn_mask.shape
+    sq = skv if sq is None else sq
+    causal = jnp.tril(jnp.ones((skv, skv), dtype=bool))[-sq:]  # (Sq, Skv)
+    return attn_mask[:, None, None, :] & causal[None, None]
+
+
+def padding_mask(attn_mask, sq: Optional[int] = None):
+    """Bidirectional padding-only mask (B, 1, Sq, Skv)."""
+    b, skv = attn_mask.shape
+    sq = skv if sq is None else sq
+    return jnp.broadcast_to(attn_mask[:, None, None, :], (b, 1, sq, skv))
