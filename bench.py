@@ -1,0 +1,61 @@
+"""Benchmark: ESM2-650M protein-encode throughput (seqs/sec/chip).
+
+The encode path is the prefill hot loop of the reference's eval runner
+(ESM2 forward per batch, SURVEY.md §3.1); the north star tracks protein
+seqs/sec/chip alongside decode tokens/sec (BASELINE.json). The reference
+publishes no machine-readable numbers (BASELINE.md), so vs_baseline is
+reported against the first recorded TPU value once one exists; until then
+it is 1.0 by definition.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from opus_pllm_tpu.core.config import ESM2Config
+    from opus_pllm_tpu.models import esm2
+
+    on_tpu = jax.default_backend() == "tpu"
+    # full 650M on TPU; small config keeps CPU smoke runs fast
+    cfg = (ESM2Config.t33_650M() if on_tpu else ESM2Config.t6_8M())
+    cfg = type(cfg)(**{**cfg.__dict__, "dtype": "bfloat16" if on_tpu else "float32"})
+    batch, seq_len = (32, 512) if on_tpu else (4, 128)
+
+    params = esm2.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    toks = rng.integers(4, 24, (batch, seq_len)).astype(np.int32)
+    toks[:, 0] = cfg.cls_idx
+    toks[:, -1] = cfg.eos_idx
+    toks = jnp.asarray(toks)
+
+    fn = jax.jit(lambda p, t: esm2.pooled_embedding(p, cfg, t))
+    fn(params, toks).block_until_ready()        # compile
+
+    iters = 10 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, toks)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    seqs_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "esm2_650M_encode_seqs_per_sec_per_chip" if on_tpu
+                  else "esm2_8M_encode_seqs_per_sec_cpu_smoke",
+        "value": round(seqs_per_sec, 2),
+        "unit": "seqs/sec",
+        "vs_baseline": 1.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""LoRA adapters as a separate parameter pytree (stage d).
+
+TPU-native re-design of the reference's PEFT usage (builder.py:105-111): the
+reference loads a PEFT adapter and merges it into the base weights at load
+time. Here LoRA lives as its own pytree mirroring the decoder layer
+structure, so:
+
+  * training updates only the tiny adapter tree (optimizer state stays small
+    — the ZeRO-style benefit falls out of `pjit` sharding the adapter tree);
+  * inference can either pass the tree through the forward (unmerged) or
+    merge it into base weights once (`merge`) like PEFT merge_and_unload.
+
+Init follows the PEFT convention: A ~ kaiming-uniform, B = 0, so the adapter
+is an exact no-op at step 0. Effective delta: scaling * A @ B with
+scaling = alpha / rank.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import DecoderConfig, LoRAConfig
+
+
+def _proj_dims(cfg: DecoderConfig) -> Dict[str, tuple]:
+    h, d = cfg.hidden_size, cfg.head_dim
+    q, kv = cfg.num_heads * d, cfg.num_kv_heads * d
+    dims = {
+        "q_proj": (h, q), "k_proj": (h, kv), "v_proj": (h, kv),
+        "o_proj": (q, h),
+    }
+    if cfg.family == "opt":
+        dims.update({"fc1": (h, cfg.intermediate_size),
+                     "fc2": (cfg.intermediate_size, h)})
+    else:
+        dims.update({"gate_proj": (h, cfg.intermediate_size),
+                     "up_proj": (h, cfg.intermediate_size),
+                     "down_proj": (cfg.intermediate_size, h)})
+    return dims
+
+
+def init(key, cfg: DecoderConfig, lora_cfg: LoRAConfig, dtype=jnp.float32):
+    """Adapter tree: {"layers": [{proj: {"A": (in, r), "B": (r, out)}}]}."""
+    dims = _proj_dims(cfg)
+    targets = [t for t in lora_cfg.target_modules if t in dims]
+    keys = jax.random.split(key, cfg.num_layers)
+    layers = []
+    for i in range(cfg.num_layers):
+        lk = jax.random.split(keys[i], len(targets))
+        lp = {}
+        for t, k in zip(targets, lk):
+            din, dout = dims[t]
+            bound = 1.0 / math.sqrt(din)
+            lp[t] = {
+                "A": jax.random.uniform(k, (din, lora_cfg.rank), dtype=jnp.float32,
+                                        minval=-bound, maxval=bound).astype(dtype),
+                "B": jnp.zeros((lora_cfg.rank, dout), dtype),
+            }
+        layers.append(lp)
+    return {"layers": layers}
+
+
+def scaling(lora_cfg: LoRAConfig) -> float:
+    return lora_cfg.alpha / lora_cfg.rank
+
+
+def layer_adapters(lora_tree: Optional[dict], i: int) -> Optional[dict]:
+    if lora_tree is None:
+        return None
+    return lora_tree["layers"][i]
+
+
+def merge(params, lora_tree, lora_cfg: LoRAConfig):
+    """Fold adapters into base weights: W += scaling * A @ B.
+
+    Same math as PEFT merge_and_unload (reference builder.py:107-109);
+    used to remove the per-step LoRA matmuls for pure inference.
+    """
+    s = scaling(lora_cfg)
+    params = jax.tree.map(lambda x: x, params)
+    for i, lp in enumerate(lora_tree["layers"]):
+        for t, ab in lp.items():
+            base = params["layers"][i][t]["kernel"]
+            delta = (ab["A"].astype(jnp.float32) @ ab["B"].astype(jnp.float32)) * s
+            params["layers"][i][t]["kernel"] = (
+                base.astype(jnp.float32) + delta).astype(base.dtype)
+    return params
+
+
+def num_params(lora_tree) -> int:
+    return sum(x.size for x in jax.tree.leaves(lora_tree))

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from ..core.config import DecoderConfig
 from .layers import (ACTIVATIONS, apply_rope, attention, dense, dense_init,
-                     embed, embed_init, layer_norm, rms_norm, rope_cos_sin)
+                     embed, embed_init, layer_norm, lora_dense, rms_norm,
+                     rope_cos_sin)
 
 OPT_POS_OFFSET = 2  # HF OPT learned-position offset
 
@@ -108,20 +109,22 @@ def _norm(cfg, p, x):
     return rms_norm(p, x, eps=cfg.rms_norm_eps)
 
 
-def _mlp(cfg, p, x):
+def _mlp(cfg, p, x, la, ls):
+    g = lambda name, h: lora_dense(p[name], (la or {}).get(name), h, ls)
     if cfg.family == "opt":
-        return dense(p["fc2"], ACTIVATIONS[cfg.activation](dense(p["fc1"], x)))
-    return dense(p["down_proj"],
-                 ACTIVATIONS["silu"](dense(p["gate_proj"], x)) * dense(p["up_proj"], x))
+        return g("fc2", ACTIVATIONS[cfg.activation](g("fc1", x)))
+    return g("down_proj", ACTIVATIONS["silu"](g("gate_proj", x)) * g("up_proj", x))
 
 
-def _block(cfg: DecoderConfig, p, x, mask4, cos, sin, layer_cache, index, impl):
+def _block(cfg: DecoderConfig, p, x, mask4, cos, sin, layer_cache, index, impl,
+           la=None, ls: float = 1.0):
     b, s, _ = x.shape
     hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    g = lambda name, h: lora_dense(p[name], (la or {}).get(name), h, ls)
     r = _norm(cfg, p["attn_norm"], x)
-    q = dense(p["q_proj"], r).reshape(b, s, hq, d)
-    k = dense(p["k_proj"], r).reshape(b, s, hkv, d)
-    v = dense(p["v_proj"], r).reshape(b, s, hkv, d)
+    q = g("q_proj", r).reshape(b, s, hq, d)
+    k = g("k_proj", r).reshape(b, s, hkv, d)
+    v = g("v_proj", r).reshape(b, s, hkv, d)
     if cos is not None:
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -130,9 +133,9 @@ def _block(cfg: DecoderConfig, p, x, mask4, cos, sin, layer_cache, index, impl):
         new_cache = _write_cache(layer_cache, k, v, index)
         k, v = new_cache["k"], new_cache["v"]
     a = attention(q, k, v, mask4, impl=impl).reshape(b, s, hq * d)
-    x = x + dense(p["o_proj"], a)
+    x = x + g("o_proj", a)
     r = _norm(cfg, p["ffn_norm"], x)
-    return x + _mlp(cfg, p, r), new_cache
+    return x + _mlp(cfg, p, r, la, ls), new_cache
 
 
 def embed_tokens(params, ids):
@@ -140,7 +143,8 @@ def embed_tokens(params, ids):
 
 
 def forward(params, cfg: DecoderConfig, input_embeds, positions, mask4,
-            cache=None, *, impl: str = "auto",
+            cache=None, *, lora=None, lora_scale: float = 1.0,
+            impl: str = "auto",
             return_hidden: bool = False) -> Tuple[jnp.ndarray, Optional[dict]]:
     """Run the decoder stack on already-embedded inputs.
 
@@ -167,7 +171,9 @@ def forward(params, cfg: DecoderConfig, input_embeds, positions, mask4,
     index = cache["index"] if cache is not None else None
     for i, p in enumerate(params["layers"]):
         lc = cache["layers"][i] if cache is not None else None
-        x, nlc = _block(cfg, p, x, mask4, cos, sin, lc, index, impl)
+        la = lora["layers"][i] if lora is not None else None
+        x, nlc = _block(cfg, p, x, mask4, cos, sin, lc, index, impl,
+                        la, lora_scale)
         if nlc is not None:
             new_layers.append(nlc)
 

@@ -60,6 +60,21 @@ def embed(params, ids):
     return jnp.take(params["embedding"], ids, axis=0)
 
 
+def lora_dense(params, lora, x, scaling: float = 1.0):
+    """dense() plus a low-rank LoRA delta: y = xW + scaling * (xA)B.
+
+    `lora` is None (no adapter) or {"A": (in, r), "B": (r, out)}. The delta
+    runs in fp32 like the base matmul; with B zero-initialized this is an
+    exact no-op at step 0 (PEFT convention).
+    """
+    y = dense(params, x)
+    if lora is None:
+        return y
+    a = jnp.dot(x, lora["A"].astype(x.dtype), preferred_element_type=jnp.float32)
+    d = jnp.dot(a, lora["B"].astype(x.dtype), preferred_element_type=jnp.float32)
+    return (y.astype(jnp.float32) + scaling * d).astype(y.dtype)
+
+
 def rms_norm(params, x, eps: float = 1e-5):
     h = x.astype(jnp.float32)
     var = jnp.mean(h * h, axis=-1, keepdims=True)

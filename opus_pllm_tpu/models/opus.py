@@ -1,0 +1,100 @@
+"""Opus multimodal model: ESM2 -> CSTP -> switch projector -> LLM.
+
+The TPU-native counterpart of the reference's `OpusMetaModelForCauselLM`
+pipeline (multi_modality_v1/model/opus_arch.py:94-309 and the per-family
+wrappers opus_{llama,opt,qwen}.py): encode each protein sequence with the
+frozen ESM2 encoder, map the pooled embedding through the CSTP adapter
+(`encode_projector_embedding`, opus_arch.py:115-121), expand it to
+`n_tokens` soft tokens with the switch projector (opus_arch.py:122-131),
+splice those into the text embedding stream at the `<seq>` sentinels
+(static-shape splicer instead of the reference's ragged Python loop), and
+run the decoder.
+
+Everything here is a pure function over one params pytree:
+
+    {"esm": ..., "cstp": ... | absent, "switch": ..., "llm": ...}
+
+so a single `jax.jit`/`pjit` covers the whole multimodal forward, and
+sharding rules attach uniformly (parallel/partition.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..bridge import cstp as cstp_mod
+from ..bridge import projector as switch_mod
+from ..bridge.splice import Spliced, output_len, splice
+from ..core.config import IGNORE_INDEX, OpusConfig
+from . import decoder, esm2
+from .layers import causal_mask
+
+
+def init(key, cfg: OpusConfig):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params = {
+        "esm": esm2.init(k1, cfg.esm),
+        "switch": switch_mod.init(k3, cfg.switch),
+        "llm": decoder.init(k4, cfg.llm),
+    }
+    if cfg.cstp is not None:
+        params["cstp"] = cstp_mod.init(k2, cfg.cstp)
+    return params
+
+
+def encode_proteins(params, cfg: OpusConfig, esm_tokens, *, impl: str = "auto"):
+    """(B, P, L_aa) int32 ESM tokens -> (B, P, n_tokens, H) soft tokens.
+
+    Mirrors encode_seq2embedding -> encode_projector_embedding ->
+    switch_projector_embedding (opus_arch.py:103-131). When the model runs
+    without a CSTP adapter, the raw pooled ESM embedding feeds the switch
+    projector directly (identity-projector fallback, opus_arch.py:71-80).
+    """
+    b, p, l = esm_tokens.shape
+    flat = esm_tokens.reshape(b * p, l)
+    emb = esm2.pooled_embedding(params["esm"], cfg.esm, flat, impl=impl)
+    if "cstp" in params:
+        emb = cstp_mod.protein_forward(params["cstp"], emb)
+    soft = switch_mod.apply(params["switch"], cfg.switch, emb,
+                            out_dtype=cfg.llm.jnp_dtype)
+    return soft.reshape(b, p, cfg.switch.n_tokens, cfg.llm.hidden_size)
+
+
+def splice_prompt(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens,
+                  labels=None, *, left_pad: bool, impl: str = "auto") -> Spliced:
+    """Tokenized prompt (with SEQ_TOKEN_INDEX sentinels) -> decoder inputs."""
+    prot = encode_proteins(params, cfg, esm_tokens, impl=impl)
+    text = decoder.embed_tokens(params["llm"], jnp.maximum(input_ids, 0))
+    return splice(input_ids, attn_mask, text, prot, labels,
+                  n_tokens=cfg.switch.n_tokens, left_pad=left_pad)
+
+
+def forward(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens,
+            labels=None, *, lora=None, lora_scale: float = 1.0,
+            left_pad: bool = False,
+            impl: str = "auto") -> Tuple[jnp.ndarray, Spliced]:
+    """Full multimodal forward -> (logits (B, L_out, V), spliced inputs)."""
+    sp = splice_prompt(params, cfg, input_ids, attn_mask, esm_tokens, labels,
+                       left_pad=left_pad, impl=impl)
+    mask4 = causal_mask(sp.mask)
+    logits, _ = decoder.forward(
+        params["llm"], cfg.llm, sp.embeds.astype(cfg.llm.jnp_dtype),
+        sp.positions, mask4, lora=lora, lora_scale=lora_scale, impl=impl)
+    return logits, sp
+
+
+def next_token_loss(logits, labels, mask) -> jnp.ndarray:
+    """Shifted next-token CE, ignoring IGNORE_INDEX (HF causal-LM semantics:
+    the reference trains through super().forward(labels=...),
+    opus_llama.py:60-90)."""
+    lg = logits[:, :-1].astype(jnp.float32)
+    tg = labels[:, 1:]
+    valid = (tg != IGNORE_INDEX) & mask[:, 1:]
+    tg_safe = jnp.maximum(tg, 0)
+    logp = jax.nn.log_softmax(lg, axis=-1)
+    nll = -jnp.take_along_axis(logp, tg_safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)

@@ -1,0 +1,106 @@
+"""Sharding rules: PartitionSpec trees for every parameter pytree.
+
+TPU-native replacement for the reference's process-level parallelism
+(accelerate DDP replicas, run_opus_ddp.py:77-79; DeepSpeed in requirements
+but unused; FSDP stub at opus_arch.py:54-62). One 2-D SPMD mesh
+("data", "model") carries everything:
+
+  * "model"  — Megatron-style tensor parallelism: attention/MLP in-projection
+    kernels shard their OUTPUT dim, out-projections shard their INPUT dim,
+    so each block needs one all-reduce (inserted by XLA from the specs).
+  * "data"   — DP for activations/grads AND FSDP-style parameter sharding:
+    the *other* kernel dim shards over "data", so each parameter lives
+    1/(data*model) per device and XLA all-gathers it just-in-time.
+
+The rules are name-based over our uniform param naming (q_proj/k_proj/
+v_proj/o_proj, gate_proj/up_proj/down_proj, fc1/fc2, embed_tokens, lm_head,
+norm scale/bias), so one rule set covers ESM2, the decoders, BERT, and the
+bridge modules.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.mesh import DATA_AXIS, MODEL_AXIS
+
+# kernels whose OUTPUT dim is TP-sharded (column-parallel)
+_COL = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "fc1",
+        "query", "key", "value", "lm_head"}
+# kernels whose INPUT dim is TP-sharded (row-parallel)
+_ROW = {"o_proj", "down_proj", "fc2", "out_proj"}
+
+
+def _names(path) -> list:
+    out = []
+    for p in path:
+        if isinstance(p, jax.tree_util.DictKey):
+            out.append(p.key)
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            out.append(p.idx)
+    return out
+
+
+def _rule(path, leaf) -> P:
+    names = _names(path)
+    last = names[-1] if names else ""
+    parent = next((n for n in reversed(names[:-1]) if isinstance(n, str)), "")
+
+    if last == "embedding":
+        # embed_tokens / embed_positions: replicate vocab, FSDP-shard hidden
+        if leaf.ndim == 2 and leaf.shape[1] % 2 == 0:
+            return P(None, DATA_AXIS)
+        return P()
+    if last == "kernel":
+        if parent in _COL:
+            return P(DATA_AXIS, MODEL_AXIS)
+        if parent in _ROW:
+            return P(MODEL_AXIS, DATA_AXIS)
+        # generic large dense (CSTP projections, switch projector): treat as
+        # column-parallel so the fp32 weights also shard
+        return P(DATA_AXIS, MODEL_AXIS)
+    if last == "bias":
+        if parent in _COL:
+            return P(MODEL_AXIS)
+        return P()
+    if last in ("scale",):
+        return P()
+    # LoRA adapters: A (in, r) FSDP-shards its input dim; B (r, out)
+    # TP-shards its output dim, matching the base kernel's layout.
+    if last == "A":
+        return P(DATA_AXIS, None)
+    if last == "B":
+        return P(None, MODEL_AXIS)
+    return P()
+
+
+def specs(params) -> Any:
+    """PartitionSpec pytree matching `params` (any of our param trees)."""
+    return jax.tree_util.tree_map_with_path(_rule, params)
+
+
+def shardings(mesh: Mesh, params) -> Any:
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs(params))
+
+
+def batch_spec() -> P:
+    return P(DATA_AXIS)
+
+
+def batch_shardings(mesh: Mesh, batch) -> Any:
+    s = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda _: s, batch)
+
+
+def replicated(mesh: Mesh, tree) -> Any:
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda _: s, tree)
+
+
+def shard_params(mesh: Mesh, params):
+    """Place a (host-resident) param tree onto the mesh per the rules."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), params, shardings(mesh, params))

@@ -1,0 +1,1 @@
+from . import cstp_trainer, multimodal_trainer, optim  # noqa: F401

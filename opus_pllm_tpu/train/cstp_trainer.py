@@ -1,0 +1,94 @@
+"""Stage (a): CSTP contrastive alignment training.
+
+TPU-native counterpart of `CSTPLightning` (cstp_v3/modelling.py:472-601):
+the Lightning module becomes a jitted train step over a device mesh — the
+DP all-reduce Lightning got from DDP (`sync_dist=True`, modelling.py:504)
+is inserted by XLA from the batch sharding.
+
+Like the reference's recommended path, the encoders stay OUT of the training
+graph: batches carry precomputed (seq_embedding, text_embedding) pairs
+(UniProtQAVecDataset, my_datasets.py; precompute via cli precompute-embeddings
+<- scripts/generate_esm_embedding.py). The trained state is just the two
+projection linears.
+
+NOTE on the contrastive batch: similarity logits are (B, B) with diagonal
+targets, so the GLOBAL batch must stay intact — the (B, D) inputs shard over
+the "data" axis and XLA all-gathers one side inside the p @ t.T matmul; the
+evidential loss width stays the global B (the reference hard-wires this
+coupling as W=c=128, evidence_loss.py:44-47).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..bridge import cstp, losses
+from ..core.config import CSTPConfig, TrainConfig
+from .optim import adamw
+
+
+class CSTPTrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    step: jnp.ndarray
+
+
+def create_state(key, cfg: CSTPConfig, tcfg: TrainConfig,
+                 total_steps: Optional[int] = None) -> Tuple[CSTPTrainState, object]:
+    params = cstp.init(key, cfg)
+    tx = adamw(tcfg, total_steps)
+    return CSTPTrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+def loss_and_metrics(params, cfg: CSTPConfig, seq_emb, text_emb, step):
+    p, t = cstp.forward(params, seq_emb, text_emb)
+    al = cstp.alignment(p, t)
+    loss = losses.trust_evidence(al["protein2text"], al["text2protein"],
+                                 al["targets"], cfg)
+    acc_p2t = cstp.retrieval_accuracy(al["protein2text"], al["targets"])
+    acc_t2p = cstp.retrieval_accuracy(al["text2protein"], al["targets"])
+    return loss, {"loss": loss, "acc_seq2text": acc_p2t, "acc_text2seq": acc_t2p}
+
+
+def make_train_step(cfg: CSTPConfig, tx):
+    @jax.jit
+    def train_step(state: CSTPTrainState, seq_emb, text_emb):
+        def lf(p):
+            return loss_and_metrics(p, cfg, seq_emb, text_emb, state.step)
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return CSTPTrainState(new_params, new_opt, state.step + 1), metrics
+    return train_step
+
+
+def make_eval_step(cfg: CSTPConfig):
+    @jax.jit
+    def eval_step(params, seq_emb, text_emb):
+        _, metrics = loss_and_metrics(params, cfg, seq_emb, text_emb,
+                                      jnp.zeros((), jnp.int32))
+        return metrics
+    return eval_step
+
+
+def fit(state: CSTPTrainState, tx, cfg: CSTPConfig, tcfg: TrainConfig,
+        batches: Iterator[Tuple[np.ndarray, np.ndarray]],
+        log_fn=print) -> CSTPTrainState:
+    """Minimal epoch loop: batches yield (seq_emb, text_emb) of equal B.
+
+    Replaces pl.Trainer.fit for the fully-specified Lightning module the
+    reference ships without a launcher (SURVEY.md intro).
+    """
+    step_fn = make_train_step(cfg, tx)
+    for i, (se, te) in enumerate(batches):
+        state, metrics = step_fn(state, jnp.asarray(se), jnp.asarray(te))
+        if tcfg.log_every and i % tcfg.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            log_fn(f"step {int(state.step)}: " +
+                   " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+    return state

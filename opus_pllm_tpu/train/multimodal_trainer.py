@@ -1,0 +1,115 @@
+"""Stages (c) and (d): projector training and LoRA instruction tuning.
+
+The reference did not release these launchers (only a shell-script comment
+references an internal train/ dir, eval_total_ablation.sh:74); the loading
+code defines the contract: stage (c) trains the switch projector against a
+frozen LLM (weights later extracted by scripts/extract_mm_projector.py),
+stage (d) trains a PEFT LoRA adapter on OPUS-InstructionCorpus that
+builder.py:105-111 merges at load.
+
+TPU-native design: ONE jitted train step covers both stages. The trainable
+leaves live in their own pytree (`trainable`: {"switch": ...} and/or
+{"lora": ...}); the frozen ESM/CSTP/LLM tree is a closed-over donated input
+whose gradients are never materialized. Sharding: frozen LLM params shard
+TP+FSDP per parallel/partition.py; the batch shards over "data"; XLA inserts
+the gradient all-reduce — the role DDP/DeepSpeed play in the reference
+stack.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import LoRAConfig, OpusConfig, TrainConfig
+from ..lora import lora as lora_mod
+from ..models import opus
+from .optim import adamw
+
+
+class MMTrainState(NamedTuple):
+    trainable: Dict[str, Any]      # {"switch": ...} | {"lora": ...} | both
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_trainable(key, cfg: OpusConfig, *, train_switch: bool,
+                   lora_cfg: Optional[LoRAConfig], frozen_params) -> dict:
+    """Build the trainable tree; switch params move OUT of the frozen tree."""
+    t: Dict[str, Any] = {}
+    if train_switch:
+        t["switch"] = frozen_params["switch"]
+    if lora_cfg is not None:
+        t["lora"] = lora_mod.init(key, cfg.llm, lora_cfg)
+    return t
+
+
+def create_state(key, cfg: OpusConfig, tcfg: TrainConfig, frozen_params, *,
+                 train_switch: bool = True,
+                 lora_cfg: Optional[LoRAConfig] = None,
+                 total_steps: Optional[int] = None):
+    trainable = init_trainable(key, cfg, train_switch=train_switch,
+                               lora_cfg=lora_cfg, frozen_params=frozen_params)
+    tx = adamw(tcfg, total_steps)
+    state = MMTrainState(trainable, tx.init(trainable), jnp.zeros((), jnp.int32))
+    return state, tx
+
+
+def _assemble(frozen, trainable):
+    params = dict(frozen)
+    if "switch" in trainable:
+        params["switch"] = trainable["switch"]
+    return params
+
+
+def loss_fn(trainable, frozen, cfg: OpusConfig, batch,
+            lora_scale: float) -> Tuple[jnp.ndarray, dict]:
+    """Next-token CE over the spliced multimodal stream (RIGHT-pad training
+    path, opus_arch.py:245-269; labels at protein slots = IGNORE_INDEX)."""
+    params = _assemble(frozen, trainable)
+    logits, sp = opus.forward(
+        params, cfg, batch["input_ids"], batch["attn_mask"],
+        batch["esm_tokens"], labels=batch["labels"],
+        lora=trainable.get("lora"), lora_scale=lora_scale, left_pad=False)
+    loss = opus.next_token_loss(logits, sp.labels, sp.mask)
+    return loss, {"loss": loss}
+
+
+def make_train_step(cfg: OpusConfig, tx, *, lora_cfg: Optional[LoRAConfig] = None,
+                    donate: bool = True):
+    ls = lora_mod.scaling(lora_cfg) if lora_cfg is not None else 1.0
+
+    @jax.jit
+    def train_step(state: MMTrainState, frozen, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, metrics), grads = grad_fn(state.trainable, frozen, cfg, batch, ls)
+        updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+        return MMTrainState(new_trainable, new_opt, state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: OpusConfig, *, lora_cfg: Optional[LoRAConfig] = None):
+    ls = lora_mod.scaling(lora_cfg) if lora_cfg is not None else 1.0
+
+    @jax.jit
+    def eval_step(trainable, frozen, batch):
+        loss, metrics = loss_fn(trainable, frozen, cfg, batch, ls)
+        return metrics
+
+    return eval_step
+
+
+def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
+        batches, *, lora_cfg: Optional[LoRAConfig] = None, log_fn=print):
+    step_fn = make_train_step(cfg, tx, lora_cfg=lora_cfg)
+    for i, batch in enumerate(batches):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = step_fn(state, frozen, batch)
+        if tcfg.log_every and i % tcfg.log_every == 0:
+            log_fn(f"step {int(state.step)}: loss={float(metrics['loss']):.4f}")
+    return state

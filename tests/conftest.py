@@ -12,8 +12,14 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
+# The image's sitecustomize registers the axon TPU plugin for every
+# interpreter and overrides JAX_PLATFORMS; this config update wins and pins
+# tests to the virtual 8-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # exact fp32 matmuls in numerics/parity tests (default may downcast to bf16)
 jax.config.update("jax_default_matmul_precision", "highest")

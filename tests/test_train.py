@@ -1,0 +1,109 @@
+"""Training stages: (a) CSTP contrastive, (c)/(d) projector + LoRA.
+
+Multi-device: the stage-(c/d) step runs sharded over the virtual 8-CPU mesh
+(the idiomatic replacement for the reference's DDP/DeepSpeed validation,
+SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from opus_pllm_tpu.core.config import (CSTPConfig, IGNORE_INDEX, LoRAConfig,
+                                       MeshConfig, OpusConfig,
+                                       SEQ_TOKEN_INDEX, TrainConfig)
+from opus_pllm_tpu.core.mesh import make_mesh
+from opus_pllm_tpu.models import opus
+from opus_pllm_tpu.parallel import partition
+from opus_pllm_tpu.train import cstp_trainer, multimodal_trainer as mmt
+
+
+def test_cstp_training_reduces_loss():
+    cfg = CSTPConfig.tiny()
+    tcfg = TrainConfig(learning_rate=1e-3, weight_decay=1e-4, log_every=0)
+    state, tx = cstp_trainer.create_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step = cstp_trainer.make_train_step(cfg, tx)
+    rng = np.random.default_rng(0)
+    se = jnp.asarray(rng.normal(size=(16, cfg.protein_dim)), jnp.float32)
+    te = jnp.asarray(rng.normal(size=(16, cfg.text_dim)), jnp.float32)
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, se, te)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 12
+
+
+def test_cstp_eval_metrics():
+    cfg = CSTPConfig.tiny()
+    tcfg = TrainConfig()
+    state, _ = cstp_trainer.create_state(jax.random.PRNGKey(0), cfg, tcfg)
+    ev = cstp_trainer.make_eval_step(cfg)
+    rng = np.random.default_rng(1)
+    m = ev(state.params,
+           jnp.asarray(rng.normal(size=(8, cfg.protein_dim)), jnp.float32),
+           jnp.asarray(rng.normal(size=(8, cfg.text_dim)), jnp.float32))
+    assert 0.0 <= float(m["acc_seq2text"]) <= 1.0
+
+
+def _mm_batch(cfg, b):
+    rng = np.random.default_rng(0)
+    l = 12
+    ids = rng.integers(4, cfg.llm.vocab_size, (b, l)).astype(np.int32)
+    ids[:, 1] = SEQ_TOKEN_INDEX
+    labels = ids.copy()
+    labels[:, :4] = IGNORE_INDEX
+    esm = rng.integers(4, 24, (b, 1, 8)).astype(np.int32)
+    esm[:, :, 0] = 0
+    esm[:, :, -1] = 2
+    return {"input_ids": ids, "attn_mask": np.ones((b, l), bool),
+            "labels": labels, "esm_tokens": esm}
+
+
+def test_multimodal_step_trains_only_trainable():
+    cfg = OpusConfig.tiny()
+    tcfg = TrainConfig(learning_rate=1e-3)
+    lcfg = LoRAConfig(rank=2)
+    frozen = opus.init(jax.random.PRNGKey(0), cfg)
+    state, tx = mmt.create_state(jax.random.PRNGKey(1), cfg, tcfg, frozen,
+                                 train_switch=True, lora_cfg=lcfg)
+    step = mmt.make_train_step(cfg, tx, lora_cfg=lcfg)
+    batch = {k: jnp.asarray(v) for k, v in _mm_batch(cfg, 4).items()}
+    before_sw = np.asarray(state.trainable["switch"]["layers"][0]["kernel"]).copy()
+    before_b = np.asarray(
+        state.trainable["lora"]["layers"][0]["q_proj"]["B"]).copy()
+    state, metrics = step(state, frozen, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert not np.allclose(
+        before_sw, np.asarray(state.trainable["switch"]["layers"][0]["kernel"]))
+    # LoRA B leaves get gradient (B starts 0 but dL/dB = A^T x^T g != 0)
+    assert not np.allclose(
+        before_b, np.asarray(state.trainable["lora"]["layers"][0]["q_proj"]["B"]))
+
+
+def test_multimodal_step_sharded_matches_single_device():
+    cfg = OpusConfig.tiny()
+    tcfg = TrainConfig(learning_rate=1e-3)
+    lcfg = LoRAConfig(rank=2)
+    frozen = opus.init(jax.random.PRNGKey(0), cfg)
+    state, tx = mmt.create_state(jax.random.PRNGKey(1), cfg, tcfg, frozen,
+                                 train_switch=True, lora_cfg=lcfg)
+    step = mmt.make_train_step(cfg, tx, lora_cfg=lcfg)
+    batch = {k: jnp.asarray(v) for k, v in _mm_batch(cfg, 8).items()}
+    _, m_single = step(state, frozen, batch)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    sh_frozen = partition.shard_params(mesh, frozen)
+    sh_state = mmt.MMTrainState(
+        partition.shard_params(mesh, state.trainable),
+        jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+            if hasattr(x, "shape") else x, state.opt_state),
+        state.step)
+    bsh = NamedSharding(mesh, P("data"))
+    sh_batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    with mesh:
+        _, m_sharded = step(sh_state, sh_frozen, sh_batch)
+    np.testing.assert_allclose(float(m_single["loss"]),
+                               float(m_sharded["loss"]), rtol=1e-4)
