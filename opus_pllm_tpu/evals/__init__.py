@@ -1,0 +1,1 @@
+from . import datasets, mcq, metrics, runner, textproc  # noqa: F401

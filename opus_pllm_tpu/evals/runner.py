@@ -1,0 +1,197 @@
+"""Batch annotation + MCQ eval runners.
+
+TPU-native re-design of the reference's DDP eval loop (run_opus_ddp.py:47-165,
+eval_run_multichoice.py): instead of per-GPU model replicas driven by
+`accelerate` (scatter at :77-79, gather_object at :138), each host takes a
+contiguous slice of the test set (core/mesh.local_slice), runs the jitted
+splice+generate pipeline, and results all-gather across hosts.
+
+TPU specifics:
+  * shapes are BUCKETED (prompt length and protein length round up to fixed
+    buckets) so the whole pipeline compiles a handful of times, not per
+    batch — the static-shape answer to HF generate's dynamic padding;
+  * generation is the single-jit KV-cache engine (infer/engine.py);
+  * reported `entries/sec` matches the reference's throughput print
+    (run_opus_ddp.py:143).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import GenerationConfig, OpusConfig
+from ..core.mesh import local_slice
+from ..infer import engine
+from ..infer.conversation import VICUNA_V0, annotation_prompt, truncate_at_sep
+from ..infer.tokenization import pad_batch, tokenize_with_seq
+from ..models import decoder, esm2, opus
+from . import datasets as ds
+from . import mcq as mcq_mod
+from .metrics import compute_metrics
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclass
+class EvalReport:
+    results: List[dict]
+    metrics: dict
+    entries_per_sec: float
+    seconds: float
+
+
+def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
+                    gen: GenerationConfig, *, prompt_bucket: int,
+                    esm_bucket: int, impl: str):
+    """One padded batch through splice -> generate -> decode."""
+    tok_ids = [tokenize_with_seq(p, tokenizer.encode,
+                                 getattr(tokenizer, "bos_token_id", None))
+               for p in prompts]
+    longest = max(len(t) for t in tok_ids)
+    ids, mask = pad_batch(tok_ids, tokenizer.pad_token_id, left=True,
+                          max_len=_round_up(longest, prompt_bucket))
+    # ESM tokens, one protein per prompt
+    aa_len = max(len(s) for s in sequences) + 2
+    esm_toks, _ = esm2.tokenize(list(sequences),
+                                max_len=_round_up(aa_len, esm_bucket))
+    sp = opus.splice_prompt(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                            jnp.asarray(esm_toks)[:, None], left_pad=True,
+                            impl=impl)
+    pos = decoder.positions_from_mask(sp.mask)
+    out = engine.generate(
+        params["llm"], cfg.llm, sp.embeds, sp.mask, pos,
+        jax.random.PRNGKey(gen.seed),
+        max_new_tokens=gen.max_new_tokens, temperature=gen.temperature,
+        top_p=gen.top_p, eos_token_id=gen.eos_token_id,
+        pad_token_id=gen.pad_token_id, impl=impl)
+    toks = np.asarray(out.tokens)
+    lens = np.asarray(out.lengths)
+    texts = []
+    for row, n in zip(toks, lens):
+        ids_out = [int(t) for t in row[:n] if int(t) != gen.eos_token_id]
+        texts.append(truncate_at_sep(tokenizer.decode(ids_out)))
+    return texts
+
+
+def run_annotation_eval(params, cfg: OpusConfig, tokenizer, file_path: str,
+                        *, gen: Optional[GenerationConfig] = None,
+                        batch_size: int = 8, prompt_bucket: int = 64,
+                        esm_bucket: int = 128, impl: str = "auto",
+                        save_path: Optional[str] = None,
+                        examples=None, bert_embed_fn=None,
+                        log_fn=print) -> EvalReport:
+    """Batch annotation eval over one benchmark JSON (≙ run_opus_ddp
+    eval_model). `examples` overrides file loading for tests."""
+    if examples is None:
+        examples = ds.load_annotation_json(file_path)
+    examples = examples[local_slice(len(examples))]
+    gen = gen or GenerationConfig(
+        max_new_tokens=ds.max_new_tokens_for(file_path),
+        eos_token_id=getattr(tokenizer, "eos_token_id", -1),
+        pad_token_id=getattr(tokenizer, "pad_token_id", 0))
+
+    results = []
+    t0 = time.perf_counter()
+    for s in range(0, len(examples), batch_size):
+        chunk = examples[s:s + batch_size]
+        prompts = [annotation_prompt(ds.instruction_for(e, file_path),
+                                     VICUNA_V0) for e in chunk]
+        texts = _generate_batch(params, cfg, tokenizer, prompts,
+                                [e.sequence for e in chunk], gen,
+                                prompt_bucket=prompt_bucket,
+                                esm_bucket=esm_bucket, impl=impl)
+        results.extend({"ground_truth": e.output, "generated": t}
+                       for e, t in zip(chunk, texts))
+    dt = time.perf_counter() - t0
+
+    results = _allgather_results(results)
+    eps = len(results) / dt if dt > 0 else 0.0
+    metrics = {}
+    if jax.process_index() == 0:
+        log_fn(f"entries/sec: {eps:.3f}, time elapsed: {dt:.1f}s")
+        if save_path:
+            with open(save_path, "w") as f:
+                json.dump(results, f, indent=1)
+        metrics = compute_metrics(results, file_path,
+                                  bert_embed_fn=bert_embed_fn)
+        log_fn(str(metrics))
+    return EvalReport(results, metrics, eps, dt)
+
+
+def run_mcq_eval(params, cfg: OpusConfig, tokenizer, file_path: str, *,
+                 gen: Optional[GenerationConfig] = None, batch_size: int = 8,
+                 prompt_bucket: int = 64, esm_bucket: int = 128,
+                 impl: str = "auto", render_prompt: Optional[Callable] = None,
+                 examples=None, save_path: Optional[str] = None,
+                 log_fn=print) -> EvalReport:
+    """MCQ eval (≙ eval_run_multichoice eval_model): chat-template prompt,
+    max_new_tokens=50, option-letter accuracy + histogram."""
+    from ..infer.conversation import VICUNA_V3
+
+    if examples is None:
+        examples = ds.load_mcq_json(file_path)
+    examples = examples[local_slice(len(examples))]
+    gen = gen or GenerationConfig(
+        max_new_tokens=50,
+        eos_token_id=getattr(tokenizer, "eos_token_id", -1),
+        pad_token_id=getattr(tokenizer, "pad_token_id", 0))
+
+    def default_render(instr: str) -> str:
+        conv = VICUNA_V3.copy()
+        conv.append("user", "<seq>\n" + instr)
+        return conv.get_prompt_chatml(add_generation_prompt=True)
+
+    render = render_prompt or default_render
+    results = []
+    t0 = time.perf_counter()
+    for s in range(0, len(examples), batch_size):
+        chunk = examples[s:s + batch_size]
+        prompts = [render(ds.mcq_prompt(e.question, e.options)) for e in chunk]
+        texts = _generate_batch(params, cfg, tokenizer, prompts,
+                                [e.sequence for e in chunk], gen,
+                                prompt_bucket=prompt_bucket,
+                                esm_bucket=esm_bucket, impl=impl)
+        results.extend({"ground_truth": e.answer, "generated": t}
+                       for e, t in zip(chunk, texts))
+    dt = time.perf_counter() - t0
+    results = _allgather_results(results)
+    acc, counts = mcq_mod.score(results)
+    eps = len(results) / dt if dt > 0 else 0.0
+    if jax.process_index() == 0:
+        log_fn(f"{counts}")
+        log_fn(f"Accuracy: {acc * 100:.2f}%  entries/sec: {eps:.3f}")
+        if save_path:
+            with open(save_path, "w") as f:
+                json.dump(results, f, indent=1)
+    return EvalReport(results, {"Accuracy": round(acc, 4),
+                                "OptionCounts": counts}, eps, dt)
+
+
+def _allgather_results(results: List[dict]) -> List[dict]:
+    """Cross-host gather of JSON results (≙ accelerate gather_object,
+    run_opus_ddp.py:138). Single-process: identity."""
+    if jax.process_count() == 1:
+        return results
+    from jax.experimental import multihost_utils
+
+    blob = json.dumps(results).encode()
+    arr = np.frombuffer(blob, np.uint8)
+    n = np.zeros((jax.process_count(),), np.int32)
+    n[jax.process_index()] = len(arr)
+    sizes = multihost_utils.process_allgather(n).sum(0)
+    buf = np.zeros((int(sizes.max()),), np.uint8)
+    buf[:len(arr)] = arr
+    all_bufs = multihost_utils.process_allgather(buf)
+    merged: List[dict] = []
+    for i in range(jax.process_count()):
+        merged.extend(json.loads(bytes(all_bufs[i][:int(sizes[i])]).decode()))
+    return merged

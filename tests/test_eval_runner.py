@@ -1,0 +1,120 @@
+"""End-to-end eval runner on a tiny model + byte tokenizer + fake test sets."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from opus_pllm_tpu.core.config import GenerationConfig, OpusConfig
+from opus_pllm_tpu.evals import datasets as ds
+from opus_pllm_tpu.evals import runner
+from opus_pllm_tpu.infer.tokenization import ByteTokenizer
+from opus_pllm_tpu.models import opus
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = OpusConfig.tiny()
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _fake_annotation_file(tmp_path, name, n=3):
+    data = [{"instruction": "What is the subcellular localization?",
+             "input": "MKTAYIAKQR" * (i + 1),
+             "output": "Nucleus"} for i in range(n)]
+    p = tmp_path / name
+    p.write_text(json.dumps(data))
+    return str(p)
+
+
+def test_annotation_eval_end_to_end(tiny_model, tmp_path):
+    cfg, params = tiny_model
+    tok = ByteTokenizer()
+    path = _fake_annotation_file(tmp_path, "test_localization.json")
+    save = tmp_path / "out.json"
+    gen = GenerationConfig(max_new_tokens=8, temperature=0.0,
+                           eos_token_id=tok.eos_token_id,
+                           pad_token_id=tok.pad_token_id)
+    rep = runner.run_annotation_eval(
+        params, cfg, tok, path, gen=gen, batch_size=2,
+        prompt_bucket=32, esm_bucket=32, save_path=str(save),
+        log_fn=lambda *_: None)
+    assert len(rep.results) == 3
+    assert "Accuracy" in rep.metrics
+    assert rep.entries_per_sec > 0
+    saved = json.loads(save.read_text())
+    assert saved[0]["ground_truth"] == "Nucleus"
+
+
+def test_mcq_eval_end_to_end(tiny_model, tmp_path):
+    cfg, params = tiny_model
+    tok = ByteTokenizer()
+    data = [{"question": "Which compartment?",
+             "options": ["A) Nucleus", "B) Cytoplasm", "C) Membrane", "D) ER"],
+             "input": "MKTAYIAKQR", "answer": "A) Nucleus"} for _ in range(2)]
+    p = tmp_path / "protein_mcq_choice.json"
+    p.write_text(json.dumps(data))
+    gen = GenerationConfig(max_new_tokens=6, temperature=0.0,
+                           eos_token_id=tok.eos_token_id,
+                           pad_token_id=tok.pad_token_id)
+    rep = runner.run_mcq_eval(params, cfg, tok, str(p), gen=gen,
+                              batch_size=2, prompt_bucket=32, esm_bucket=32,
+                              log_fn=lambda *_: None)
+    assert len(rep.results) == 2
+    assert "Accuracy" in rep.metrics
+    assert sum(rep.metrics["OptionCounts"].values()) == 2
+
+
+def test_max_new_tokens_policy():
+    assert ds.max_new_tokens_for("x_localization_test.json") == 32
+    assert ds.max_new_tokens_for("uniprot2024_keywords_test.json") == 128
+    assert ds.max_new_tokens_for("EC_number_New392.json") == 256
+
+
+def test_instruction_suffix():
+    ex = ds.AnnotationExample("Where is it?", "MKT", "Nucleus")
+    s = ds.instruction_for(ex, "test_localization.json")
+    assert s.startswith("<seq>\n")
+    assert ds.LOCALIZATION_SUFFIX in s
+    s2 = ds.instruction_for(ex, "go_test.json")
+    assert ds.LOCALIZATION_SUFFIX not in s2
+
+
+def test_bert_and_bertscore_pipeline():
+    from opus_pllm_tpu.core.config import BertConfig
+    from opus_pllm_tpu.evals.metrics import compute_metrics
+    from opus_pllm_tpu.evals.textproc import WordPieceTokenizer
+    from opus_pllm_tpu.models import bert
+
+    cfg = BertConfig.tiny()
+    params = bert.init(jax.random.PRNGKey(0), cfg)
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3}
+    for i, w in enumerate("the protein binds dna and atp in cells".split()):
+        vocab[w] = 4 + i
+    vocab["##s"] = 90
+    tok = WordPieceTokenizer(vocab, lowercase=True)
+    fn = bert.make_embed_fn(params, cfg, tok, max_tokens=16)
+    res = [{"generated": "the protein binds atp",
+            "ground_truth": "the protein binds dna"}]
+    out = compute_metrics(res, "x_function_test.json", bert_embed_fn=fn)
+    bs = out["BERTScore"]
+    assert 0 < bs["f1"] <= 1
+    # identical texts -> f1 == 1
+    res2 = [{"generated": "the protein binds dna",
+             "ground_truth": "the protein binds dna"}]
+    out2 = compute_metrics(res2, "x_function_test.json", bert_embed_fn=fn)
+    np.testing.assert_allclose(out2["BERTScore"]["f1"], 1.0, atol=1e-5)
+
+
+def test_wordpiece_tokenizer():
+    from opus_pllm_tpu.evals.textproc import WordPieceTokenizer
+
+    vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3,
+             "bind": 4, "##ing": 5, "protein": 6, ",": 7}
+    tok = WordPieceTokenizer(vocab, lowercase=True)
+    assert tok.tokenize("binding protein,") == ["bind", "##ing", "protein", ","]
+    assert tok.tokenize("unknownword") == ["[UNK]"]
+    ids = tok.encode("binding", max_tokens=10)
+    assert ids[0] == 2 and ids[-1] == 3
