@@ -1,0 +1,314 @@
+"""opus-pllm-tpu command line: annotate / chat / mcq / train-* / precompute /
+convert-weights / bench.
+
+One typed entry point replaces the reference's per-runner argparse scripts
+(eval/run_opus_ddp.py:149-163, run_opus_online.py, eval_run_multichoice.py,
+eval_run_online.py, scripts/*.py and the Slurm wrappers eval.sh /
+eval_total_ablation.sh).
+
+    python -m opus_pllm_tpu.cli.main annotate --test-json ... --model-base ...
+    python -m opus_pllm_tpu.cli.main chat --model-base ...
+    python -m opus_pllm_tpu.cli.main mcq --test-json ...
+    python -m opus_pllm_tpu.cli.main train-cstp --vec-pickle ...
+    python -m opus_pllm_tpu.cli.main train-projector --train-json ...
+    python -m opus_pllm_tpu.cli.main train-lora --train-json ...
+    python -m opus_pllm_tpu.cli.main precompute-embeddings --json ...
+    python -m opus_pllm_tpu.cli.main convert-weights --out ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Optional
+
+STANDARD_AA = set("ACDEFGHIKLMNPQRSTVWY")
+
+
+def _model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model-base", default=None,
+                   help="HF dir of the base LLM (family by path substring)")
+    p.add_argument("--weights", default=None,
+                   help="opus-pllm weights dir (modality_encoder/, "
+                        "modality_refinement_projector/, lora_adapter/)")
+    p.add_argument("--esm", default=None, help="fair-esm .pt or HF-ESM dir")
+    p.add_argument("--no-cstp", action="store_true",
+                   help="raw-ESM pipeline (switch projector over 1280-d)")
+    p.add_argument("--tokenizer", default=None,
+                   help="tokenizer dir (default: --model-base)")
+
+
+def _gen_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--temperature", type=float, default=0.1)
+    p.add_argument("--top-p", type=float, default=0.7)
+    p.add_argument("--max-new-tokens", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _build(args):
+    from ..core import builder
+    from ..core.config import (CSTPConfig, ESM2Config, OpusConfig,
+                               SwitchProjectorConfig)
+
+    llm_cfg = (builder.decoder_config_for(args.model_base)
+               if args.model_base else None)
+    if llm_cfg is None:
+        raise SystemExit("--model-base is required for model commands")
+    cstp = None if args.no_cstp else CSTPConfig()
+    switch_in = 1280 if args.no_cstp else 5120
+    cfg = OpusConfig(
+        esm=ESM2Config.t33_650M(), cstp=cstp,
+        switch=SwitchProjectorConfig(input_dim=switch_in,
+                                     llm_hidden_size=llm_cfg.hidden_size),
+        llm=llm_cfg)
+    params, _ = builder.load_pretrained(args.model_base, args.weights, cfg,
+                                        esm_path=args.esm)
+    from ..infer.hf_tokenizer import HFTokenizer
+    tok = HFTokenizer(args.tokenizer or args.model_base,
+                      family=llm_cfg.family)
+    return cfg, params, tok
+
+
+def cmd_annotate(args) -> None:
+    from ..core.config import GenerationConfig
+    from ..evals import runner
+
+    cfg, params, tok = _build(args)
+    from ..evals.datasets import max_new_tokens_for
+    gen = GenerationConfig(
+        max_new_tokens=args.max_new_tokens or max_new_tokens_for(args.test_json),
+        temperature=args.temperature, top_p=args.top_p,
+        eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
+        seed=args.seed)
+    rep = runner.run_annotation_eval(
+        params, cfg, tok, args.test_json, gen=gen,
+        batch_size=args.batch_size, save_path=args.save_path)
+    print(json.dumps(rep.metrics))
+
+
+def cmd_mcq(args) -> None:
+    from ..core.config import GenerationConfig
+    from ..evals import runner
+
+    cfg, params, tok = _build(args)
+    gen = GenerationConfig(
+        max_new_tokens=args.max_new_tokens or 50,
+        temperature=args.temperature, top_p=args.top_p,
+        eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
+        seed=args.seed)
+    rep = runner.run_mcq_eval(params, cfg, tok, args.test_json, gen=gen,
+                              batch_size=args.batch_size,
+                              save_path=args.save_path)
+    print(json.dumps(rep.metrics))
+
+
+def cmd_chat(args) -> None:
+    """Interactive REPL (≙ run_opus_online.py): instruction + validated
+    protein sequence -> annotation."""
+    import jax
+
+    from ..core.config import GenerationConfig
+    from ..evals import runner as runner_mod
+    from ..evals.datasets import AnnotationExample
+
+    cfg, params, tok = _build(args)
+    gen = GenerationConfig(
+        max_new_tokens=args.max_new_tokens or 256,
+        temperature=args.temperature, top_p=args.top_p,
+        eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id)
+    print("opus-pllm-tpu chat — empty line to exit")
+    while True:
+        try:
+            instr = input("instruction> ").strip()
+        except EOFError:
+            break
+        if not instr:
+            break
+        seq = input("sequence> ").strip().upper()
+        bad = set(seq) - STANDARD_AA
+        if bad:
+            print(f"invalid amino acids: {''.join(sorted(bad))} "
+                  f"(allowed: {''.join(sorted(STANDARD_AA))})")
+            continue
+        from ..infer.conversation import VICUNA_V0, annotation_prompt
+        prompt = annotation_prompt("<seq>\n" + instr, VICUNA_V0)
+        texts = runner_mod._generate_batch(
+            params, cfg, tok, [prompt], [seq], gen,
+            prompt_bucket=64, esm_bucket=128, impl="auto")
+        print(texts[0])
+
+
+def cmd_train_cstp(args) -> None:
+    import jax
+    import numpy as np
+
+    from ..core.checkpoint import CheckpointManager
+    from ..core.config import CSTPConfig, TrainConfig
+    from ..data.datasets import UniProtQAVecDataset, batch_iterator
+    from ..train import cstp_trainer
+
+    cfg = CSTPConfig()
+    tcfg = TrainConfig(learning_rate=args.lr, weight_decay=args.wd,
+                       batch_size=args.batch_size, num_epochs=args.epochs)
+    ds = UniProtQAVecDataset(args.vec_pickle)
+    se, te = ds.arrays()
+    state, tx = cstp_trainer.create_state(jax.random.PRNGKey(args.seed), cfg,
+                                          tcfg)
+    mgr = CheckpointManager(args.out, max_to_keep=2)
+
+    def batches():
+        for idx in batch_iterator(len(se), tcfg.batch_size, seed=args.seed,
+                                  epochs=tcfg.num_epochs):
+            yield se[idx], te[idx]
+
+    state = cstp_trainer.fit(state, tx, cfg, tcfg, batches())
+    mgr.save(int(state.step), state.params)
+    print(f"saved CSTP adapter at step {int(state.step)} -> {args.out}")
+
+
+def _train_multimodal(args, *, lora: bool) -> None:
+    import jax
+
+    from ..core.checkpoint import CheckpointManager
+    from ..core.config import LoRAConfig, TrainConfig
+    from ..data.collate import instruction_batches
+    from ..data.datasets import InstructionDataset
+    from ..train import multimodal_trainer as mmt
+
+    cfg, params, tok = _build(args)
+    tcfg = TrainConfig(learning_rate=args.lr, weight_decay=args.wd,
+                       batch_size=args.batch_size, num_epochs=args.epochs)
+    lcfg = LoRAConfig(rank=args.lora_rank) if lora else None
+    ds = InstructionDataset(args.train_json)
+    state, tx = mmt.create_state(jax.random.PRNGKey(args.seed), cfg, tcfg,
+                                 params, train_switch=not lora or args.train_switch,
+                                 lora_cfg=lcfg)
+    mgr = CheckpointManager(args.out, max_to_keep=2)
+    batches = instruction_batches(ds, tok, tcfg.batch_size, seed=args.seed,
+                                  epochs=tcfg.num_epochs,
+                                  max_len=args.max_len)
+    state = mmt.fit(state, tx, cfg, tcfg, params, batches, lora_cfg=lcfg)
+    mgr.save(int(state.step), state.trainable)
+    print(f"saved trainable tree at step {int(state.step)} -> {args.out}")
+
+
+def cmd_precompute(args) -> None:
+    import jax
+
+    from ..core import builder
+    from ..core.config import ESM2Config
+    from ..data import precompute
+
+    cfg = ESM2Config.t33_650M()
+    params = builder.load_esm(args.esm, cfg)
+    if args.mode == "jsonl":
+        n = precompute.precompute_instruction_embeddings(
+            params, cfg, args.json, args.out, batch_size=args.batch_size)
+    else:
+        n = precompute.precompute_sequence_map(
+            params, cfg, args.json, args.out, batch_size=args.batch_size)
+    print(f"wrote {n} entries -> {args.out}")
+
+
+def cmd_convert(args) -> None:
+    """Convert reference-format checkpoints to the native Orbax layout."""
+    from ..core import builder
+    from ..core.config import (CSTPConfig, ESM2Config, OpusConfig,
+                               SwitchProjectorConfig)
+
+    llm_cfg = builder.decoder_config_for(args.model_base) if args.model_base \
+        else None
+    if llm_cfg is None:
+        raise SystemExit("--model-base required")
+    cfg = OpusConfig(
+        esm=ESM2Config.t33_650M(),
+        cstp=None if args.no_cstp else CSTPConfig(),
+        switch=SwitchProjectorConfig(
+            input_dim=1280 if args.no_cstp else 5120,
+            llm_hidden_size=llm_cfg.hidden_size),
+        llm=llm_cfg)
+    params, _ = builder.load_pretrained(args.model_base, args.weights, cfg,
+                                        esm_path=args.esm)
+    builder.save_native(args.out, params)
+    print(f"saved native checkpoint -> {args.out}")
+
+
+def cmd_bench(args) -> None:
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="opus-pllm-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("annotate", help="batch annotation eval on a test set")
+    _model_args(a); _gen_args(a)
+    a.add_argument("--test-json", required=True)
+    a.add_argument("--save-path", default=None)
+    a.set_defaults(fn=cmd_annotate)
+
+    m = sub.add_parser("mcq", help="multiple-choice eval")
+    _model_args(m); _gen_args(m)
+    m.add_argument("--test-json", required=True)
+    m.add_argument("--save-path", default=None)
+    m.set_defaults(fn=cmd_mcq)
+
+    c = sub.add_parser("chat", help="interactive annotation REPL")
+    _model_args(c); _gen_args(c)
+    c.set_defaults(fn=cmd_chat)
+
+    tc = sub.add_parser("train-cstp", help="stage (a): contrastive adapter")
+    tc.add_argument("--vec-pickle", required=True)
+    tc.add_argument("--out", required=True)
+    tc.add_argument("--lr", type=float, default=0.05)
+    tc.add_argument("--wd", type=float, default=1e-4)
+    tc.add_argument("--batch-size", type=int, default=128)
+    tc.add_argument("--epochs", type=int, default=1)
+    tc.add_argument("--seed", type=int, default=0)
+    tc.set_defaults(fn=cmd_train_cstp)
+
+    for name, is_lora in (("train-projector", False), ("train-lora", True)):
+        t = sub.add_parser(name)
+        _model_args(t)
+        t.add_argument("--train-json", required=True)
+        t.add_argument("--out", required=True)
+        t.add_argument("--lr", type=float, default=2e-5 if is_lora else 1e-3)
+        t.add_argument("--wd", type=float, default=0.0)
+        t.add_argument("--batch-size", type=int, default=16)
+        t.add_argument("--epochs", type=int, default=1)
+        t.add_argument("--seed", type=int, default=0)
+        t.add_argument("--max-len", type=int, default=512)
+        t.add_argument("--lora-rank", type=int, default=16)
+        t.add_argument("--train-switch", action="store_true")
+        t.set_defaults(fn=lambda a, _l=is_lora: _train_multimodal(a, lora=_l))
+
+    pc = sub.add_parser("precompute-embeddings")
+    pc.add_argument("--json", required=True)
+    pc.add_argument("--out", required=True)
+    pc.add_argument("--mode", choices=("jsonl", "map"), default="jsonl")
+    pc.add_argument("--esm", default=None)
+    pc.add_argument("--batch-size", type=int, default=16)
+    pc.set_defaults(fn=cmd_precompute)
+
+    cv = sub.add_parser("convert-weights")
+    _model_args(cv)
+    cv.add_argument("--out", required=True)
+    cv.set_defaults(fn=cmd_convert)
+
+    b = sub.add_parser("bench")
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Model assembly: load a full Opus model from checkpoint directories.
+
+The `load_pretrained_model` counterpart (multi_modality_v1/model/builder.py:
+19-131), honoring the reference's checkpoint-directory contract:
+
+    <weights>/modality_encoder/modality_encoding_adapter.ckpt   (Lightning
+        CSTP; may also carry fine-tuned ESM2 under `protein_model.model.*`)
+    <weights>/modality_refinement_projector/
+        modality_refinement_projection.bin                      (switch MLP)
+    <weights>/lora_adapter/                                     (PEFT LoRA)
+
+plus a HF model dir for the base LLM (family picked by path substring
+'llama'/'opt'/'galactica'/'qwen', builder.py:59-96) and a fair-esm or
+HF-ESM checkpoint for the encoder. LoRA merges into the base weights like
+PEFT merge_and_unload (builder.py:105-111). Everything lands as bf16 JAX
+arrays (the TPU replacement for fp16/NF4 CUDA quantization; int8 is a
+kernels/ concern). Also loads our native Orbax format when present.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import replace
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import checkpoint as ckpt
+from . import convert
+from .config import (CSTPConfig, DecoderConfig, ESM2Config, LoRAConfig,
+                     OpusConfig, SwitchProjectorConfig)
+
+CSTP_CKPT = "modality_encoder/modality_encoding_adapter.ckpt"
+SWITCH_BIN = ("modality_refinement_projector/"
+              "modality_refinement_projection.bin")
+LORA_DIR = "lora_adapter"
+ESM_OVERLAY_PREFIX = "protein_model.model."
+
+
+def family_from_path(model_base: str) -> str:
+    b = model_base.lower()
+    if "llama" in b:
+        return "llama"
+    if "opt" in b or "galactica" in b:
+        return "opt"
+    if "qwen" in b:
+        return "qwen2"
+    raise NotImplementedError(f"unknown LLM family in path: {model_base}")
+
+
+def decoder_config_for(model_base: str) -> DecoderConfig:
+    """DecoderConfig from the HF config.json in `model_base`."""
+    import json
+
+    fam = family_from_path(model_base)
+    cfg_path = os.path.join(model_base, "config.json")
+    if not os.path.exists(cfg_path):
+        return {"llama": DecoderConfig.llama3_8b,
+                "qwen2": DecoderConfig.qwen25_7b,
+                "opt": DecoderConfig.galactica_6_7b}[fam]()
+    with open(cfg_path) as f:
+        hf = json.load(f)
+    if fam == "opt":
+        return DecoderConfig(
+            family="opt", vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            intermediate_size=hf["ffn_dim"],
+            num_layers=hf["num_hidden_layers"],
+            num_heads=hf["num_attention_heads"],
+            num_kv_heads=hf["num_attention_heads"],
+            head_dim=hf["hidden_size"] // hf["num_attention_heads"],
+            max_position_embeddings=hf["max_position_embeddings"],
+            do_layer_norm_before=hf.get("do_layer_norm_before", True),
+            activation={"relu": "relu", "gelu": "gelu"}.get(
+                hf.get("activation_function", "relu"), "relu"),
+            tie_word_embeddings=hf.get("tie_word_embeddings", True))
+    nh = hf["num_attention_heads"]
+    return DecoderConfig(
+        family=fam, vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"], num_heads=nh,
+        num_kv_heads=hf.get("num_key_value_heads", nh),
+        head_dim=hf.get("head_dim", hf["hidden_size"] // nh),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        max_position_embeddings=hf.get("max_position_embeddings", 8192),
+        attention_bias=(fam == "qwen2"),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False))
+
+
+def load_esm(esm_path: Optional[str], cfg: ESM2Config,
+             overlay_sd: Optional[Dict] = None, dtype=jnp.bfloat16):
+    """ESM2 weights from a fair-esm .pt, a HF-ESM dir, or random init;
+    `overlay_sd` (fair-esm dialect) overrides — the CSTP-finetuned encoder
+    carried inside the Lightning ckpt (cstp_v3/modelling.py:25-30)."""
+    if overlay_sd:
+        return convert.esm2_from_fair_esm(overlay_sd, cfg, dtype)
+    if esm_path is None:
+        from ..models import esm2
+        return esm2.init(jax.random.PRNGKey(0), cfg)
+    if os.path.isdir(esm_path):
+        return convert.esm2_from_hf(convert.load_hf_dir(esm_path), cfg, dtype)
+    sd = convert.load_torch_file(esm_path)
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]   # fair-esm checkpoints nest under 'model'
+    sd = {k.removeprefix("encoder.sentence_encoder.").removeprefix("encoder.")
+          : v for k, v in sd.items()}
+    return convert.esm2_from_fair_esm(sd, cfg, dtype)
+
+
+def load_pretrained(model_base: Optional[str], weights_dir: Optional[str],
+                    cfg: OpusConfig, *, esm_path: Optional[str] = None,
+                    lora_cfg: Optional[LoRAConfig] = None,
+                    merge_lora: bool = True,
+                    dtype=jnp.bfloat16) -> Tuple[dict, Optional[dict]]:
+    """Assemble the full params tree -> (params, unmerged_lora_or_None).
+
+    model_base: HF dir of the base LLM (None -> random init for tests).
+    weights_dir: reference-contract adapter dir (None -> raw pipeline:
+        no LoRA, no switch ckpt, identity-ish projector — builder.py:117-118).
+    """
+    params: Dict[str, Any] = {}
+
+    # --- CSTP adapter (+ optional fine-tuned ESM overlay) ------------------
+    overlay = None
+    cstp_file = weights_dir and os.path.join(weights_dir, CSTP_CKPT)
+    if cstp_file and os.path.exists(cstp_file):
+        full = convert.load_torch_file(cstp_file)
+        if cfg.cstp is not None:
+            params["cstp"] = convert.cstp_from_lightning(full, cfg.cstp)
+        ov = convert.filter_prefix(full, ESM_OVERLAY_PREFIX)
+        overlay = ov or None
+    elif cfg.cstp is not None:
+        from ..bridge import cstp as cstp_mod
+        params["cstp"] = cstp_mod.init(jax.random.PRNGKey(1), cfg.cstp)
+
+    # --- ESM encoder -------------------------------------------------------
+    params["esm"] = load_esm(esm_path, cfg.esm, overlay, dtype)
+
+    # --- switch projector --------------------------------------------------
+    switch_file = weights_dir and os.path.join(weights_dir, SWITCH_BIN)
+    if switch_file and os.path.exists(switch_file):
+        sd = convert.load_torch_file(switch_file)
+        params["switch"] = convert.switch_projector_from_torch(sd, cfg.switch)
+    else:
+        from ..bridge import projector
+        params["switch"] = projector.init(jax.random.PRNGKey(2), cfg.switch)
+
+    # --- base LLM ----------------------------------------------------------
+    if model_base and os.path.isdir(model_base):
+        sd = convert.load_hf_dir(model_base)
+        params["llm"] = convert.decoder_from_hf(sd, cfg.llm, dtype)
+    else:
+        from ..models import decoder
+        params["llm"] = decoder.init(jax.random.PRNGKey(3), cfg.llm)
+
+    # --- LoRA --------------------------------------------------------------
+    unmerged = None
+    lora_dir = weights_dir and os.path.join(weights_dir, LORA_DIR)
+    if lora_dir and os.path.isdir(lora_dir):
+        files = [f for f in os.listdir(lora_dir)
+                 if f.endswith((".bin", ".safetensors"))]
+        sd: Dict[str, Any] = {}
+        for f in files:
+            p = os.path.join(lora_dir, f)
+            if f.endswith(".safetensors"):
+                from safetensors.numpy import load_file
+                sd.update(load_file(p))
+            else:
+                sd.update(convert.load_torch_file(p))
+        tree = convert.lora_from_peft(sd)
+        scale = _peft_scaling(lora_dir, lora_cfg)
+        if merge_lora:
+            params["llm"] = convert.merge_lora_into_decoder(
+                params["llm"], tree, scale)
+        else:
+            unmerged = tree
+    return params, unmerged
+
+
+def _peft_scaling(lora_dir: str, lora_cfg: Optional[LoRAConfig]) -> float:
+    import json
+
+    cfg_file = os.path.join(lora_dir, "adapter_config.json")
+    if os.path.exists(cfg_file):
+        with open(cfg_file) as f:
+            c = json.load(f)
+        return c.get("lora_alpha", 32) / c.get("r", 16)
+    if lora_cfg is not None:
+        return lora_cfg.alpha / lora_cfg.rank
+    return 2.0
+
+
+def save_native(path: str, params: dict) -> None:
+    """Save the assembled model in the native Orbax layout."""
+    ckpt.save_pytree(path, params)
+
+
+def load_native(path: str, like: Optional[dict] = None) -> dict:
+    return ckpt.restore_pytree(path, like)
+
+
+def context_len_for(model_base: Optional[str]) -> int:
+    """max_sequence_length from config else 512 (builder.py:126-129)."""
+    import json
+
+    if model_base:
+        p = os.path.join(model_base, "config.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                hf = json.load(f)
+            if "max_sequence_length" in hf:
+                return int(hf["max_sequence_length"])
+    return 512

@@ -1,0 +1,1 @@
+from . import collate, datasets, precompute  # noqa: F401

@@ -1,0 +1,76 @@
+"""Offline ESM-embedding precompute (scripts #26 equivalents).
+
+Counterparts of multi_modality_model/scripts/generate_esm_embedding.py
+(instruction JSON -> jsonl with an `input_embed` per item, memoized by
+sequence, skipping > 4000 aa) and generate_esm_for_each_seq.py (dedup
+seq -> embedding JSON map). TPU-first: sequences are length-bucketed and
+batched so the 33-layer encoder runs full MXU tiles instead of the
+reference's one-sequence-at-a-time loop.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import ESM2Config
+from ..models import esm2
+
+MAX_PRECOMPUTE_LEN = 4000
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def embed_sequences(params, cfg: ESM2Config, seqs: Iterable[str], *,
+                    batch_size: int = 16, len_bucket: int = 128,
+                    max_len: int = MAX_PRECOMPUTE_LEN,
+                    impl: str = "auto") -> Dict[str, np.ndarray]:
+    """Dedup + length-bucket + batch-encode -> {sequence: (E,) fp32}."""
+    uniq = [s for s in dict.fromkeys(seqs) if len(s) <= max_len]
+    uniq.sort(key=len)
+    fn = jax.jit(lambda p, t: esm2.pooled_embedding(p, cfg, t, impl=impl),
+                 static_argnames=())
+    out: Dict[str, np.ndarray] = {}
+    for s in range(0, len(uniq), batch_size):
+        chunk = uniq[s:s + batch_size]
+        pad_to = _round_up(max(len(c) for c in chunk) + 2, len_bucket)
+        toks, _ = esm2.tokenize(chunk, max_len=pad_to)
+        emb = np.asarray(fn(params, jnp.asarray(toks)))
+        for seq, e in zip(chunk, emb):
+            out[seq] = e
+    return out
+
+
+def precompute_instruction_embeddings(params, cfg: ESM2Config,
+                                      json_path: str, out_jsonl: str,
+                                      **kw) -> int:
+    """instruction JSON -> jsonl lines with `input_embed` per item."""
+    with open(json_path) as f:
+        items = [d for d in json.load(f) if d.get("input")]
+    table = embed_sequences(params, cfg, (d["input"] for d in items), **kw)
+    n = 0
+    with open(out_jsonl, "w") as f:
+        for d in items:
+            emb = table.get(d["input"])
+            if emb is None:      # > max_len aa, skipped like the reference
+                continue
+            f.write(json.dumps({**d, "input_embed": emb.tolist()}) + "\n")
+            n += 1
+    return n
+
+
+def precompute_sequence_map(params, cfg: ESM2Config, json_path: str,
+                            out_json: str, **kw) -> int:
+    """instruction JSON -> {sequence: embedding} dedup map."""
+    with open(json_path) as f:
+        items = [d for d in json.load(f) if d.get("input")]
+    table = embed_sequences(params, cfg, (d["input"] for d in items), **kw)
+    with open(out_json, "w") as f:
+        json.dump({k: v.tolist() for k, v in table.items()}, f)
+    return len(table)

@@ -44,13 +44,14 @@ def pad_batch(seqs: Sequence[Sequence[int]], pad_id: int, *, left: bool,
               max_len: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
     """Pad a ragged int batch -> (ids (B, L), mask (B, L)).
 
-    left=True reproduces left_pad_sequence (run_opus_ddp.py:30-44); truncation
-    keeps the TAIL for left-pad (prompt end matters for generation) and the
-    HEAD for right-pad (training truncates at model_max_length,
-    opus_arch.py:234-237).
+    left=True reproduces left_pad_sequence (run_opus_ddp.py:30-44); when
+    `max_len` is given the batch pads (or truncates) to exactly that length
+    — callers use it for static-shape bucketing. Truncation keeps the TAIL
+    for left-pad (prompt end matters for generation) and the HEAD for
+    right-pad (training truncates at model_max_length, opus_arch.py:234-237).
     """
     longest = max((len(s) for s in seqs), default=0)
-    pad_to = min(longest, max_len) if max_len else longest
+    pad_to = max_len if max_len else longest
     pad_to = max(pad_to, 1)
     ids = np.full((len(seqs), pad_to), pad_id, dtype=np.int32)
     mask = np.zeros((len(seqs), pad_to), dtype=bool)
