@@ -194,6 +194,8 @@ def forward(params, cfg: DecoderConfig, input_embeds, positions, mask4,
     if cfg.tie_word_embeddings or "lm_head" not in params:
         logits = jnp.dot(x, params["embed_tokens"]["embedding"].T,
                          preferred_element_type=jnp.float32)
+    elif "kernel_q" in params["lm_head"]:
+        logits = dense(params["lm_head"], x).astype(jnp.float32)
     else:
         logits = jnp.dot(x, params["lm_head"]["kernel"],
                          preferred_element_type=jnp.float32)

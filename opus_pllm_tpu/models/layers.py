@@ -46,6 +46,9 @@ def embed_init(key, vocab: int, dim: int, dtype=jnp.float32, std: float = 0.02):
 # ---------------------------------------------------------------------------
 
 def dense(params, x):
+    if "kernel_q" in params:   # int8 weight-only quantized linear
+        from ..kernels.quant import qdense
+        return qdense(params, x)
     # fp32 activations get true-fp32 matmuls (JAX's "default" precision may
     # run fp32 dots at ~bf16 precision); bf16 stays on the fast MXU path.
     prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None

@@ -1,0 +1,82 @@
+"""Int8 weight-only quantization: numerics, kernel parity, decoder e2e."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opus_pllm_tpu.kernels import quant
+from opus_pllm_tpu.models import decoder
+from opus_pllm_tpu.models.layers import causal_mask
+from opus_pllm_tpu.core.config import DecoderConfig
+
+
+def test_quantize_roundtrip_error_bounded():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    q, s = quant.quantize_per_channel(w)
+    assert q.dtype == jnp.int8 and s.shape == (32,)
+    back = quant.dequantize(q, s)
+    # max error per channel bounded by scale/2
+    err = np.abs(np.asarray(back - w))
+    assert (err <= np.asarray(s)[None, :] * 0.51).all()
+
+
+def test_int8_matmul_xla_close_to_float():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    q, s = quant.quantize_per_channel(w)
+    y_q = quant.int8_matmul(x, q, s, impl="xla")
+    y_f = x @ w
+    rel = np.abs(np.asarray(y_q - y_f)) / (np.abs(np.asarray(y_f)) + 1.0)
+    assert rel.mean() < 0.02
+
+
+def test_pallas_kernel_matches_xla_interpret():
+    """Pallas path in interpreter mode == XLA reference."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(2)
+    m, k, n = 16, 256, 128
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32))
+    q, s = quant.quantize_per_channel(w)
+
+    bm, bn, bk = m, n, 128
+    grid = (1, 1, k // bk)
+    out = pl.pallas_call(
+        functools.partial(quant._kernel, n_k=grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=True,
+    )(x, q, s.reshape(1, n))
+    ref = quant.int8_matmul(x, q, s, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_decoder_forward_close():
+    cfg = DecoderConfig.tiny()
+    params = decoder.init(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_decoder(params)
+    assert "kernel_q" in qparams["layers"][0]["q_proj"]
+    emb = jax.random.normal(jax.random.PRNGKey(1), (2, 6, cfg.hidden_size)) * 0.1
+    mask = jnp.ones((2, 6), bool)
+    pos = jnp.broadcast_to(jnp.arange(6), (2, 6))
+    m4 = causal_mask(mask)
+    full, _ = decoder.forward(params, cfg, emb, pos, m4)
+    quanted, _ = decoder.forward(qparams, cfg, emb, pos, m4)
+    pf = jax.nn.softmax(np.asarray(full), axis=-1)
+    pq = jax.nn.softmax(np.asarray(quanted), axis=-1)
+    # distributions stay close under weight-only int8
+    assert np.abs(pf - pq).max() < 0.05
