@@ -1,0 +1,66 @@
+"""Native C++ tokenizer/padding: exact parity with the Python paths."""
+
+import numpy as np
+import pytest
+
+from opus_pllm_tpu import native
+from opus_pllm_tpu.infer.tokenization import pad_batch
+from opus_pllm_tpu.models import esm2
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib unavailable (no g++)")
+
+
+def _python_tokenize(seqs, max_len=None):
+    enc = [[esm2.TOKEN_TO_ID["<cls>"]]
+           + [esm2.TOKEN_TO_ID.get(c, esm2.TOKEN_TO_ID["<unk>"])
+              for c in s.upper()]
+           + [esm2.TOKEN_TO_ID["<eos>"]] for s in seqs]
+    longest = max(len(e) for e in enc)
+    pad_to = max_len if max_len is not None else longest
+    toks = np.full((len(enc), pad_to), esm2.TOKEN_TO_ID["<pad>"], np.int32)
+    for i, e in enumerate(enc):
+        e = e[:pad_to]
+        toks[i, :len(e)] = e
+    return toks, (toks != esm2.TOKEN_TO_ID["<pad>"]).sum(-1).astype(np.int32)
+
+
+SEQS = ["MKTAYIAKQR", "acdef", "X.Z-BUO", "A", "Q" * 50]
+
+
+@pytest.mark.parametrize("max_len", [None, 8, 20, 64])
+def test_tokenize_parity(max_len):
+    nt, nl = native.esm_tokenize_batch(SEQS, max_len)
+    pt, plens = _python_tokenize(SEQS, max_len)
+    np.testing.assert_array_equal(nt, pt)
+    np.testing.assert_array_equal(nl, plens)
+
+
+def test_esm2_tokenize_uses_native():
+    t1, l1 = esm2.tokenize(SEQS)
+    t2, l2 = _python_tokenize(SEQS)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(l1, l2)
+
+
+@pytest.mark.parametrize("left", [True, False])
+@pytest.mark.parametrize("pad_to", [3, 5, 10])
+def test_pad_parity(left, pad_to):
+    seqs = [[1, 2, 3], [4], [5, 6, 7, 8, 9, 10]]
+    ni, nm = native.pad_id_batch(seqs, 0, left=left, pad_to=pad_to)
+    pi, pm = pad_batch(seqs, 0, left=left, max_len=pad_to)
+    np.testing.assert_array_equal(ni, pi)
+    np.testing.assert_array_equal(nm, pm)
+
+
+def test_native_is_faster_on_bulk():
+    import time
+
+    seqs = ["ACDEFGHIKLMNPQRSTVWY" * 20] * 500
+    t0 = time.perf_counter()
+    native.esm_tokenize_batch(seqs, 512)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _python_tokenize(seqs, 512)
+    t_python = time.perf_counter() - t0
+    assert t_native < t_python
