@@ -37,14 +37,18 @@ def main() -> None:
     toks[:, -1] = cfg.eos_idx
     toks = jnp.asarray(toks)
 
-    fn = jax.jit(lambda p, t: esm2.pooled_embedding(p, cfg, t))
-    fn(params, toks).block_until_ready()        # compile
-
+    # Chain each iteration through the previous result and fetch to host:
+    # remote/async backends can otherwise overlap "independent" calls and
+    # make block_until_ready() under-report wall time.
     iters = 10 if on_tpu else 3
+    fn = jax.jit(lambda p, t: esm2.pooled_embedding(p, cfg, t))
+    acc = fn(params, toks)
+    np.asarray(acc)                              # compile + sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(params, toks)
-    out.block_until_ready()
+        # feed the previous result back in so iterations serialize
+        acc = fn(params, toks + (acc[0, 0] * 0).astype(jnp.int32))
+    np.asarray(acc)                              # host fetch = full sync
     dt = time.perf_counter() - t0
 
     seqs_per_sec = batch * iters / dt

@@ -82,6 +82,53 @@ def evidential_ce(logits, targets, *, global_step: int = 100,
     return jnp.mean(a_term + b_term)
 
 
+def evidential_likelihood(logits, targets, *, global_step: int = 100,
+                          w: Optional[float] = None,
+                          num_classes: Optional[int] = None,
+                          annealing_steps: int = 500, kl_threshold: int = 30,
+                          kl_coefficient: float = 1.0):
+    """Dirichlet likelihood variant (evidence_loss.likelihood_loss:69-86):
+    CE term log(S) - log(alpha_k) instead of the digamma pair."""
+    x = logits.astype(jnp.float32)
+    c = num_classes if num_classes is not None else x.shape[-1]
+    w = float(w if w is not None else c)
+    alpha = jax.nn.elu(x) + 1.0 + w / c
+    s = jnp.sum(alpha, axis=-1, keepdims=True)
+    label = jax.nn.one_hot(targets, x.shape[-1], dtype=jnp.float32)
+    a_term = jnp.sum(label * (jnp.log(s) - jnp.log(alpha)),
+                     axis=-1, keepdims=True)
+    coef = (min(kl_coefficient, (global_step - kl_threshold + 1) / annealing_steps)
+            if global_step >= kl_threshold else 0.0)
+    alp = (alpha - 1.0) * (1.0 - label) + 1.0
+    return jnp.mean(a_term + coef * dirichlet_kl(alp))
+
+
+def evidential_mse(logits, targets, *, global_step: int = 100,
+                   w: Optional[float] = None,
+                   num_classes: Optional[int] = None,
+                   annealing_steps: int = 500, kl_threshold: int = 30,
+                   kl_coefficient: float = 1.0):
+    """Dirichlet MSE variant (evidence_loss.mse_loss:89-107): squared error
+    to the expected class probability alpha/S plus the Dirichlet variance."""
+    x = logits.astype(jnp.float32)
+    c = num_classes if num_classes is not None else x.shape[-1]
+    w = float(w if w is not None else c)
+    alpha = jax.nn.elu(x) + 1.0 + w / c
+    s = jnp.sum(alpha, axis=-1, keepdims=True)
+    label = jax.nn.one_hot(targets, x.shape[-1], dtype=jnp.float32)
+    err = jnp.sum(jnp.square(label - alpha / s), axis=-1, keepdims=True)
+    var = jnp.sum(alpha * (s - alpha) / (s * s * (s + 1.0)),
+                  axis=-1, keepdims=True)
+    coef = (min(kl_coefficient, (global_step - kl_threshold + 1) / annealing_steps)
+            if global_step >= kl_threshold else 0.0)
+    alp = (alpha - 1.0) * (1.0 - label) + 1.0
+    return jnp.mean(err + var + coef * dirichlet_kl(alp))
+
+
+EVIDENTIAL_LOSSES = {"ce": evidential_ce, "likelihood": evidential_likelihood,
+                     "mse": evidential_mse}
+
+
 def trust_evidence(p2t_logits, t2p_logits, targets,
                    cfg: Optional[CSTPConfig] = None):
     """Symmetric evidential loss at T=0.0007 (modelling.py:311-332)."""

@@ -29,6 +29,18 @@ class GenerateOutput(NamedTuple):
     lengths: jnp.ndarray   # (B,) tokens generated incl. EOS
 
 
+def make_stop_sequences(token_lists) -> Optional[tuple]:
+    """Stop-token suffixes -> hashable static arg for generate.
+
+    TPU-native KeywordsStoppingCriteria (mm_utils.py:43-75): instead of
+    decoding to text each step, a rolling window of the last K generated
+    ids is compared against each stop suffix inside the jitted loop.
+    """
+    if not token_lists:
+        return None
+    return tuple(tuple(int(t) for t in seq) for seq in token_lists if seq)
+
+
 def sample_token(logits, key, temperature: float, top_p: float):
     """Temperature + nucleus sampling over (B, V) fp32 logits.
 
@@ -52,13 +64,21 @@ def sample_token(logits, key, temperature: float, top_p: float):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
-                     "eos_token_id", "pad_token_id", "impl"))
+                     "eos_token_id", "pad_token_id", "impl",
+                     "stop_sequences"))
 def generate(params, cfg: DecoderConfig, input_embeds, attn_mask, positions,
              rng, *, max_new_tokens: int, temperature: float = 0.1,
              top_p: float = 0.7, eos_token_id: int = -1, pad_token_id: int = 0,
+             stop_sequences: Optional[tuple] = None,
              impl: str = "auto") -> GenerateOutput:
-    """input_embeds (B, L, H) LEFT-padded; attn_mask/positions (B, L)."""
+    """input_embeds (B, L, H) LEFT-padded; attn_mask/positions (B, L).
+
+    stop_sequences: tuple of token-id tuples (make_stop_sequences); a row
+    finishes when its generated tail matches any suffix (or hits EOS).
+    """
     b, l, h = input_embeds.shape
+    tail_len = max((len(s) for s in stop_sequences), default=0) \
+        if stop_sequences else 0
     cap = l + max_new_tokens
     cache = decoder.init_cache(cfg, b, cap, dtype=cfg.jnp_dtype)
     cache["mask"] = cache["mask"].at[:, :l].set(attn_mask)
@@ -79,12 +99,20 @@ def generate(params, cfg: DecoderConfig, input_embeds, attn_mask, positions,
         return (step < max_new_tokens) & ~jnp.all(done)
 
     def body(state):
-        step, done, cur_logits, cache, key, out = state
+        step, done, cur_logits, cache, key, out, tail = state
         key, sub = jax.random.split(key)
         nxt = sample_token(cur_logits, sub, temperature, top_p)
         nxt = jnp.where(done, pad_token_id, nxt)
         out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, step))
         new_done = done | (nxt == eos_token_id)
+        if tail_len > 0:
+            tail = jnp.concatenate([tail[:, 1:], nxt[:, None]], axis=1)
+            for seq in stop_sequences:
+                sl = len(seq)
+                hit = jnp.all(
+                    tail[:, tail_len - sl:] == jnp.asarray(seq, jnp.int32),
+                    axis=1) & (step + 1 >= sl)
+                new_done = new_done | hit
 
         emb = decoder.embed_tokens(params, nxt)[:, None].astype(cfg.jnp_dtype)
         pos = (last_pos + 1 + step)[:, None]
@@ -94,11 +122,14 @@ def generate(params, cfg: DecoderConfig, input_embeds, attn_mask, positions,
         step_mask4 = cache["mask"][:, None, None, :]
         lg, cache = decoder.forward(params, cfg, emb, pos, step_mask4, cache,
                                     impl=impl)
-        return (step + 1, new_done, lg[:, 0].astype(jnp.float32), cache, key, out)
+        return (step + 1, new_done, lg[:, 0].astype(jnp.float32), cache, key,
+                out, tail)
 
     out0 = jnp.full((b, max_new_tokens), pad_token_id, jnp.int32)
-    state = (jnp.int32(0), jnp.zeros((b,), bool), last_logits, cache, rng, out0)
-    step, done, _, _, _, out = jax.lax.while_loop(cond, body, state)
+    tail0 = jnp.full((b, max(tail_len, 1)), -1, jnp.int32)
+    state = (jnp.int32(0), jnp.zeros((b,), bool), last_logits, cache, rng,
+             out0, tail0)
+    step, done, _, _, _, out, _ = jax.lax.while_loop(cond, body, state)
 
     lengths = jnp.sum((out != pad_token_id).astype(jnp.int32), axis=-1)
     return GenerateOutput(out, lengths)
