@@ -105,13 +105,10 @@ def cmd_mcq(args) -> None:
 
 
 def cmd_chat(args) -> None:
-    """Interactive REPL (≙ run_opus_online.py): instruction + validated
-    protein sequence -> annotation."""
-    import jax
-
+    """Interactive REPL: professor-style annotation (≙ run_opus_online.py)
+    or, with --chat-template, the chat-template flow (≙ eval_run_online.py)."""
     from ..core.config import GenerationConfig
     from ..evals import runner as runner_mod
-    from ..evals.datasets import AnnotationExample
 
     cfg, params, tok = _build(args)
     gen = GenerationConfig(
@@ -132,8 +129,14 @@ def cmd_chat(args) -> None:
             print(f"invalid amino acids: {''.join(sorted(bad))} "
                   f"(allowed: {''.join(sorted(STANDARD_AA))})")
             continue
-        from ..infer.conversation import VICUNA_V0, annotation_prompt
-        prompt = annotation_prompt("<seq>\n" + instr, VICUNA_V0)
+        from ..infer.conversation import VICUNA_V0, VICUNA_V3, annotation_prompt
+        if getattr(args, "chat_template", False):
+            prompt = tok.apply_chat_template(
+                [{"role": "system", "content": VICUNA_V3.system},
+                 {"role": "user", "content": "<seq>\n" + instr}],
+                add_generation_prompt=True)
+        else:
+            prompt = annotation_prompt("<seq>\n" + instr, VICUNA_V0)
         texts = runner_mod._generate_batch(
             params, cfg, tok, [prompt], [seq], gen,
             prompt_bucket=64, esm_bucket=128, impl="auto")
@@ -260,6 +263,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("chat", help="interactive annotation REPL")
     _model_args(c); _gen_args(c)
+    c.add_argument("--chat-template", action="store_true",
+                   help="chat-template prompting (Evol models)")
     c.set_defaults(fn=cmd_chat)
 
     tc = sub.add_parser("train-cstp", help="stage (a): contrastive adapter")

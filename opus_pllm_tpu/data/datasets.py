@@ -193,6 +193,21 @@ class InstructionDataset:
         return out
 
 
+def length_histogram(sequences, bins=(0, 250, 500, 1000, 1500, 2000, 2500,
+                                       3000, 4000, 10**9)) -> Dict[str, int]:
+    """Sequence-length histogram (≙ show_data, my_datasets.py:326-345 —
+    counts instead of a matplotlib figure)."""
+    counts = {f"[{bins[i]}, {bins[i+1]})": 0 for i in range(len(bins) - 1)}
+    keys = list(counts)
+    for s in sequences:
+        n = len(s)
+        for i in range(len(bins) - 1):
+            if bins[i] <= n < bins[i + 1]:
+                counts[keys[i]] += 1
+                break
+    return counts
+
+
 def batch_iterator(n: int, batch_size: int, *, shuffle: bool = True,
                    drop_remainder: bool = True, seed: int = 0,
                    epochs: int = 1) -> Iterator[np.ndarray]:

@@ -14,8 +14,21 @@ Keeps the presets and prompt-assembly semantics the eval runners rely on:
 from __future__ import annotations
 
 import dataclasses
+import enum
 from dataclasses import dataclass, field
-from typing import Dict, List
+from typing import Dict, List, Optional
+
+
+class SeparatorStyle(enum.Enum):
+    """Prompt-assembly styles (conversation.py:7-15). LLAMA_3 / Qwen_2 use
+    the chat-template path instead (NotImplemented in the reference too)."""
+
+    SINGLE = enum.auto()
+    TWO = enum.auto()
+    MPT = enum.auto()
+    PLAIN = enum.auto()
+    LLAMA_2 = enum.auto()
+    CHATML = enum.auto()
 
 
 @dataclass
@@ -24,6 +37,8 @@ class Conversation:
     roles: List[str]
     messages: List[Dict[str, str]] = field(default_factory=list)
     sep: str = "###"
+    sep2: Optional[str] = None
+    sep_style: SeparatorStyle = SeparatorStyle.SINGLE
 
     def copy(self) -> "Conversation":
         return dataclasses.replace(self, messages=[dict(m) for m in self.messages])
@@ -32,14 +47,55 @@ class Conversation:
         self.messages.append({"role": role, "content": content})
 
     def get_prompt(self) -> str:
-        """SINGLE-separator assembly (conversation.py:37-44)."""
-        ret = self.system + self.sep
-        for m in self.messages:
-            if m["content"]:
-                ret += m["role"] + ": " + m["content"] + self.sep
-            else:
-                ret += m["role"] + ":"
-        return ret
+        """Manual prompt assembly per sep_style (conversation.py:32-103)."""
+        style = self.sep_style
+        if style == SeparatorStyle.SINGLE:
+            ret = self.system + self.sep
+            for m in self.messages:
+                if m["content"]:
+                    ret += m["role"] + ": " + m["content"] + self.sep
+                else:
+                    ret += m["role"] + ":"
+            return ret
+        if style == SeparatorStyle.TWO:
+            seps = [self.sep, self.sep2 or self.sep]
+            ret = self.system + seps[0]
+            for i, m in enumerate(self.messages):
+                if m["content"]:
+                    ret += m["role"] + ": " + m["content"] + seps[i % 2]
+                else:
+                    ret += m["role"] + ":"
+            return ret
+        if style == SeparatorStyle.MPT:
+            ret = self.system + self.sep
+            for m in self.messages:
+                ret += m["role"] + (m["content"] + self.sep
+                                    if m["content"] else "")
+            return ret
+        if style == SeparatorStyle.PLAIN:
+            seps = [self.sep, self.sep2 or self.sep]
+            ret = self.system
+            for i, m in enumerate(self.messages):
+                if m["content"]:
+                    ret += m["content"] + seps[i % 2]
+            return ret
+        if style == SeparatorStyle.LLAMA_2:
+            wrap_sys = (lambda s: f"<<SYS>>\n{s}\n<</SYS>>\n\n" if s else s)
+            ret = ""
+            for i, m in enumerate(self.messages):
+                content = m["content"]
+                if not content:
+                    continue
+                if i == 0:
+                    content = wrap_sys(self.system) + content
+                if i % 2 == 0:
+                    ret += self.sep + f"[INST] {content} [/INST]"
+                else:
+                    ret += " " + content + " " + (self.sep2 or "</s>")
+            return ret.lstrip(self.sep)
+        if style == SeparatorStyle.CHATML:
+            return self.get_prompt_chatml(add_generation_prompt=False)
+        raise ValueError(f"invalid style: {style}")
 
     def get_prompt_chatml(self, add_generation_prompt: bool = True) -> str:
         parts = [f"<|im_start|>system\n{self.system}<|im_end|>\n"] if self.system else []

@@ -33,7 +33,7 @@ def supports(q, k, mask) -> bool:
     """Shapes the kernel handles; callers fall back to XLA otherwise."""
     b, sq, hq, d = q.shape
     skv = k.shape[1]
-    if d % 128 != 0:
+    if d % 128 != 0 and d != 64:   # d=64 (ESM2) pads to 128 in the wrapper
         return False
     bq = min(DEFAULT_BLOCK_Q, sq)
     bk = min(DEFAULT_BLOCK_K, skv)
@@ -102,12 +102,19 @@ def flash_attention(q, k, v, mask=None, *, causal: bool = False,
 
     Returns (B, Sq, Hq, D) in q.dtype. Softmax statistics in fp32.
     """
-    b, sq, hq, d = q.shape
+    b, sq, hq, d_orig = q.shape
     skv, hkv = k.shape[1], k.shape[2]
     groups = hq // hkv
     bq = min(block_q, sq)
     bk = min(block_k, skv)
-    scale = 1.0 / math.sqrt(d)
+    scale = 1.0 / math.sqrt(d_orig)
+    d = d_orig
+    if d == 64:
+        # pad head dim to the 128-lane tile; zero dims contribute nothing
+        # to the q.k logits and the extra output columns slice off below
+        pad = [(0, 0)] * 3 + [(0, 64)]
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+        d = 128
 
     # (B, H, S, D) layout so blocks are (S, D) tiles per head
     qt = q.transpose(0, 2, 1, 3)
@@ -155,4 +162,5 @@ def flash_attention(q, k, v, mask=None, *, causal: bool = False,
             transcendentals=b * hq * sq * skv,
         ),
     )(*args)
-    return out.transpose(0, 2, 1, 3)
+    out = out.transpose(0, 2, 1, 3)
+    return out[..., :d_orig] if d != d_orig else out
