@@ -58,11 +58,18 @@ def collate_instruction_batch(examples: Sequence[dict], tokenizer, *,
     # pad_batch pads with pad_id; re-mark padding labels as IGNORE
     labels = np.where(attn, labels, IGNORE_INDEX).astype(np.int32)
 
-    aa_len = max(len(ex["sequence"]) for ex in examples) + 2
-    esm_toks, _ = esm2.tokenize([ex["sequence"] for ex in examples],
-                                max_len=_round_up(aa_len, esm_bucket))
-    return {"input_ids": input_ids, "attn_mask": attn, "labels": labels,
-            "esm_tokens": esm_toks[:, None, :]}
+    out = {"input_ids": input_ids, "attn_mask": attn, "labels": labels}
+    if all(ex.get("seq_embedding") is not None for ex in examples):
+        # precomputed-embedding path: the ESM tower stays out of the graph
+        out["pooled_emb"] = np.stack(
+            [np.asarray(ex["seq_embedding"], np.float32)
+             for ex in examples])[:, None, :]
+    else:
+        aa_len = max(len(ex["sequence"]) for ex in examples) + 2
+        esm_toks, _ = esm2.tokenize([ex["sequence"] for ex in examples],
+                                    max_len=_round_up(aa_len, esm_bucket))
+        out["esm_tokens"] = esm_toks[:, None, :]
+    return out
 
 
 def instruction_batches(dataset, tokenizer, batch_size: int, *,

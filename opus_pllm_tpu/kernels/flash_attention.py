@@ -20,6 +20,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -101,7 +102,48 @@ def flash_attention(q, k, v, mask=None, *, causal: bool = False,
     """q: (B, Sq, Hq, D); k, v: (B, Skv, Hkv, D); mask: (B, 1, Sq, Skv) bool.
 
     Returns (B, Sq, Hq, D) in q.dtype. Softmax statistics in fp32.
+
+    Differentiable: pallas_call has no autodiff rule, so a custom VJP runs
+    the Pallas kernel forward and recomputes the backward with the XLA
+    reference implementation (flash bwd kernel is a planned optimization —
+    the recompute keeps training on TPU correct today).
     """
+
+    return _flash_core(q, k, v, mask, causal, block_q, block_k)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_core(q, k, v, mask, causal, block_q, block_k):
+    return _flash_impl(q, k, v, mask, causal, block_q, block_k)
+
+
+def _flash_core_fwd(q, k, v, mask, causal, block_q, block_k):
+    out = _flash_impl(q, k, v, mask, causal, block_q, block_k)
+    return out, (q, k, v, mask)
+
+
+def _flash_core_bwd(causal, block_q, block_k, res, g):
+    from ..models.layers import attention_xla
+
+    q, k, v, mask = res
+    m = mask
+    if causal:
+        sq, skv = q.shape[1], k.shape[1]
+        cmask = (jnp.arange(skv)[None, None, None, :]
+                 <= jnp.arange(sq)[None, None, :, None])
+        cmask = jnp.broadcast_to(cmask, (q.shape[0], 1, sq, skv))
+        m = cmask if m is None else (m & cmask)
+    _, vjp = jax.vjp(lambda a, b, c: attention_xla(a, b, c, m), q, k, v)
+    dq, dk, dv = vjp(g)
+    dmask = None if mask is None else \
+        np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dmask
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def _flash_impl(q, k, v, mask, causal: bool, block_q: int, block_k: int):
     b, sq, hq, d_orig = q.shape
     skv, hkv = k.shape[1], k.shape[2]
     groups = hq // hkv

@@ -144,7 +144,7 @@ def embed_tokens(params, ids):
 
 def forward(params, cfg: DecoderConfig, input_embeds, positions, mask4,
             cache=None, *, lora=None, lora_scale: float = 1.0,
-            impl: str = "auto",
+            impl: str = "auto", remat: bool = False,
             return_hidden: bool = False) -> Tuple[jnp.ndarray, Optional[dict]]:
     """Run the decoder stack on already-embedded inputs.
 
@@ -169,11 +169,22 @@ def forward(params, cfg: DecoderConfig, input_embeds, positions, mask4,
 
     new_layers = []
     index = cache["index"] if cache is not None else None
+    block = _block
+    if remat and cache is None:
+        # rematerialize per-layer activations in the backward pass: trades
+        # FLOPs for HBM so stage-(c)/(d) training fits long spliced batches
+        block = jax.checkpoint(
+            lambda p, x, m, c, s, la: _block(cfg, p, x, m, c, s, None, None,
+                                             impl, la, lora_scale),
+            static_argnums=())
     for i, p in enumerate(params["layers"]):
         lc = cache["layers"][i] if cache is not None else None
         la = lora["layers"][i] if lora is not None else None
-        x, nlc = _block(cfg, p, x, mask4, cos, sin, lc, index, impl,
-                        la, lora_scale)
+        if remat and cache is None:
+            x, nlc = block(p, x, mask4, cos, sin, la)
+        else:
+            x, nlc = _block(cfg, p, x, mask4, cos, sin, lc, index, impl,
+                            la, lora_scale)
         if nlc is not None:
             new_layers.append(nlc)
 

@@ -137,6 +137,17 @@ def encode(params, cfg: ESM2Config, tokens, *, impl: str = "auto"):
     return layer_norm(params["final_norm"], x)
 
 
+def residue_embeddings(params, cfg: ESM2Config, tokens, *, impl: str = "auto"):
+    """Per-residue final-layer embeddings (B, L, E) fp32 plus a residue mask
+    (B, L) that drops BOS/EOS/pad — array form of `get_amino_acid_embeddings`
+    (cstp_v3/modelling.py:61-77)."""
+    reps = encode(params, cfg, tokens, impl=impl).astype(jnp.float32)
+    lengths = jnp.sum(tokens != cfg.pad_idx, axis=-1)
+    pos = jnp.arange(tokens.shape[1])[None, :]
+    residue = (pos >= 1) & (pos < (lengths - 1)[:, None])
+    return reps, residue
+
+
 def pooled_embedding(params, cfg: ESM2Config, tokens, *, impl: str = "auto"):
     """Mean of final-layer reps over residues (exclude BOS/EOS/pad) -> (B, E).
 

@@ -45,17 +45,26 @@ def init(key, cfg: OpusConfig):
     return params
 
 
-def encode_proteins(params, cfg: OpusConfig, esm_tokens, *, impl: str = "auto"):
+def encode_proteins(params, cfg: OpusConfig, esm_tokens=None, *,
+                    pooled_emb=None, impl: str = "auto"):
     """(B, P, L_aa) int32 ESM tokens -> (B, P, n_tokens, H) soft tokens.
 
     Mirrors encode_seq2embedding -> encode_projector_embedding ->
     switch_projector_embedding (opus_arch.py:103-131). When the model runs
     without a CSTP adapter, the raw pooled ESM embedding feeds the switch
     projector directly (identity-projector fallback, opus_arch.py:71-80).
+
+    `pooled_emb` (B, P, E) skips the ESM tower — the precomputed-embedding
+    training path (scripts/generate_esm_embedding.py data; the encoders stay
+    out of the stage-(c)/(d) graph like the reference's offline pipeline).
     """
-    b, p, l = esm_tokens.shape
-    flat = esm_tokens.reshape(b * p, l)
-    emb = esm2.pooled_embedding(params["esm"], cfg.esm, flat, impl=impl)
+    if pooled_emb is not None:
+        b, p, _ = pooled_emb.shape
+        emb = pooled_emb.reshape(b * p, -1).astype(jnp.float32)
+    else:
+        b, p, l = esm_tokens.shape
+        flat = esm_tokens.reshape(b * p, l)
+        emb = esm2.pooled_embedding(params["esm"], cfg.esm, flat, impl=impl)
     if "cstp" in params:
         emb = cstp_mod.protein_forward(params["cstp"], emb)
     soft = switch_mod.apply(params["switch"], cfg.switch, emb,
@@ -64,21 +73,23 @@ def encode_proteins(params, cfg: OpusConfig, esm_tokens, *, impl: str = "auto"):
 
 
 def splice_prompt(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens,
-                  labels=None, *, left_pad: bool, impl: str = "auto") -> Spliced:
+                  labels=None, *, left_pad: bool, pooled_emb=None,
+                  impl: str = "auto") -> Spliced:
     """Tokenized prompt (with SEQ_TOKEN_INDEX sentinels) -> decoder inputs."""
-    prot = encode_proteins(params, cfg, esm_tokens, impl=impl)
+    prot = encode_proteins(params, cfg, esm_tokens, pooled_emb=pooled_emb,
+                           impl=impl)
     text = decoder.embed_tokens(params["llm"], jnp.maximum(input_ids, 0))
     return splice(input_ids, attn_mask, text, prot, labels,
                   n_tokens=cfg.switch.n_tokens, left_pad=left_pad)
 
 
-def forward(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens,
+def forward(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens=None,
             labels=None, *, lora=None, lora_scale: float = 1.0,
-            left_pad: bool = False,
+            left_pad: bool = False, pooled_emb=None,
             impl: str = "auto") -> Tuple[jnp.ndarray, Spliced]:
     """Full multimodal forward -> (logits (B, L_out, V), spliced inputs)."""
     sp = splice_prompt(params, cfg, input_ids, attn_mask, esm_tokens, labels,
-                       left_pad=left_pad, impl=impl)
+                       left_pad=left_pad, pooled_emb=pooled_emb, impl=impl)
     mask4 = causal_mask(sp.mask)
     logits, _ = decoder.forward(
         params["llm"], cfg.llm, sp.embeds.astype(cfg.llm.jnp_dtype),
