@@ -79,9 +79,12 @@ def int8_matmul(x, wq, scale, *, block_m: int = 256, block_n: int = 256,
     m, k = x.shape
     k2, n = wq.shape
     assert k == k2
+    # auto: Pallas only for wide-M matmuls (prefill/training). For skinny
+    # decode matmuls (M = batch) XLA's fused int8->bf16 dequant-load wins
+    # and compiles far faster than per-shape Pallas variants.
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu"
-        and m % 8 == 0 and n % 128 == 0 and k % 128 == 0)
+        and m >= 256 and m % 8 == 0 and n % 128 == 0 and k % 128 == 0)
     if not use_pallas:
         return _matmul_xla(x, wq, scale)
 
