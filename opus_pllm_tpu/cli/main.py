@@ -88,6 +88,38 @@ def cmd_annotate(args) -> None:
     print(json.dumps(rep.metrics))
 
 
+def cmd_annotate_all(args) -> None:
+    """Loop test sets x repeats (≙ eval_total_ablation.sh:27-73, which runs
+    each set 5x to average sampling noise)."""
+    import os
+
+    from ..core.config import GenerationConfig
+    from ..evals import runner
+    from ..evals.datasets import max_new_tokens_for
+
+    cfg, params, tok = _build(args)
+    all_metrics = {}
+    for test_json in args.test_jsons:
+        runs = []
+        for rep in range(args.repeats):
+            gen = GenerationConfig(
+                max_new_tokens=args.max_new_tokens or max_new_tokens_for(test_json),
+                temperature=args.temperature, top_p=args.top_p,
+                eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
+                seed=args.seed + rep)
+            save = None
+            if args.save_dir:
+                os.makedirs(args.save_dir, exist_ok=True)
+                base = os.path.splitext(os.path.basename(test_json))[0]
+                save = os.path.join(args.save_dir, f"{base}_rep{rep}.json")
+            rep_out = runner.run_annotation_eval(
+                params, cfg, tok, test_json, gen=gen,
+                batch_size=args.batch_size, save_path=save)
+            runs.append(rep_out.metrics)
+        all_metrics[test_json] = runs
+    print(json.dumps(all_metrics, indent=1))
+
+
 def cmd_mcq(args) -> None:
     from ..core.config import GenerationConfig
     from ..evals import runner
@@ -215,6 +247,30 @@ def cmd_precompute(args) -> None:
     print(f"wrote {n} entries -> {args.out}")
 
 
+def cmd_precompute_pairs(args) -> None:
+    """UniProtQA pickle -> stage-(a) (seq, text) embedding pairs."""
+    from ..core import builder
+    from ..core.config import ESM2Config
+    from ..data import precompute
+    from ..infer.hf_tokenizer import HFTokenizer
+
+    esm_cfg = ESM2Config.t33_650M()
+    esm_params = builder.load_esm(args.esm, esm_cfg)
+    llm_cfg = builder.decoder_config_for(args.model_base)
+    from ..core import convert as cv
+    from ..models import decoder as dec
+    if args.model_base and __import__("os").path.isdir(args.model_base):
+        llm_params = cv.decoder_from_hf(cv.load_hf_dir(args.model_base), llm_cfg)
+    else:
+        import jax
+        llm_params = dec.init(jax.random.PRNGKey(0), llm_cfg)
+    tok = HFTokenizer(args.tokenizer or args.model_base, family=llm_cfg.family)
+    n = precompute.precompute_cstp_pairs(
+        esm_params, esm_cfg, llm_params, llm_cfg, tok,
+        args.uniprot_pickle, args.out, batch_size=args.batch_size)
+    print(f"wrote {n} pairs -> {args.out}")
+
+
 def cmd_convert(args) -> None:
     """Convert reference-format checkpoints to the native Orbax layout."""
     from ..core import builder
@@ -254,6 +310,14 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--test-json", required=True)
     a.add_argument("--save-path", default=None)
     a.set_defaults(fn=cmd_annotate)
+
+    aa = sub.add_parser("annotate-all",
+                        help="loop test sets x repeats (ablation protocol)")
+    _model_args(aa); _gen_args(aa)
+    aa.add_argument("--test-jsons", nargs="+", required=True)
+    aa.add_argument("--repeats", type=int, default=5)
+    aa.add_argument("--save-dir", default=None)
+    aa.set_defaults(fn=cmd_annotate_all)
 
     m = sub.add_parser("mcq", help="multiple-choice eval")
     _model_args(m); _gen_args(m)
@@ -299,6 +363,14 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--esm", default=None)
     pc.add_argument("--batch-size", type=int, default=16)
     pc.set_defaults(fn=cmd_precompute)
+
+    pp = sub.add_parser("precompute-pairs",
+                        help="UniProtQA pickle -> CSTP training pairs")
+    _model_args(pp)
+    pp.add_argument("--uniprot-pickle", required=True)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--batch-size", type=int, default=8)
+    pp.set_defaults(fn=cmd_precompute_pairs)
 
     cv = sub.add_parser("convert-weights")
     _model_args(cv)

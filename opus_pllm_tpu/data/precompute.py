@@ -74,3 +74,47 @@ def precompute_sequence_map(params, cfg: ESM2Config, json_path: str,
     with open(out_json, "w") as f:
         json.dump({k: v.tolist() for k, v in table.items()}, f)
     return len(table)
+
+
+def precompute_cstp_pairs(esm_params, esm_cfg: ESM2Config, llm_params,
+                          llm_cfg, tokenizer, uniprot_pickle: str,
+                          out_pickle: str, *, batch_size: int = 8,
+                          max_text_len: int = 4096, len_bucket: int = 128,
+                          mask_pad: bool = False) -> int:
+    """UniProtQA pickle -> [(seq_embedding, text_embedding)] vec pickle.
+
+    The offline stage for stage-(a) training: ESM pooled embeddings paired
+    with causal-LM text embeddings (TextEmbeddingExtractor semantics,
+    cstp_v3/modelling.py:79-134) over the UniProt caption template.
+    """
+    import pickle
+
+    import jax
+
+    from ..models import text_encoder
+    from .datasets import UniProtQADataset
+
+    ds = UniProtQADataset(uniprot_pickle)
+    seq_table = embed_sequences(esm_params, esm_cfg,
+                                (p["sequence"] for p in ds.pairs),
+                                batch_size=batch_size, len_bucket=len_bucket)
+    text_fn = jax.jit(lambda p, ids, m: text_encoder.text_embeddings(
+        p, llm_cfg, ids, m, mask_pad=mask_pad))
+    out = []
+    for s in range(0, len(ds), batch_size):
+        chunk = ds.pairs[s:s + batch_size]
+        enc = [tokenizer.encode(c["text"])[:max_text_len] for c in chunk]
+        pad_to = _round_up(max(len(e) for e in enc), len_bucket)
+        ids = np.full((len(chunk), pad_to), tokenizer.pad_token_id, np.int32)
+        mask = np.zeros((len(chunk), pad_to), bool)
+        for i, e in enumerate(enc):
+            ids[i, :len(e)] = e
+            mask[i, :len(e)] = True
+        te = np.asarray(text_fn(llm_params, jnp.asarray(ids),
+                                jnp.asarray(mask)))
+        for c, t in zip(chunk, te):
+            out.append({"seq_embedding": seq_table[c["sequence"]],
+                        "text_embedding": t})
+    with open(out_pickle, "wb") as f:
+        pickle.dump(out, f)
+    return len(out)
