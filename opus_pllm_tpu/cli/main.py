@@ -37,6 +37,8 @@ def _model_args(p: argparse.ArgumentParser) -> None:
                    help="raw-ESM pipeline (switch projector over 1280-d)")
     p.add_argument("--tokenizer", default=None,
                    help="tokenizer dir (default: --model-base)")
+    p.add_argument("--load-int8", action="store_true",
+                   help="int8 weight-only LLM (≙ reference --load-8bit)")
 
 
 def _gen_args(p: argparse.ArgumentParser) -> None:
@@ -63,8 +65,13 @@ def _build(args):
         switch=SwitchProjectorConfig(input_dim=switch_in,
                                      llm_hidden_size=llm_cfg.hidden_size),
         llm=llm_cfg)
-    params, _ = builder.load_pretrained(args.model_base, args.weights, cfg,
-                                        esm_path=args.esm)
+    params, _ = builder.load_pretrained(
+        args.model_base, args.weights, cfg, esm_path=args.esm,
+        quantize="int8" if getattr(args, "load_int8", False) else None)
+    # stacked layers -> lax.scan: one-layer compiles for the 32/33-deep stacks
+    from ..models import decoder as _dec, esm2 as _esm
+    params["llm"] = _dec.stack_params(params["llm"], donate=True)
+    params["esm"] = _esm.stack_params(params["esm"], donate=True)
     from ..infer.hf_tokenizer import HFTokenizer
     tok = HFTokenizer(args.tokenizer or args.model_base,
                       family=llm_cfg.family)

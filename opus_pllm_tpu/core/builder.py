@@ -113,13 +113,15 @@ def load_esm(esm_path: Optional[str], cfg: ESM2Config,
 def load_pretrained(model_base: Optional[str], weights_dir: Optional[str],
                     cfg: OpusConfig, *, esm_path: Optional[str] = None,
                     lora_cfg: Optional[LoRAConfig] = None,
-                    merge_lora: bool = True,
+                    merge_lora: bool = True, quantize: Optional[str] = None,
                     dtype=jnp.bfloat16) -> Tuple[dict, Optional[dict]]:
     """Assemble the full params tree -> (params, unmerged_lora_or_None).
 
     model_base: HF dir of the base LLM (None -> random init for tests).
     weights_dir: reference-contract adapter dir (None -> raw pipeline:
         no LoRA, no switch ckpt, identity-ish projector — builder.py:117-118).
+    quantize: "int8" quantizes the LLM weights after LoRA merge — the TPU
+        counterpart of load_8bit/load_4bit (builder.py:44-57).
     """
     params: Dict[str, Any] = {}
 
@@ -177,6 +179,12 @@ def load_pretrained(model_base: Optional[str], weights_dir: Optional[str],
                 params["llm"], tree, scale)
         else:
             unmerged = tree
+
+    if quantize == "int8":
+        from ..kernels.quant import quantize_decoder
+        params["llm"] = quantize_decoder(params["llm"])
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode: {quantize}")
     return params, unmerged
 
 

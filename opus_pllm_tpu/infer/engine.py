@@ -80,7 +80,8 @@ def generate(params, cfg: DecoderConfig, input_embeds, attn_mask, positions,
     tail_len = max((len(s) for s in stop_sequences), default=0) \
         if stop_sequences else 0
     cap = l + max_new_tokens
-    cache = decoder.init_cache(cfg, b, cap, dtype=cfg.jnp_dtype)
+    cache = decoder.init_cache(cfg, b, cap, dtype=cfg.jnp_dtype,
+                               stacked="layers_stacked" in params)
     cache["mask"] = cache["mask"].at[:, :l].set(attn_mask)
 
     # prefill: causal over the prompt, nothing beyond slot l

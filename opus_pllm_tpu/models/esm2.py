@@ -110,6 +110,13 @@ def _block(p, cfg: ESM2Config, x, mask, cos, sin, impl):
     return x + r
 
 
+def stack_params(params, *, donate: bool = False):
+    """List-of-layers -> stacked pytree; `encode` then runs the 33-layer
+    stack as ONE lax.scan (compile once per layer shape instead of 33x)."""
+    from .decoder import stack_params as _stack
+    return _stack(params, donate=donate)
+
+
 def encode(params, cfg: ESM2Config, tokens, *, impl: str = "auto"):
     """tokens (B, L) int32 -> final-layer representations (B, L, E).
 
@@ -132,8 +139,13 @@ def encode(params, cfg: ESM2Config, tokens, *, impl: str = "auto"):
     mask4 = padding_mask(pad_mask)
     positions = jnp.arange(tokens.shape[1])
     cos, sin = rope_cos_sin(positions, cfg.head_dim, theta=10000.0)
-    for p in params["layers"]:
-        x = _block(p, cfg, x, mask4, cos, sin, impl)
+    if "layers_stacked" in params:
+        def body(h, p):
+            return _block(p, cfg, h, mask4, cos, sin, impl), None
+        x, _ = jax.lax.scan(body, x, params["layers_stacked"])
+    else:
+        for p in params["layers"]:
+            x = _block(p, cfg, x, mask4, cos, sin, impl)
     return layer_norm(params["final_norm"], x)
 
 

@@ -48,6 +48,11 @@ def _rule(path, leaf) -> P:
     names = _names(path)
     last = names[-1] if names else ""
     parent = next((n for n in reversed(names[:-1]) if isinstance(n, str)), "")
+    stacked = "layers_stacked" in names
+
+    def spec(*axes) -> P:
+        # stacked layer trees carry a leading layer axis: replicate it
+        return P(None, *axes) if stacked else P(*axes)
 
     if last == "embedding":
         # embed_tokens / embed_positions: replicate vocab, FSDP-shard hidden
@@ -56,25 +61,31 @@ def _rule(path, leaf) -> P:
         return P()
     if last == "kernel":
         if parent in _COL:
-            return P(DATA_AXIS, MODEL_AXIS)
+            return spec(DATA_AXIS, MODEL_AXIS)
         if parent in _ROW:
-            return P(MODEL_AXIS, DATA_AXIS)
+            return spec(MODEL_AXIS, DATA_AXIS)
         # generic large dense (CSTP projections, switch projector): treat as
         # column-parallel so the fp32 weights also shard
-        return P(DATA_AXIS, MODEL_AXIS)
+        return spec(DATA_AXIS, MODEL_AXIS)
+    if last == "kernel_q":   # int8 weights: same layout as their kernel
+        if parent in _ROW:
+            return spec(MODEL_AXIS, DATA_AXIS)
+        return spec(DATA_AXIS, MODEL_AXIS)
     if last == "bias":
         if parent in _COL:
-            return P(MODEL_AXIS)
-        return P()
-    if last in ("scale",):
-        return P()
+            return spec(MODEL_AXIS)
+        return spec()
+    if last == "scale" and parent in (_COL | _ROW):   # int8 channel scales
+        return spec(MODEL_AXIS) if parent in _COL else spec(DATA_AXIS)
+    if last == "scale":
+        return spec()
     # LoRA adapters: A (in, r) FSDP-shards its input dim; B (r, out)
     # TP-shards its output dim, matching the base kernel's layout.
     if last == "A":
-        return P(DATA_AXIS, None)
+        return spec(DATA_AXIS, None)
     if last == "B":
-        return P(None, MODEL_AXIS)
-    return P()
+        return spec(None, MODEL_AXIS)
+    return spec()
 
 
 def specs(params) -> Any:

@@ -1,0 +1,89 @@
+"""Stacked-layer lax.scan decoder path == unrolled path exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opus_pllm_tpu.core.config import DecoderConfig, LoRAConfig
+from opus_pllm_tpu.infer import engine
+from opus_pllm_tpu.lora import lora as lora_mod
+from opus_pllm_tpu.models import decoder
+from opus_pllm_tpu.models.layers import causal_mask
+
+
+@pytest.fixture(params=["llama", "opt", "qwen2"])
+def setup(request):
+    cfg = DecoderConfig.tiny(request.param)
+    params = decoder.init(jax.random.PRNGKey(0), cfg)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (2, 6, cfg.hidden_size)) * 0.1
+    mask = jnp.ones((2, 6), bool)
+    pos = jnp.broadcast_to(jnp.arange(6), (2, 6))
+    return cfg, params, emb, pos, causal_mask(mask)
+
+
+def test_stack_unstack_roundtrip(setup):
+    cfg, params, *_ = setup
+    stacked = decoder.stack_params(params)
+    assert "layers" not in stacked
+    back = decoder.unstack_params(stacked)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params, back)
+
+
+def test_scan_forward_matches_unrolled(setup):
+    cfg, params, emb, pos, m4 = setup
+    lg_list, _ = decoder.forward(params, cfg, emb, pos, m4)
+    lg_scan, _ = decoder.forward(decoder.stack_params(params), cfg, emb,
+                                 pos, m4)
+    np.testing.assert_allclose(np.asarray(lg_list), np.asarray(lg_scan),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_scan_generate_matches_unrolled(setup):
+    cfg, params, emb, pos, m4 = setup
+    mask = jnp.ones((2, 6), bool)
+    g1 = engine.generate(params, cfg, emb, mask, pos, jax.random.PRNGKey(0),
+                         max_new_tokens=5, temperature=0.0, eos_token_id=-1)
+    g2 = engine.generate(decoder.stack_params(params), cfg, emb, mask, pos,
+                         jax.random.PRNGKey(0), max_new_tokens=5,
+                         temperature=0.0, eos_token_id=-1)
+    np.testing.assert_array_equal(np.asarray(g1.tokens), np.asarray(g2.tokens))
+
+
+def test_scan_with_lora_and_remat_grads():
+    cfg = DecoderConfig.tiny()
+    lcfg = LoRAConfig(rank=2)
+    params = decoder.stack_params(decoder.init(jax.random.PRNGKey(0), cfg))
+    tree = lora_mod.init(jax.random.PRNGKey(1), cfg, lcfg)
+    tree = jax.tree.map(lambda x: x + 0.01, tree)
+    emb = jax.random.normal(jax.random.PRNGKey(2), (2, 6, cfg.hidden_size)) * 0.1
+    pos = jnp.broadcast_to(jnp.arange(6), (2, 6))
+    m4 = causal_mask(jnp.ones((2, 6), bool))
+
+    def loss(t, remat):
+        lg, _ = decoder.forward(params, cfg, emb, pos, m4, lora=t,
+                                lora_scale=2.0, remat=remat)
+        return jnp.mean(lg.astype(jnp.float32) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda t: loss(t, False))(tree)
+    l1, g1 = jax.value_and_grad(lambda t: loss(t, True))(tree)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7), g0, g1)
+    assert float(jnp.abs(g0["layers"][0]["q_proj"]["A"]).max()) > 0
+
+
+def test_stacked_partition_specs():
+    from jax.sharding import PartitionSpec as P
+
+    from opus_pllm_tpu.parallel import partition
+
+    cfg = DecoderConfig.tiny()
+    params = decoder.stack_params(decoder.init(jax.random.PRNGKey(0), cfg))
+    specs = partition.specs(params)
+    assert specs["layers_stacked"]["q_proj"]["kernel"] == \
+        P(None, "data", "model")
+    assert specs["layers_stacked"]["o_proj"]["kernel"] == \
+        P(None, "model", "data")
+    assert specs["embed_tokens"]["embedding"] == P(None, "data")
