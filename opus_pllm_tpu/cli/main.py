@@ -78,6 +78,27 @@ def _build(args):
     return cfg, params, tok
 
 
+def _bert_embed_fn(biobert_dir: Optional[str]):
+    """BERTScore embedder from a local BioBERT HF dir (weights + vocab.txt);
+    None disables BERTScore (the other function metrics still compute)."""
+    if not biobert_dir:
+        return None
+    import os
+
+    import jax
+
+    from ..core import convert
+    from ..core.config import BertConfig
+    from ..evals.textproc import WordPieceTokenizer
+    from ..models import bert
+
+    cfg = BertConfig()
+    params = convert.bert_from_hf(convert.load_hf_dir(biobert_dir), cfg)
+    vocab = WordPieceTokenizer.load_vocab(os.path.join(biobert_dir, "vocab.txt"))
+    tok = WordPieceTokenizer(vocab, lowercase=False)  # biobert is cased
+    return bert.make_embed_fn(params, cfg, tok, max_tokens=500)
+
+
 def cmd_annotate(args) -> None:
     from ..core.config import GenerationConfig
     from ..evals import runner
@@ -91,7 +112,8 @@ def cmd_annotate(args) -> None:
         seed=args.seed)
     rep = runner.run_annotation_eval(
         params, cfg, tok, args.test_json, gen=gen,
-        batch_size=args.batch_size, save_path=args.save_path)
+        batch_size=args.batch_size, save_path=args.save_path,
+        bert_embed_fn=_bert_embed_fn(getattr(args, "biobert", None)))
     print(json.dumps(rep.metrics))
 
 
@@ -316,6 +338,8 @@ def build_parser() -> argparse.ArgumentParser:
     _model_args(a); _gen_args(a)
     a.add_argument("--test-json", required=True)
     a.add_argument("--save-path", default=None)
+    a.add_argument("--biobert", default=None,
+                   help="local BioBERT dir for BERTScore (function sets)")
     a.set_defaults(fn=cmd_annotate)
 
     aa = sub.add_parser("annotate-all",

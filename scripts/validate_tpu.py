@@ -1,0 +1,166 @@
+"""On-chip validation suite: run the TPU-only paths against their XLA
+references on real hardware (the CPU test suite cannot reach them).
+
+    python scripts/validate_tpu.py [--fast]
+
+Checks: flash attention fwd (d=64 pad + d=128, padding + causal), grads
+through the custom VJP, int8 Pallas matmul, stacked-scan generate vs
+unrolled, and a converging stage-(c)+(d) train step. Prints PASS/FAIL per
+check and exits nonzero on any failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAILURES = []
+
+
+def check(name: str, fn) -> None:
+    t0 = time.perf_counter()
+    try:
+        fn()
+        print(f"PASS {name} ({time.perf_counter() - t0:.1f}s)")
+    except Exception as e:  # noqa: BLE001 — report-and-continue harness
+        FAILURES.append(name)
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+
+
+def flash_forward(d: int, causal: bool):
+    from opus_pllm_tpu.kernels.flash_attention import flash_attention
+    from opus_pllm_tpu.models.layers import attention_xla, padding_mask
+
+    rng = np.random.default_rng(0)
+    b, s, h = 2, 256, 4
+    q, k, v = (jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.bfloat16)
+               for _ in range(3))
+    if causal:
+        rows = jnp.arange(s)[None, None, :, None]
+        cols = jnp.arange(s)[None, None, None, :]
+        m4 = jnp.broadcast_to(cols <= rows, (b, 1, s, s))
+        o = flash_attention(q, k, v, None, causal=True)
+    else:
+        m4 = padding_mask(jnp.ones((b, s), bool))
+        o = flash_attention(q, k, v, m4)
+    ox = attention_xla(q, k, v, m4)
+    err = np.abs(np.asarray(o, np.float32) - np.asarray(ox, np.float32)).max()
+    assert err < 0.05, f"max|diff|={err}"
+
+
+def flash_grads():
+    from opus_pllm_tpu.kernels.flash_attention import flash_attention
+    from opus_pllm_tpu.models.layers import attention_xla, padding_mask
+
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(2, 256, 4, 128)), jnp.bfloat16)
+               for _ in range(3))
+    m = padding_mask(jnp.ones((2, 256), bool))
+    gf = jax.grad(lambda q: jnp.sum(
+        flash_attention(q, k, v, m).astype(jnp.float32) ** 2))(q)
+    gx = jax.grad(lambda q: jnp.sum(
+        attention_xla(q, k, v, m).astype(jnp.float32) ** 2))(q)
+    rel = (np.abs(np.asarray(gf, np.float32) - np.asarray(gx, np.float32)).max()
+           / (np.abs(np.asarray(gx, np.float32)).max() + 1e-9))
+    assert rel < 0.02, f"rel={rel}"
+
+
+def int8_kernel():
+    from opus_pllm_tpu.kernels import quant
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(256, 1024)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(1024, 2048)), jnp.float32)
+    qv, sc = quant.quantize_per_channel(w)
+    y_p = np.asarray(quant.int8_matmul(x, qv, sc, impl="pallas"), np.float32)
+    y_x = np.asarray(quant.int8_matmul(x, qv, sc, impl="xla"), np.float32)
+    rel = (np.abs(y_p - y_x) / (np.abs(y_x) + 1)).mean()
+    assert rel < 0.01, f"rel={rel}"
+
+
+def stacked_generate():
+    from opus_pllm_tpu.core.config import DecoderConfig
+    from opus_pllm_tpu.infer import engine
+    from opus_pllm_tpu.models import decoder
+
+    cfg = DecoderConfig(family="llama", vocab_size=2048, hidden_size=512,
+                        intermediate_size=1024, num_layers=4, num_heads=4,
+                        num_kv_heads=2, head_dim=128, dtype="bfloat16")
+    base = decoder.init(jax.random.PRNGKey(0), cfg)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (2, 16, cfg.hidden_size),
+                            cfg.jnp_dtype) * 0.02
+    mask = jnp.ones((2, 16), bool)
+    pos = jnp.broadcast_to(jnp.arange(16), (2, 16))
+
+    from opus_pllm_tpu.models.layers import causal_mask
+
+    # compare prefill logits with tolerance: greedy token SEQUENCES diverge
+    # permanently after one bf16 fusion-order flip, so they are not a
+    # meaningful equivalence check on random weights
+    m4 = causal_mask(mask)
+    lg1, _ = jax.jit(lambda p: decoder.forward(p, cfg, emb, pos, m4))(base)
+    stacked = decoder.stack_params(base)
+    lg2, _ = jax.jit(lambda p: decoder.forward(p, cfg, emb, pos, m4))(stacked)
+    p1 = jax.nn.softmax(np.asarray(lg1, np.float32), axis=-1)
+    p2 = jax.nn.softmax(np.asarray(lg2, np.float32), axis=-1)
+    err = np.abs(p1 - p2).max()
+    assert err < 0.05, f"prob diff {err}"
+
+    # and the stacked generate runs end to end
+    out = engine.generate(stacked, cfg, emb, mask, pos, jax.random.PRNGKey(0),
+                          max_new_tokens=8, temperature=0.0, eos_token_id=-1)
+    assert np.asarray(out.tokens).shape == (2, 8)
+
+
+def train_step_converges():
+    import __graft_entry__ as g
+    from opus_pllm_tpu.core.config import LoRAConfig, TrainConfig
+    from opus_pllm_tpu.models import opus
+    from opus_pllm_tpu.train import multimodal_trainer as mmt
+
+    cfg = g._smoke_cfg()
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    state, tx = mmt.create_state(jax.random.PRNGKey(1), cfg,
+                                 TrainConfig(learning_rate=1e-3), params,
+                                 train_switch=True, lora_cfg=LoRAConfig(rank=4))
+    step = mmt.make_train_step(cfg, tx, lora_cfg=LoRAConfig(rank=4))
+    batch = g._example_batch(cfg, batch=4)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, params, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true",
+                    help="skip the train-step check")
+    args = ap.parse_args()
+
+    assert jax.default_backend() == "tpu", \
+        f"not on TPU: {jax.default_backend()}"
+    check("flash fwd d=128 padding", lambda: flash_forward(128, False))
+    check("flash fwd d=64 (padded)", lambda: flash_forward(64, False))
+    check("flash fwd causal", lambda: flash_forward(128, True))
+    check("flash custom-VJP grads", flash_grads)
+    check("int8 pallas matmul", int8_kernel)
+    check("stacked-scan generate", stacked_generate)
+    if not args.fast:
+        check("stage c+d train step", train_step_converges)
+    if FAILURES:
+        print(f"\n{len(FAILURES)} FAILED: {FAILURES}")
+        sys.exit(1)
+    print("\nall TPU validations passed")
+
+
+if __name__ == "__main__":
+    main()
