@@ -98,9 +98,13 @@ def _block(p, cfg: ESM2Config, x, mask, cos, sin, impl):
     b, s, e = x.shape
     h, d = cfg.num_heads, cfg.head_dim
     r = layer_norm(p["attn_norm"], x)
-    q = dense(p["q_proj"], r).reshape(b, s, h, d)
-    k = dense(p["k_proj"], r).reshape(b, s, h, d)
-    v = dense(p["v_proj"], r).reshape(b, s, h, d)
+    if "qkv_proj" in p:
+        q, k, v = jnp.split(dense(p["qkv_proj"], r), 3, axis=-1)
+        q, k, v = (t.reshape(b, s, h, d) for t in (q, k, v))
+    else:
+        q = dense(p["q_proj"], r).reshape(b, s, h, d)
+        k = dense(p["k_proj"], r).reshape(b, s, h, d)
+        v = dense(p["v_proj"], r).reshape(b, s, h, d)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     a = attention(q, k, v, mask, impl=impl).reshape(b, s, e)
@@ -115,6 +119,32 @@ def stack_params(params, *, donate: bool = False):
     stack as ONE lax.scan (compile once per layer shape instead of 33x)."""
     from .decoder import stack_params as _stack
     return _stack(params, donate=donate)
+
+
+def fuse_qkv(params):
+    """Fuse the q/k/v projections of every layer into one (E, 3E) matmul —
+    one big MXU launch instead of three small ones (ESM2's 1280-wide
+    matmuls underutilize the systolic array individually)."""
+    def fuse_layer(lp):
+        if "qkv_proj" in lp:
+            return lp
+        fused = {"kernel": jnp.concatenate(
+            [lp[n]["kernel"] for n in ("q_proj", "k_proj", "v_proj")], axis=-1)}
+        if "bias" in lp["q_proj"]:
+            fused["bias"] = jnp.concatenate(
+                [lp[n]["bias"] for n in ("q_proj", "k_proj", "v_proj")], axis=-1)
+        out = {k: v for k, v in lp.items()
+               if k not in ("q_proj", "k_proj", "v_proj")}
+        out["qkv_proj"] = fused
+        return out
+
+    if "layers_stacked" in params:
+        out = {k: v for k, v in params.items() if k != "layers_stacked"}
+        out["layers_stacked"] = fuse_layer(params["layers_stacked"])
+        return out
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = [fuse_layer(lp) for lp in params["layers"]]
+    return out
 
 
 def encode(params, cfg: ESM2Config, tokens, *, impl: str = "auto"):

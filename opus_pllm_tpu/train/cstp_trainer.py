@@ -76,13 +76,29 @@ def make_eval_step(cfg: CSTPConfig):
     return eval_step
 
 
+def evaluate(params, cfg: CSTPConfig, batches) -> dict:
+    """Mean loss + bidirectional retrieval accuracy over a val/test split
+    (CSTPLightning validation/test epoch summaries, modelling.py:510-582)."""
+    ev = make_eval_step(cfg)
+    sums: dict = {}
+    n = 0
+    for se, te in batches:
+        m = ev(params, jnp.asarray(se), jnp.asarray(te))
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n += 1
+    return {k: v / max(n, 1) for k, v in sums.items()}
+
+
 def fit(state: CSTPTrainState, tx, cfg: CSTPConfig, tcfg: TrainConfig,
         batches: Iterator[Tuple[np.ndarray, np.ndarray]],
-        log_fn=print) -> CSTPTrainState:
+        val_batches_fn=None, log_fn=print) -> CSTPTrainState:
     """Minimal epoch loop: batches yield (seq_emb, text_emb) of equal B.
 
     Replaces pl.Trainer.fit for the fully-specified Lightning module the
-    reference ships without a launcher (SURVEY.md intro).
+    reference ships without a launcher (SURVEY.md intro). `val_batches_fn`
+    (callable -> iterator) triggers a validation pass every `log_every`
+    logging step.
     """
     step_fn = make_train_step(cfg, tx)
     for i, (se, te) in enumerate(batches):
@@ -91,4 +107,8 @@ def fit(state: CSTPTrainState, tx, cfg: CSTPConfig, tcfg: TrainConfig,
             m = {k: float(v) for k, v in metrics.items()}
             log_fn(f"step {int(state.step)}: " +
                    " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+            if val_batches_fn is not None:
+                vm = evaluate(state.params, cfg, val_batches_fn())
+                log_fn("  val: " + " ".join(f"{k}={v:.4f}"
+                                            for k, v in vm.items()))
     return state

@@ -74,6 +74,23 @@ def test_scan_with_lora_and_remat_grads():
     assert float(jnp.abs(g0["layers"][0]["q_proj"]["A"]).max()) > 0
 
 
+def test_esm2_fused_qkv_equivalence():
+    from opus_pllm_tpu.core.config import ESM2Config
+    from opus_pllm_tpu.models import esm2
+
+    cfg = ESM2Config.tiny()
+    p = esm2.init(jax.random.PRNGKey(0), cfg)
+    toks, _ = esm2.tokenize(["MKTAYIAK", "ACD"])
+    a = esm2.encode(p, cfg, jnp.asarray(toks))
+    b = esm2.encode(esm2.fuse_qkv(p), cfg, jnp.asarray(toks))
+    c = esm2.encode(esm2.fuse_qkv(esm2.stack_params(p)), cfg,
+                    jnp.asarray(toks))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_stacked_partition_specs():
     from jax.sharding import PartitionSpec as P
 
