@@ -324,10 +324,16 @@ def cmd_convert(args) -> None:
 
 
 def cmd_bench(args) -> None:
+    import os
     import runpy
 
+    # bench.py lives at the repo root (one level above the package)
+    bench = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "bench.py")
+    if not os.path.exists(bench):
+        raise SystemExit(f"bench.py not found at {bench}")
     sys.argv = ["bench.py"]
-    runpy.run_path("bench.py", run_name="__main__")
+    runpy.run_path(bench, run_name="__main__")
 
 
 def build_parser() -> argparse.ArgumentParser:

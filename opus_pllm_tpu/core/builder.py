@@ -39,14 +39,16 @@ ESM_OVERLAY_PREFIX = "protein_model.model."
 
 
 def family_from_path(model_base: str) -> str:
-    b = model_base.lower()
+    """Family by model-NAME substring (builder.py:59-96 semantics, but on
+    the basename so '/opt/models/...' doesn't classify everything as OPT)."""
+    b = os.path.basename(os.path.normpath(model_base)).lower()
     if "llama" in b:
         return "llama"
     if "opt" in b or "galactica" in b:
         return "opt"
     if "qwen" in b:
         return "qwen2"
-    raise NotImplementedError(f"unknown LLM family in path: {model_base}")
+    raise NotImplementedError(f"unknown LLM family in name: {model_base}")
 
 
 def decoder_config_for(model_base: str) -> DecoderConfig:

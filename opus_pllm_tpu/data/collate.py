@@ -17,10 +17,7 @@ from ..core.config import IGNORE_INDEX
 from ..infer.conversation import VICUNA_V0, annotation_prompt
 from ..infer.tokenization import pad_batch, tokenize_with_seq
 from ..models import esm2
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
+from ..core.util import round_up
 
 
 def collate_instruction_batch(examples: Sequence[dict], tokenizer, *,
@@ -48,9 +45,9 @@ def collate_instruction_batch(examples: Sequence[dict], tokenizer, *,
         labels_list.append(labels)
 
     longest = max(len(x) for x in ids_list)
-    pad_to = _round_up(longest, prompt_bucket)
+    pad_to = round_up(longest, prompt_bucket)
     if max_len is not None:
-        pad_to = min(pad_to, _round_up(max_len, prompt_bucket))
+        pad_to = min(pad_to, round_up(max_len, prompt_bucket))
     input_ids, attn = pad_batch(ids_list, tokenizer.pad_token_id,
                                 left=False, max_len=pad_to)
     labels, _ = pad_batch(labels_list, IGNORE_INDEX, left=False,
@@ -67,7 +64,7 @@ def collate_instruction_batch(examples: Sequence[dict], tokenizer, *,
     else:
         aa_len = max(len(ex["sequence"]) for ex in examples) + 2
         esm_toks, _ = esm2.tokenize([ex["sequence"] for ex in examples],
-                                    max_len=_round_up(aa_len, esm_bucket))
+                                    max_len=round_up(aa_len, esm_bucket))
         out["esm_tokens"] = esm_toks[:, None, :]
     return out
 

@@ -19,12 +19,9 @@ import numpy as np
 
 from ..core.config import ESM2Config
 from ..models import esm2
+from ..core.util import round_up
 
 MAX_PRECOMPUTE_LEN = 4000
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 def embed_sequences(params, cfg: ESM2Config, seqs: Iterable[str], *,
@@ -39,7 +36,7 @@ def embed_sequences(params, cfg: ESM2Config, seqs: Iterable[str], *,
     out: Dict[str, np.ndarray] = {}
     for s in range(0, len(uniq), batch_size):
         chunk = uniq[s:s + batch_size]
-        pad_to = _round_up(max(len(c) for c in chunk) + 2, len_bucket)
+        pad_to = round_up(max(len(c) for c in chunk) + 2, len_bucket)
         toks, _ = esm2.tokenize(chunk, max_len=pad_to)
         emb = np.asarray(fn(params, jnp.asarray(toks)))
         for seq, e in zip(chunk, emb):
@@ -104,7 +101,7 @@ def precompute_cstp_pairs(esm_params, esm_cfg: ESM2Config, llm_params,
     for s in range(0, len(ds), batch_size):
         chunk = ds.pairs[s:s + batch_size]
         enc = [tokenizer.encode(c["text"])[:max_text_len] for c in chunk]
-        pad_to = _round_up(max(len(e) for e in enc), len_bucket)
+        pad_to = round_up(max(len(e) for e in enc), len_bucket)
         ids = np.full((len(chunk), pad_to), tokenizer.pad_token_id, np.int32)
         mask = np.zeros((len(chunk), pad_to), bool)
         for i, e in enumerate(enc):

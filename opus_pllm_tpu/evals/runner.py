@@ -32,13 +32,10 @@ from ..infer import engine
 from ..infer.conversation import VICUNA_V0, annotation_prompt, truncate_at_sep
 from ..infer.tokenization import pad_batch, tokenize_with_seq
 from ..models import decoder, esm2, opus
+from ..core.util import round_up
 from . import datasets as ds
 from . import mcq as mcq_mod
 from .metrics import compute_metrics
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 @dataclass
@@ -58,11 +55,11 @@ def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
                for p in prompts]
     longest = max(len(t) for t in tok_ids)
     ids, mask = pad_batch(tok_ids, tokenizer.pad_token_id, left=True,
-                          max_len=_round_up(longest, prompt_bucket))
+                          max_len=round_up(longest, prompt_bucket))
     # ESM tokens, one protein per prompt
     aa_len = max(len(s) for s in sequences) + 2
     esm_toks, _ = esm2.tokenize(list(sequences),
-                                max_len=_round_up(aa_len, esm_bucket))
+                                max_len=round_up(aa_len, esm_bucket))
     sp = opus.splice_prompt(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
                             jnp.asarray(esm_toks)[:, None], left_pad=True,
                             impl=impl)

@@ -100,11 +100,12 @@ def generate(params, cfg: DecoderConfig, input_embeds, attn_mask, positions,
         return (step < max_new_tokens) & ~jnp.all(done)
 
     def body(state):
-        step, done, cur_logits, cache, key, out, tail = state
+        step, done, cur_logits, cache, key, out, tail, nwritten = state
         key, sub = jax.random.split(key)
         nxt = sample_token(cur_logits, sub, temperature, top_p)
         nxt = jnp.where(done, pad_token_id, nxt)
         out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, step))
+        nwritten = nwritten + (~done).astype(jnp.int32)
         new_done = done | (nxt == eos_token_id)
         if tail_len > 0:
             tail = jnp.concatenate([tail[:, 1:], nxt[:, None]], axis=1)
@@ -124,13 +125,14 @@ def generate(params, cfg: DecoderConfig, input_embeds, attn_mask, positions,
         lg, cache = decoder.forward(params, cfg, emb, pos, step_mask4, cache,
                                     impl=impl)
         return (step + 1, new_done, lg[:, 0].astype(jnp.float32), cache, key,
-                out, tail)
+                out, tail, nwritten)
 
     out0 = jnp.full((b, max_new_tokens), pad_token_id, jnp.int32)
     tail0 = jnp.full((b, max(tail_len, 1)), -1, jnp.int32)
     state = (jnp.int32(0), jnp.zeros((b,), bool), last_logits, cache, rng,
-             out0, tail0)
-    step, done, _, _, _, out, _ = jax.lax.while_loop(cond, body, state)
-
-    lengths = jnp.sum((out != pad_token_id).astype(jnp.int32), axis=-1)
-    return GenerateOutput(out, lengths)
+             out0, tail0, jnp.zeros((b,), jnp.int32))
+    step, done, _, _, _, out, _, nwritten = jax.lax.while_loop(
+        cond, body, state)
+    # lengths = tokens actually generated per row (counting the terminal
+    # EOS/stop token); robust to the pad id being a sampleable vocab token
+    return GenerateOutput(out, nwritten)

@@ -24,13 +24,14 @@ def tokenize_with_seq(prompt: str, encode: Callable[[str], List[int]],
                       bos_token_id: Optional[int] = None) -> List[int]:
     """Tokenize `prompt`, replacing each `<seq>` with one -200 sentinel.
 
-    BOS handling mirrors mm_utils.py:20-27: if every chunk starts with BOS,
-    keep a single leading BOS and strip it from the interior chunks.
+    BOS handling mirrors mm_utils.py:20-27: the reference tokenizes each
+    chunk WITH special tokens and keeps a single leading BOS. Here chunks
+    are encoded without specials, so when `bos_token_id` is given one BOS is
+    always prepended (and any BOS the encoder did emit is deduplicated).
     """
     chunks = [encode(c) for c in prompt.split(SEQ_TOKEN)]
     ids: List[int] = []
-    if (bos_token_id is not None and chunks and chunks[0]
-            and chunks[0][0] == bos_token_id):
+    if bos_token_id is not None:
         ids.append(bos_token_id)
         chunks = [c[1:] if c and c[0] == bos_token_id else c for c in chunks]
     for i, c in enumerate(chunks):

@@ -88,7 +88,13 @@ def int8_matmul(x, wq, scale, *, block_m: int = 256, block_n: int = 256,
     if not use_pallas:
         return _matmul_xla(x, wq, scale)
 
-    bm, bn, bk = min(block_m, m), min(block_n, n), min(block_k, k)
+    bm, bn = min(block_m, m), min(block_n, n)
+    # K must tile exactly: a partial trailing K block would feed undefined
+    # padding into the accumulator. Largest divisor of k from 512/256/128
+    # (the guard ensures k % 128 == 0); otherwise fall back to XLA.
+    bk = next((c for c in (block_k, 512, 256, 128) if k % c == 0), None)
+    if bk is None or m % bm or n % bn:
+        return _matmul_xla(x, wq, scale)
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(k, bk))
     return pl.pallas_call(
         functools.partial(_kernel, n_k=grid[2]),

@@ -79,11 +79,15 @@ def encode(params, cfg: BertConfig, input_ids, attn_mask, token_type_ids=None,
 
 
 def make_embed_fn(params, cfg: BertConfig, tokenizer, *, max_tokens: int = 500,
-                  batch_size: int = 32):
+                  batch_size: int = 32, len_bucket: int = 64):
     """Closure for evals/metrics.compute_metrics(bert_embed_fn=...):
     texts -> (embeddings (B, L, H), mask (B, L)) with CLS/SEP masked out,
-    inputs truncated to `max_tokens` WordPieces (metrics_computing_opi.py:12)."""
+    inputs truncated to `max_tokens` WordPieces (metrics_computing_opi.py:12).
+    Lengths round up to `len_bucket` so the 24-layer encoder compiles a
+    bounded number of shapes per eval run."""
     import numpy as np
+
+    from ..core.util import round_up
 
     jit_encode = jax.jit(lambda p, ids, m: encode(p, cfg, ids, m))
 
@@ -92,7 +96,7 @@ def make_embed_fn(params, cfg: BertConfig, tokenizer, *, max_tokens: int = 500,
         out_e, out_m = [], []
         for s in range(0, len(encs), batch_size):
             chunk = encs[s:s + batch_size]
-            ln = max(len(e) for e in chunk)
+            ln = round_up(max(len(e) for e in chunk), len_bucket)
             ids = np.full((len(chunk), ln), tokenizer.pad_id, np.int32)
             mask = np.zeros((len(chunk), ln), bool)
             content = np.zeros((len(chunk), ln), bool)

@@ -61,6 +61,35 @@ def test_loss_finite_and_grads_flow_to_all_parts():
     assert g_esm > 0
 
 
+def test_two_proteins_per_prompt():
+    import dataclasses
+
+    cfg = dataclasses.replace(OpusConfig.tiny(), max_proteins_per_prompt=2)
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    b, l = 2, 14
+    ids = rng.integers(4, cfg.llm.vocab_size, (b, l)).astype(np.int32)
+    ids[:, 2] = SEQ_TOKEN_INDEX
+    ids[:, 9] = SEQ_TOKEN_INDEX
+    mask = jnp.ones((b, l), bool)
+    esm = rng.integers(4, 24, (b, 2, 8)).astype(np.int32)
+    esm[:, :, 0] = 0
+    esm[:, :, -1] = 2
+    logits, sp = opus.forward(params, cfg, jnp.asarray(ids), mask,
+                              jnp.asarray(esm))
+    n = cfg.switch.n_tokens
+    assert logits.shape[1] == l + 2 * (n - 1)
+    soft = opus.encode_proteins(params, cfg, jnp.asarray(esm))
+    # first sentinel -> protein 0, second -> protein 1 (in order)
+    np.testing.assert_allclose(
+        np.asarray(sp.embeds)[0, 2:2 + n],
+        np.asarray(soft)[0, 0].astype(sp.embeds.dtype), rtol=1e-5, atol=1e-5)
+    second_start = 9 + (n - 1)   # shifted by first expansion
+    np.testing.assert_allclose(
+        np.asarray(sp.embeds)[0, second_start:second_start + n],
+        np.asarray(soft)[0, 1].astype(sp.embeds.dtype), rtol=1e-5, atol=1e-5)
+
+
 def test_left_pad_forward_alignment():
     cfg = OpusConfig.tiny()
     params = opus.init(jax.random.PRNGKey(0), cfg)

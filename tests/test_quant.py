@@ -65,6 +65,23 @@ def test_pallas_kernel_matches_xla_interpret():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_kernel_k_not_multiple_of_block():
+    """k % 128 == 0 but k % 512 != 0 must pick a dividing block, not feed a
+    partial K tile into the accumulator (regression: NaN output)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(256, 1280)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(1280, 256)).astype(np.float32))
+    q, s = quant.quantize_per_channel(w)
+    with pltpu.force_tpu_interpret_mode():
+        y_p = quant.int8_matmul(x, q, s, impl="pallas")
+    y_x = quant.int8_matmul(x, q, s, impl="xla")
+    assert np.isfinite(np.asarray(y_p)).all()
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_quantized_decoder_forward_close():
     cfg = DecoderConfig.tiny()
     params = decoder.init(jax.random.PRNGKey(0), cfg)
