@@ -153,9 +153,15 @@ def load_pretrained(model_base: Optional[str], weights_dir: Optional[str],
         params["switch"] = projector.init(jax.random.PRNGKey(2), cfg.switch)
 
     # --- base LLM ----------------------------------------------------------
+    # LoRA must merge into full-precision weights, so quantize-on-load only
+    # applies when no adapter dir will be merged below.
+    lora_dir0 = weights_dir and os.path.join(weights_dir, LORA_DIR)
+    will_merge = bool(lora_dir0 and os.path.isdir(lora_dir0) and merge_lora)
     if model_base and os.path.isdir(model_base):
         sd = convert.load_hf_dir(model_base)
-        params["llm"] = convert.decoder_from_hf(sd, cfg.llm, dtype)
+        params["llm"] = convert.decoder_from_hf(
+            sd, cfg.llm, dtype,
+            quantize_int8=(quantize == "int8" and not will_merge))
     else:
         from ..models import decoder
         params["llm"] = decoder.init(jax.random.PRNGKey(3), cfg.llm)
@@ -183,8 +189,10 @@ def load_pretrained(model_base: Optional[str], weights_dir: Optional[str],
             unmerged = tree
 
     if quantize == "int8":
-        from ..kernels.quant import quantize_decoder
-        params["llm"] = quantize_decoder(params["llm"])
+        already = "kernel_q" in params["llm"]["layers"][0].get("q_proj", {})
+        if not already:   # random-init or post-LoRA-merge path
+            from ..kernels.quant import quantize_decoder
+            params["llm"] = quantize_decoder(params["llm"])
     elif quantize is not None:
         raise ValueError(f"unknown quantize mode: {quantize}")
     return params, unmerged

@@ -36,6 +36,21 @@ def _linear(sd: Mapping[str, Any], prefix: str, dtype=jnp.float32) -> Dict[str, 
     return p
 
 
+def _linear_int8(sd: Mapping[str, Any], prefix: str,
+                 dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Quantize-on-load: per-output-channel int8 computed in numpy BEFORE
+    anything lands on device, so an 8B model (16 GB bf16) converts within a
+    16 GB chip's HBM as 8 GB of int8 + scales."""
+    w = _np(sd[prefix + ".weight"]).T
+    s = np.maximum(np.abs(w).max(axis=0) / 127.0, 1e-8)
+    q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    p = {"kernel_q": jnp.asarray(q),
+         "scale": jnp.asarray(s.astype(np.float32))}
+    if prefix + ".bias" in sd:
+        p["bias"] = jnp.asarray(_np(sd[prefix + ".bias"]), dtype=dtype)
+    return p
+
+
 def _norm(sd: Mapping[str, Any], prefix: str, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
     p = {"scale": jnp.asarray(_np(sd[prefix + ".weight"]), dtype=dtype)}
     if prefix + ".bias" in sd:
@@ -110,16 +125,18 @@ def filter_prefix(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
 # Decoder LLMs (HF Llama / OPT / Qwen2 state dicts)
 # ---------------------------------------------------------------------------
 
-def decoder_from_hf(sd: Mapping[str, Any], cfg: DecoderConfig, dtype=None):
+def decoder_from_hf(sd: Mapping[str, Any], cfg: DecoderConfig, dtype=None,
+                    *, quantize_int8: bool = False):
     dtype = dtype or cfg.jnp_dtype
+    lin = _linear_int8 if quantize_int8 else _linear
     if cfg.family in ("llama", "qwen2"):
-        return _llama_like_from_hf(sd, cfg, dtype)
+        return _llama_like_from_hf(sd, cfg, dtype, lin)
     if cfg.family == "opt":
-        return _opt_from_hf(sd, cfg, dtype)
+        return _opt_from_hf(sd, cfg, dtype, lin)
     raise ValueError(cfg.family)
 
 
-def _llama_like_from_hf(sd, cfg: DecoderConfig, dtype):
+def _llama_like_from_hf(sd, cfg: DecoderConfig, dtype, lin=_linear):
     pre = "model." if any(k.startswith("model.") for k in sd) else ""
     params = {
         "embed_tokens": _embedding(sd, pre + "embed_tokens.weight", dtype),
@@ -127,24 +144,24 @@ def _llama_like_from_hf(sd, cfg: DecoderConfig, dtype):
         "layers": [],
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = _linear(sd, "lm_head", dtype)
+        params["lm_head"] = lin(sd, "lm_head", dtype)
     for i in range(cfg.num_layers):
         lp = f"{pre}layers.{i}."
         params["layers"].append({
             "attn_norm": {"scale": jnp.asarray(_np(sd[lp + "input_layernorm.weight"]), dtype=dtype)},
-            "q_proj": _linear(sd, lp + "self_attn.q_proj", dtype),
-            "k_proj": _linear(sd, lp + "self_attn.k_proj", dtype),
-            "v_proj": _linear(sd, lp + "self_attn.v_proj", dtype),
-            "o_proj": _linear(sd, lp + "self_attn.o_proj", dtype),
+            "q_proj": lin(sd, lp + "self_attn.q_proj", dtype),
+            "k_proj": lin(sd, lp + "self_attn.k_proj", dtype),
+            "v_proj": lin(sd, lp + "self_attn.v_proj", dtype),
+            "o_proj": lin(sd, lp + "self_attn.o_proj", dtype),
             "ffn_norm": {"scale": jnp.asarray(_np(sd[lp + "post_attention_layernorm.weight"]), dtype=dtype)},
-            "gate_proj": _linear(sd, lp + "mlp.gate_proj", dtype),
-            "up_proj": _linear(sd, lp + "mlp.up_proj", dtype),
-            "down_proj": _linear(sd, lp + "mlp.down_proj", dtype),
+            "gate_proj": lin(sd, lp + "mlp.gate_proj", dtype),
+            "up_proj": lin(sd, lp + "mlp.up_proj", dtype),
+            "down_proj": lin(sd, lp + "mlp.down_proj", dtype),
         })
     return params
 
 
-def _opt_from_hf(sd, cfg: DecoderConfig, dtype):
+def _opt_from_hf(sd, cfg: DecoderConfig, dtype, lin=_linear):
     pre = ""
     for c in ("model.decoder.", "decoder."):
         if any(k.startswith(c) for k in sd):
@@ -157,18 +174,18 @@ def _opt_from_hf(sd, cfg: DecoderConfig, dtype):
         "layers": [],
     }
     if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
-        params["lm_head"] = _linear(sd, "lm_head", dtype)
+        params["lm_head"] = lin(sd, "lm_head", dtype)
     for i in range(cfg.num_layers):
         lp = f"{pre}layers.{i}."
         params["layers"].append({
             "attn_norm": _norm(sd, lp + "self_attn_layer_norm", dtype),
-            "q_proj": _linear(sd, lp + "self_attn.q_proj", dtype),
-            "k_proj": _linear(sd, lp + "self_attn.k_proj", dtype),
-            "v_proj": _linear(sd, lp + "self_attn.v_proj", dtype),
-            "o_proj": _linear(sd, lp + "self_attn.out_proj", dtype),
+            "q_proj": lin(sd, lp + "self_attn.q_proj", dtype),
+            "k_proj": lin(sd, lp + "self_attn.k_proj", dtype),
+            "v_proj": lin(sd, lp + "self_attn.v_proj", dtype),
+            "o_proj": lin(sd, lp + "self_attn.out_proj", dtype),
             "ffn_norm": _norm(sd, lp + "final_layer_norm", dtype),
-            "fc1": _linear(sd, lp + "fc1", dtype),
-            "fc2": _linear(sd, lp + "fc2", dtype),
+            "fc1": lin(sd, lp + "fc1", dtype),
+            "fc2": lin(sd, lp + "fc2", dtype),
         })
     return params
 

@@ -82,6 +82,33 @@ def test_pallas_kernel_k_not_multiple_of_block():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_quantize_on_load_matches_post_quantize():
+    """decoder_from_hf(quantize_int8=True) == load-then-quantize_decoder."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from opus_pllm_tpu.core import convert
+
+    cfg = DecoderConfig.tiny()
+    hf = LlamaForCausalLM(LlamaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads, head_dim=cfg.head_dim,
+        tie_word_embeddings=False)).eval()
+    sd = hf.state_dict()
+    a = convert.decoder_from_hf(sd, cfg, jnp.float32, quantize_int8=True)
+    b = quant.quantize_decoder(convert.decoder_from_hf(sd, cfg, jnp.float32))
+    qa = np.asarray(a["layers"][0]["q_proj"]["kernel_q"])
+    qb = np.asarray(b["layers"][0]["q_proj"]["kernel_q"])
+    # same per-channel quantization up to rounding ties
+    assert (np.abs(qa.astype(int) - qb.astype(int)) <= 1).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(a["layers"][0]["q_proj"]["scale"]),
+                               np.asarray(b["layers"][0]["q_proj"]["scale"]),
+                               rtol=1e-5)
+
+
 def test_quantized_decoder_forward_close():
     cfg = DecoderConfig.tiny()
     params = decoder.init(jax.random.PRNGKey(0), cfg)
