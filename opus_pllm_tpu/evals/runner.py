@@ -48,8 +48,12 @@ class EvalReport:
 
 def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
                     gen: GenerationConfig, *, prompt_bucket: int,
-                    esm_bucket: int, impl: str):
-    """One padded batch through splice -> generate -> decode."""
+                    esm_bucket: int, impl: str, batch_index: int = 0):
+    """One padded batch through splice -> generate -> decode.
+
+    `batch_index` folds into the sampling key — otherwise every batch would
+    reuse identical randomness and correlate its samples.
+    """
     tok_ids = [tokenize_with_seq(p, tokenizer.encode,
                                  getattr(tokenizer, "bos_token_id", None))
                for p in prompts]
@@ -64,9 +68,10 @@ def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
                             jnp.asarray(esm_toks)[:, None], left_pad=True,
                             impl=impl)
     pos = decoder.positions_from_mask(sp.mask)
+    rng = jax.random.fold_in(jax.random.PRNGKey(gen.seed),
+                             jax.process_index() * 100003 + batch_index)
     out = engine.generate(
-        params["llm"], cfg.llm, sp.embeds, sp.mask, pos,
-        jax.random.PRNGKey(gen.seed),
+        params["llm"], cfg.llm, sp.embeds, sp.mask, pos, rng,
         max_new_tokens=gen.max_new_tokens, temperature=gen.temperature,
         top_p=gen.top_p, eos_token_id=gen.eos_token_id,
         pad_token_id=gen.pad_token_id, impl=impl)
@@ -105,7 +110,8 @@ def run_annotation_eval(params, cfg: OpusConfig, tokenizer, file_path: str,
         texts = _generate_batch(params, cfg, tokenizer, prompts,
                                 [e.sequence for e in chunk], gen,
                                 prompt_bucket=prompt_bucket,
-                                esm_bucket=esm_bucket, impl=impl)
+                                esm_bucket=esm_bucket, impl=impl,
+                                batch_index=s // batch_size)
         results.extend({"ground_truth": e.output, "generated": t}
                        for e, t in zip(chunk, texts))
     dt = time.perf_counter() - t0
@@ -156,7 +162,8 @@ def run_mcq_eval(params, cfg: OpusConfig, tokenizer, file_path: str, *,
         texts = _generate_batch(params, cfg, tokenizer, prompts,
                                 [e.sequence for e in chunk], gen,
                                 prompt_bucket=prompt_bucket,
-                                esm_bucket=esm_bucket, impl=impl)
+                                esm_bucket=esm_bucket, impl=impl,
+                                batch_index=s // batch_size)
         results.extend({"ground_truth": e.answer, "generated": t}
                        for e, t in zip(chunk, texts))
     dt = time.perf_counter() - t0
