@@ -12,6 +12,14 @@ Faithful fp32 re-derivations of the reference losses:
 The reference hard-codes W=c=128, silently requiring contrastive batch 128
 (SURVEY.md §7 hard part 5); here num_classes defaults to the logits' width and
 W/c stay configurable.
+
+KNOWN DEAD-GRADIENT REGION (inherited from the reference design): with
+T=0.0007, similarity logits scale to O(1000); whenever ALL of a row's
+scaled logits are below ~-15, `elu(x)+1` evidence saturates to 0 with
+fp32-zero gradient and training stalls at a constant loss. Real CSTP data
+produces positive diagonal similarities so the reference never hits this,
+but cold-start embeddings can (see tests/test_integration.py). If it bites,
+warm up with `info_nce_sym` for a few steps or raise `temperature`.
 """
 
 from __future__ import annotations
