@@ -65,6 +65,14 @@ class ESM2Config:
         return ESM2Config(num_layers=33, embed_dim=1280, num_heads=20)
 
     @staticmethod
+    def t36_3B() -> "ESM2Config":
+        return ESM2Config(num_layers=36, embed_dim=2560, num_heads=40)
+
+    @staticmethod
+    def t30_150M() -> "ESM2Config":
+        return ESM2Config(num_layers=30, embed_dim=640, num_heads=20)
+
+    @staticmethod
     def t12_35M() -> "ESM2Config":
         return ESM2Config(num_layers=12, embed_dim=480, num_heads=20)
 
