@@ -28,7 +28,7 @@ def main() -> None:
     # full 650M on TPU; small config keeps CPU smoke runs fast
     cfg = (ESM2Config.t33_650M() if on_tpu else ESM2Config.t6_8M())
     cfg = type(cfg)(**{**cfg.__dict__, "dtype": "bfloat16" if on_tpu else "float32"})
-    batch, seq_len = (32, 512) if on_tpu else (4, 128)
+    batch, seq_len = (128, 512) if on_tpu else (4, 128)  # 128: best measured
 
     # unrolled layers: ~12% faster than the lax.scan path for ESM2's small
     # matmuls (XLA fuses across layers); compile cost is acceptable here
