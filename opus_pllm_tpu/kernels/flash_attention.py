@@ -45,7 +45,7 @@ def supports(q, k, mask) -> bool:
     return True
 
 
-def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_s, l_s, acc_s,
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_s, l_s, acc_s,
             *, scale: float, causal: bool, block_q: int, block_k: int):
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -93,6 +93,10 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_s, l_s, acc_s,
     def _finalize():
         l = l_s[:, :1]
         o_ref[0, 0] = (acc_s[...] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # logsumexp of scaled+masked logits, consumed by the bwd kernels
+            lse_ref[0, 0] = (m_s[...]
+                             + jnp.log(jnp.maximum(l_s[...], 1e-30)))
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
@@ -118,32 +122,47 @@ def _flash_core(q, k, v, mask, causal, block_q, block_k):
 
 
 def _flash_core_fwd(q, k, v, mask, causal, block_q, block_k):
-    out = _flash_impl(q, k, v, mask, causal, block_q, block_k)
-    return out, (q, k, v, mask)
+    out, lse = _flash_impl(q, k, v, mask, causal, block_q, block_k,
+                           want_lse=True)
+    return out, (q, k, v, mask, out, lse)
 
 
 def _flash_core_bwd(causal, block_q, block_k, res, g):
-    from ..models.layers import attention_xla
+    q, k, v, mask, out, lse = res
+    if _bwd_supported(q, k):
+        from .flash_attention_bwd import flash_attention_bwd
 
-    q, k, v, mask = res
-    m = mask
-    if causal:
-        sq, skv = q.shape[1], k.shape[1]
-        cmask = (jnp.arange(skv)[None, None, None, :]
-                 <= jnp.arange(sq)[None, None, :, None])
-        cmask = jnp.broadcast_to(cmask, (q.shape[0], 1, sq, skv))
-        m = cmask if m is None else (m & cmask)
-    _, vjp = jax.vjp(lambda a, b, c: attention_xla(a, b, c, m), q, k, v)
-    dq, dk, dv = vjp(g)
+        dq, dk, dv = flash_attention_bwd(
+            q, k, v, mask, out, lse, g, causal=causal,
+            block_q=block_q, block_k=block_k)
+    else:   # XLA-recompute fallback (O(S^2) memory, always correct)
+        from ..models.layers import attention_xla
+
+        m = mask
+        if causal:
+            sq, skv = q.shape[1], k.shape[1]
+            cmask = (jnp.arange(skv)[None, None, None, :]
+                     <= jnp.arange(sq)[None, None, :, None])
+            cmask = jnp.broadcast_to(cmask, (q.shape[0], 1, sq, skv))
+            m = cmask if m is None else (m & cmask)
+        _, vjp = jax.vjp(lambda a, b, c: attention_xla(a, b, c, m), q, k, v)
+        dq, dk, dv = vjp(g)
     dmask = None if mask is None else \
         np.zeros(mask.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, dmask
 
 
+def _bwd_supported(q, k) -> bool:
+    # the Pallas bwd handles the same tile shapes as the fwd except the
+    # padded d=64 path (residual `out` is stored unpadded)
+    return q.shape[-1] % 128 == 0
+
+
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
-def _flash_impl(q, k, v, mask, causal: bool, block_q: int, block_k: int):
+def _flash_impl(q, k, v, mask, causal: bool, block_q: int, block_k: int,
+                want_lse: bool = False):
     b, sq, hq, d_orig = q.shape
     skv, hkv = k.shape[1], k.shape[2]
     groups = hq // hkv
@@ -175,21 +194,38 @@ def _flash_impl(q, k, v, mask, causal: bool, block_q: int, block_k: int):
         in_specs.append(pl.BlockSpec((1, bq, bk),
                                      lambda ib, ih, iq, ik: (ib, iq, ik)))
         args.append(m3)
-        kern = functools.partial(_kernel, scale=scale, causal=causal,
-                                 block_q=bq, block_k=bk)
+        def kern(qr, kr, vr, mr, *rest, _wl=want_lse):
+            if _wl:
+                o, lse, m_s, l_s, a_s = rest
+            else:
+                (o, m_s, l_s, a_s), lse = rest, None
+            _kernel(qr, kr, vr, mr, o, lse, m_s, l_s, a_s, scale=scale,
+                    causal=causal, block_q=bq, block_k=bk)
     else:
-        kern = functools.partial(
-            lambda qr, kr, vr, o, m_s, l_s, a_s, **kw: _kernel(
-                qr, kr, vr, None, o, m_s, l_s, a_s, **kw),
-            scale=scale, causal=causal, block_q=bq, block_k=bk)
+        def kern(qr, kr, vr, *rest, _wl=want_lse):
+            if _wl:
+                o, lse, m_s, l_s, a_s = rest
+            else:
+                (o, m_s, l_s, a_s), lse = rest, None
+            _kernel(qr, kr, vr, None, o, lse, m_s, l_s, a_s, scale=scale,
+                    causal=causal, block_q=bq, block_k=bk)
 
-    out = pl.pallas_call(
+    o_spec = pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik: (ib, ih, iq, 0))
+    o_shape = jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype)
+    if want_lse:
+        out_specs = (o_spec, pl.BlockSpec(
+            (1, 1, bq, 128), lambda ib, ih, iq, ik: (ib, ih, iq, 0)))
+        out_shape = (o_shape,
+                     jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32))
+    else:
+        out_specs, out_shape = o_spec, o_shape
+
+    res = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, bq, d),
-                               lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),   # running max m
             pltpu.VMEM((bq, 128), jnp.float32),   # running denom l
@@ -204,5 +240,9 @@ def _flash_impl(q, k, v, mask, causal: bool, block_q: int, block_k: int):
             transcendentals=b * hq * sq * skv,
         ),
     )(*args)
+    out, lse = res if want_lse else (res, None)
     out = out.transpose(0, 2, 1, 3)
-    return out[..., :d_orig] if d != d_orig else out
+    out = out[..., :d_orig] if d != d_orig else out
+    if want_lse:
+        return out, lse[..., 0]        # (B, Hq, Sq)
+    return out

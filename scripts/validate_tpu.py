@@ -57,20 +57,29 @@ def flash_forward(d: int, causal: bool):
 
 
 def flash_grads():
+    """Pallas bwd kernels (dq/dk/dv) vs XLA reference, GQA + padding mask."""
     from opus_pllm_tpu.kernels.flash_attention import flash_attention
     from opus_pllm_tpu.models.layers import attention_xla, padding_mask
 
     rng = np.random.default_rng(0)
-    q, k, v = (jnp.asarray(rng.normal(size=(2, 256, 4, 128)), jnp.bfloat16)
-               for _ in range(3))
-    m = padding_mask(jnp.ones((2, 256), bool))
-    gf = jax.grad(lambda q: jnp.sum(
-        flash_attention(q, k, v, m).astype(jnp.float32) ** 2))(q)
-    gx = jax.grad(lambda q: jnp.sum(
-        attention_xla(q, k, v, m).astype(jnp.float32) ** 2))(q)
-    rel = (np.abs(np.asarray(gf, np.float32) - np.asarray(gx, np.float32)).max()
-           / (np.abs(np.asarray(gx, np.float32)).max() + 1e-9))
-    assert rel < 0.02, f"rel={rel}"
+    b, s, hq, hkv, d = 2, 256, 8, 4, 128
+    q = jnp.asarray(rng.normal(size=(b, s, hq, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, s, hkv, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, s, hkv, d)), jnp.bfloat16)
+    am = np.ones((b, s), bool)
+    am[1, -17:] = False
+    m = padding_mask(jnp.asarray(am))
+
+    def gr(fn):
+        return jax.grad(lambda q, k, v: jnp.sum(
+            fn(q, k, v).astype(jnp.float32) ** 2), argnums=(0, 1, 2))(q, k, v)
+
+    gf = gr(lambda q, k, v: flash_attention(q, k, v, m))
+    gx = gr(lambda q, k, v: attention_xla(q, k, v, m))
+    for name, a, bb in zip(("dq", "dk", "dv"), gf, gx):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(bb, np.float32)
+        rel = np.abs(a32 - b32).max() / (np.abs(b32).max() + 1e-9)
+        assert rel < 0.02, (name, rel)
 
 
 def int8_kernel():

@@ -20,14 +20,14 @@ def test_flash_grads_match_xla():
     m = padding_mask(jnp.ones((b, s), bool))
 
     def loss_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(flash_attention(q, k, v, m, block_q=8,
-                                           block_k=128) ** 2)
+        return jnp.sum(flash_attention(q, k, v, m, block_q=8,
+                                       block_k=128) ** 2)
 
     def loss_xla(q, k, v):
         return jnp.sum(attention_xla(q, k, v, m) ** 2)
 
-    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
