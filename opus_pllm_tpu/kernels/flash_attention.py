@@ -153,9 +153,8 @@ def _flash_core_bwd(causal, block_q, block_k, res, g):
 
 
 def _bwd_supported(q, k) -> bool:
-    # the Pallas bwd handles the same tile shapes as the fwd except the
-    # padded d=64 path (residual `out` is stored unpadded)
-    return q.shape[-1] % 128 == 0
+    # the Pallas bwd handles the same shapes as the fwd (incl. padded d=64)
+    return q.shape[-1] % 128 == 0 or q.shape[-1] == 64
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)

@@ -120,12 +120,19 @@ def flash_attention_bwd(q, k, v, mask, out, lse, g, *, causal: bool,
 
     q (B,Sq,Hq,D); k,v (B,Skv,Hkv,D); out,g like q; lse (B,Hq,Sq) fp32.
     """
-    b, sq, hq, d = q.shape
+    b, sq, hq, d_orig = q.shape
     skv, hkv = k.shape[1], k.shape[2]
     groups = hq // hkv
     bq = min(block_q, sq)
     bk = min(block_k, skv)
-    scale = 1.0 / math.sqrt(d)
+    scale = 1.0 / math.sqrt(d_orig)
+    d = d_orig
+    if d == 64:
+        # mirror the forward's pad-to-128 trick: zero columns contribute
+        # nothing to scores/delta and the extra gradient columns slice off
+        pad = [(0, 0)] * 3 + [(0, 64)]
+        q, k, v, out, g = (jnp.pad(t, pad) for t in (q, k, v, out, g))
+        d = 128
 
     # delta_i = rowsum(do * o): one fused elementwise pass in XLA
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
@@ -204,5 +211,7 @@ def flash_attention_bwd(q, k, v, mask, out, lse, g, *, causal: bool,
     # GQA: sum q-head contributions into each KV head
     dk = dk_h.reshape(b, hkv, groups, skv, d).sum(2).astype(k.dtype)
     dv = dv_h.reshape(b, hkv, groups, skv, d).sum(2).astype(v.dtype)
-    return (dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
-            dv.transpose(0, 2, 1, 3))
+    dq, dk, dv = (t.transpose(0, 2, 1, 3) for t in (dq, dk, dv))
+    if d != d_orig:
+        dq, dk, dv = (t[..., :d_orig] for t in (dq, dk, dv))
+    return dq, dk, dv

@@ -72,8 +72,8 @@ def test_bwd_kernel_no_mask_causal():
                                    rtol=2e-3, atol=2e-3)
 
 
-def test_d64_falls_back_to_xla_recompute():
-    """Padded d=64 path still differentiates (via the XLA fallback)."""
+def test_d64_grads():
+    """Padded d=64 path differentiates through the Pallas bwd kernels."""
     rng = np.random.default_rng(2)
     q = jnp.asarray(rng.normal(size=(1, 16, 2, 64)), jnp.float32)
     k, v = q + 0.1, q + 0.2
