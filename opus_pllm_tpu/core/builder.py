@@ -154,9 +154,12 @@ def load_pretrained(model_base: Optional[str], weights_dir: Optional[str],
 
     # --- base LLM ----------------------------------------------------------
     # LoRA must merge into full-precision weights, so quantize-on-load only
-    # applies when no adapter dir will be merged below.
+    # applies when an adapter dir with actual weight files will merge below.
     lora_dir0 = weights_dir and os.path.join(weights_dir, LORA_DIR)
-    will_merge = bool(lora_dir0 and os.path.isdir(lora_dir0) and merge_lora)
+    will_merge = bool(
+        lora_dir0 and os.path.isdir(lora_dir0) and merge_lora
+        and any(f.endswith((".bin", ".safetensors"))
+                for f in os.listdir(lora_dir0)))
     if model_base and os.path.isdir(model_base):
         sd = convert.load_hf_dir(model_base)
         params["llm"] = convert.decoder_from_hf(

@@ -96,7 +96,7 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_s, l_s, acc_s,
         if lse_ref is not None:
             # logsumexp of scaled+masked logits, consumed by the bwd kernels
             lse_ref[0, 0] = (m_s[...]
-                             + jnp.log(jnp.maximum(l_s[...], 1e-30)))
+                             + jnp.log(jnp.maximum(l_s[...], 1e-30)))[:, :8]
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
@@ -212,10 +212,12 @@ def _flash_impl(q, k, v, mask, causal: bool, block_q: int, block_k: int,
     o_spec = pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik: (ib, ih, iq, 0))
     o_shape = jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype)
     if want_lse:
+        # stats layout (B, Hq, Sq, 8): last dim equals the overall dim so
+        # the TPU (8, 128) tiling rule is satisfied at 8x (not 128x) memory
         out_specs = (o_spec, pl.BlockSpec(
-            (1, 1, bq, 128), lambda ib, ih, iq, ik: (ib, ih, iq, 0)))
+            (1, 1, bq, 8), lambda ib, ih, iq, ik: (ib, ih, iq, 0)))
         out_shape = (o_shape,
-                     jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32))
+                     jax.ShapeDtypeStruct((b, hq, sq, 8), jnp.float32))
     else:
         out_specs, out_shape = o_spec, o_shape
 

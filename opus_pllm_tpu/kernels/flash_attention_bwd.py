@@ -31,16 +31,29 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_LARGE = -1e30
 
 
-def _scores(q_blk, k_blk, mask_blk, causal, iq, ik, bq, bk, scale):
+def _probs(q_blk, k_blk, lse_col, mask_blk, causal, iq, ik, bq, bk, scale):
+    """Recomputed softmax probabilities for one tile.
+
+    Masked entries are zeroed EXPLICITLY rather than via exp of a large
+    negative: for a FULLY-masked query row, lse saturates to -1e30 in fp32
+    (the log-l term is absorbed), exp(s - lse) = 1 per entry, and ~Skv-times
+    inflated garbage would flow into dq/dk/dv. Zeroing defines the
+    convention: fully-masked (padding) rows contribute ZERO gradient. Note
+    the XLA reference instead yields "uniform-attention" gradients for such
+    rows (an artifact of -1e9 masking); both are arbitrary because padding
+    rows must be excluded from any loss — only this convention is also
+    numerically stable.
+    """
     s = jax.lax.dot_general(q_blk, k_blk, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse_col)
     if causal:
         rows = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         cols = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        s = jnp.where(rows >= cols, s, NEG_LARGE)
+        p = jnp.where(rows >= cols, p, 0.0)
     if mask_blk is not None:
-        s = jnp.where(mask_blk, s, NEG_LARGE)
-    return s
+        p = jnp.where(mask_blk, p, 0.0)
+    return p
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
@@ -62,8 +75,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
         m = mask_ref[0] if mask_ref is not None else None
-        s = _scores(q, k, m, causal, iq, ik, bq, bk, scale)
-        p = jnp.exp(s - lse_ref[0, 0][:, :1])                 # (BQ, BK)
+        p = _probs(q, k, lse_ref[0, 0][:, :1], m, causal, iq, ik,
+                   bq, bk, scale)                               # (BQ, BK)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0, 0][:, :1]) * scale
@@ -95,8 +108,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
         m = mask_ref[0] if mask_ref is not None else None
-        s = _scores(q, k, m, causal, iq, ik, bq, bk, scale)
-        p = jnp.exp(s - lse_ref[0, 0][:, :1])
+        p = _probs(q, k, lse_ref[0, 0][:, :1], m, causal, iq, ik,
+                   bq, bk, scale)
         dv_acc[...] += jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)               # (BK, D)
@@ -138,9 +151,10 @@ def flash_attention_bwd(q, k, v, mask, out, lse, g, *, causal: bool,
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)                                   # (B, Sq, Hq)
     delta = delta.transpose(0, 2, 1)                           # (B, Hq, Sq)
-    # broadcast the per-row stats over the 128-lane tile
-    lse_t = jnp.broadcast_to(lse[..., None], (*lse.shape, 128))
-    delta_t = jnp.broadcast_to(delta[..., None], (*delta.shape, 128))
+    # (B, Hq, Sq, 8): satisfies the TPU (8, 128) block-tiling rule with 8x
+    # (not 128x) stats memory
+    lse_t = jnp.broadcast_to(lse[..., None], (*lse.shape, 8))
+    delta_t = jnp.broadcast_to(delta[..., None], (*delta.shape, 8))
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -154,8 +168,8 @@ def flash_attention_bwd(q, k, v, mask, out, lse, g, *, causal: bool,
             pl.BlockSpec((1, 1, bk, d), lambda ib, ih, i, j: (ib, ih // groups, ik_map(i, j), 0)),
             pl.BlockSpec((1, 1, bk, d), lambda ib, ih, i, j: (ib, ih // groups, ik_map(i, j), 0)),
             pl.BlockSpec((1, 1, bq, d), lambda ib, ih, i, j: (ib, ih, iq_map(i, j), 0)),
-            pl.BlockSpec((1, 1, bq, 128), lambda ib, ih, i, j: (ib, ih, iq_map(i, j), 0)),
-            pl.BlockSpec((1, 1, bq, 128), lambda ib, ih, i, j: (ib, ih, iq_map(i, j), 0)),
+            pl.BlockSpec((1, 1, bq, 8), lambda ib, ih, i, j: (ib, ih, iq_map(i, j), 0)),
+            pl.BlockSpec((1, 1, bq, 8), lambda ib, ih, i, j: (ib, ih, iq_map(i, j), 0)),
         ]
         if m3 is not None:
             sp.append(pl.BlockSpec(
@@ -164,7 +178,7 @@ def flash_attention_bwd(q, k, v, mask, out, lse, g, *, causal: bool,
 
     args = [qt, kt, vt, gt, lse_t, delta_t] + ([m3] if m3 is not None else [])
 
-    def wrap(kernel, n_named):
+    def wrap(kernel):
         if m3 is not None:
             return functools.partial(kernel, scale=scale, causal=causal,
                                      bq=bq, bk=bk)
@@ -176,7 +190,7 @@ def flash_attention_bwd(q, k, v, mask, out, lse, g, *, causal: bool,
 
     # ---- dq: grid (B, Hq, nQ, nK-sequential) -------------------------------
     dq = pl.pallas_call(
-        wrap(_dq_kernel, 1),
+        wrap(_dq_kernel),
         grid=(b, hq, sq // bq, skv // bk),
         in_specs=specs(lambda i, j: i, lambda i, j: j),
         out_specs=pl.BlockSpec((1, 1, bq, d),
@@ -190,7 +204,7 @@ def flash_attention_bwd(q, k, v, mask, out, lse, g, *, causal: bool,
 
     # ---- dk/dv: grid (B, Hq, nK, nQ-sequential) ----------------------------
     dk_h, dv_h = pl.pallas_call(
-        wrap(_dkv_kernel, 2),
+        wrap(_dkv_kernel),
         grid=(b, hq, skv // bk, sq // bq),
         in_specs=specs(lambda i, j: j, lambda i, j: i),
         out_specs=(

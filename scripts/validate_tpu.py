@@ -56,18 +56,21 @@ def flash_forward(d: int, causal: bool):
     assert err < 0.05, f"max|diff|={err}"
 
 
-def flash_grads():
-    """Pallas bwd kernels (dq/dk/dv) vs XLA reference, GQA + padding mask."""
+def flash_grads(d: int = 128):
+    """Pallas bwd kernels (dq/dk/dv) vs XLA reference: GQA, padding mask,
+    and a fully-padded row (must get exactly zero gradient)."""
     from opus_pllm_tpu.kernels.flash_attention import flash_attention
     from opus_pllm_tpu.models.layers import attention_xla, padding_mask
 
     rng = np.random.default_rng(0)
-    b, s, hq, hkv, d = 2, 256, 8, 4, 128
+    b, s = 2, 256
+    hq, hkv = (8, 4) if d == 128 else (4, 4)
     q = jnp.asarray(rng.normal(size=(b, s, hq, d)), jnp.bfloat16)
     k = jnp.asarray(rng.normal(size=(b, s, hkv, d)), jnp.bfloat16)
     v = jnp.asarray(rng.normal(size=(b, s, hkv, d)), jnp.bfloat16)
     am = np.ones((b, s), bool)
-    am[1, -17:] = False
+    am[1, :] = False
+    am[0, -17:] = False
     m = padding_mask(jnp.asarray(am))
 
     def gr(fn):
@@ -78,8 +81,9 @@ def flash_grads():
     gx = gr(lambda q, k, v: attention_xla(q, k, v, m))
     for name, a, bb in zip(("dq", "dk", "dv"), gf, gx):
         a32, b32 = np.asarray(a, np.float32), np.asarray(bb, np.float32)
-        rel = np.abs(a32 - b32).max() / (np.abs(b32).max() + 1e-9)
+        rel = np.abs(a32[0] - b32[0]).max() / (np.abs(b32[0]).max() + 1e-9)
         assert rel < 0.02, (name, rel)
+        assert np.abs(a32[1]).max() == 0.0, (name, "padded row nonzero")
 
 
 def int8_kernel():
@@ -160,7 +164,8 @@ def main():
     check("flash fwd d=128 padding", lambda: flash_forward(128, False))
     check("flash fwd d=64 (padded)", lambda: flash_forward(64, False))
     check("flash fwd causal", lambda: flash_forward(128, True))
-    check("flash custom-VJP grads", flash_grads)
+    check("flash bwd kernels d=128", lambda: flash_grads(128))
+    check("flash bwd kernels d=64", lambda: flash_grads(64))
     check("int8 pallas matmul", int8_kernel)
     check("stacked-scan generate", stacked_generate)
     if not args.fast:

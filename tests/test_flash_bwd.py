@@ -72,6 +72,34 @@ def test_bwd_kernel_no_mask_causal():
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_fully_masked_rows_zero_grads():
+    """Padding rows (all keys masked) contribute exactly zero gradient —
+    the stable convention; the XLA reference leaks uniform-attention grads
+    for such rows, which is why they must never reach a loss."""
+    rng = np.random.default_rng(3)
+    b, s, h, d = 2, 16, 2, 128
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    am = np.ones((b, s), bool)
+    am[1, :] = False                      # batch row 1 fully padded
+    m4 = padding_mask(jnp.asarray(am))
+
+    def flash_fn(q, k, v):
+        return flash_attention(q, k, v, m4, block_q=8, block_k=128)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = _grads(flash_fn, q, k, v)
+    gx = _grads(lambda q, k, v: attention_xla(q, k, v, m4), q, k, v)
+    # valid batch row matches the reference
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a)[0], np.asarray(b_)[0],
+                                   rtol=2e-3, atol=2e-3)
+    # padded batch row: exactly zero from the Pallas bwd
+    for a in gf:
+        assert np.abs(np.asarray(a)[1]).max() == 0.0
+
+
 def test_d64_grads():
     """Padded d=64 path differentiates through the Pallas bwd kernels."""
     rng = np.random.default_rng(2)
