@@ -65,23 +65,26 @@ def sample_token(logits, key, temperature: float, top_p: float):
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
                      "eos_token_id", "pad_token_id", "impl",
-                     "stop_sequences"))
+                     "stop_sequences", "quantize_cache"))
 def generate(params, cfg: DecoderConfig, input_embeds, attn_mask, positions,
              rng, *, max_new_tokens: int, temperature: float = 0.1,
              top_p: float = 0.7, eos_token_id: int = -1, pad_token_id: int = 0,
              stop_sequences: Optional[tuple] = None,
+             quantize_cache: bool = False,
              impl: str = "auto") -> GenerateOutput:
     """input_embeds (B, L, H) LEFT-padded; attn_mask/positions (B, L).
 
     stop_sequences: tuple of token-id tuples (make_stop_sequences); a row
     finishes when its generated tail matches any suffix (or hits EOS).
+    quantize_cache: int8 KV cache (half the cache HBM footprint/traffic).
     """
     b, l, h = input_embeds.shape
     tail_len = max((len(s) for s in stop_sequences), default=0) \
         if stop_sequences else 0
     cap = l + max_new_tokens
     cache = decoder.init_cache(cfg, b, cap, dtype=cfg.jnp_dtype,
-                               stacked="layers_stacked" in params)
+                               stacked="layers_stacked" in params,
+                               quantize=quantize_cache)
     cache["mask"] = cache["mask"].at[:, :l].set(attn_mask)
 
     # prefill: causal over the prompt, nothing beyond slot l

@@ -84,15 +84,26 @@ def init(key, cfg: DecoderConfig):
 # ---------------------------------------------------------------------------
 
 def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None,
-               *, stacked: bool = False):
+               *, stacked: bool = False, quantize: bool = False):
+    """KV cache pytree. quantize=True stores K/V int8 with per-(token, head)
+    fp32 scales — halving the cache's HBM footprint and read traffic, the
+    lever once decode batch grows and KV reads share the roofline with
+    weights (BENCH_NOTES.md)."""
     dtype = dtype or cfg.jnp_dtype
-    kv = lambda: jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype)
+    shp = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    sshp = (cfg.num_layers, *shp)
+
+    def leaf(shape):
+        if quantize:
+            return {"q": jnp.zeros(shape, jnp.int8),
+                    "s": jnp.zeros((*shape[:-1], 1), jnp.float32)}
+        return jnp.zeros(shape, dtype)
+
     if stacked:
-        skv = jnp.zeros((cfg.num_layers, batch, max_len, cfg.num_kv_heads,
-                         cfg.head_dim), dtype)
-        layers = {"k": skv, "v": skv}
+        layers = {"k": leaf(sshp), "v": leaf(sshp)}
     else:
-        layers = [{"k": kv(), "v": kv()} for _ in range(cfg.num_layers)]
+        layers = [{"k": leaf(shp), "v": leaf(shp)}
+                  for _ in range(cfg.num_layers)]
     return {
         "layers": layers,
         "index": jnp.zeros((), jnp.int32),        # next free slot
@@ -100,10 +111,38 @@ def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None,
     }
 
 
+def _quantize_kv(x):
+    """(B, S, H, D) -> int8 values + per-(token, head) scales."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
+                    1e-8)
+    return {"q": jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8),
+            "s": s}
+
+
+def _dequantize_kv(leaf, dtype):
+    return (leaf["q"].astype(jnp.float32) * leaf["s"]).astype(dtype)
+
+
 def _write_cache(layer_cache, k_new, v_new, index):
-    k = jax.lax.dynamic_update_slice(layer_cache["k"], k_new, (0, index, 0, 0))
-    v = jax.lax.dynamic_update_slice(layer_cache["v"], v_new, (0, index, 0, 0))
-    return {"k": k, "v": v}
+    def upd(buf, new):
+        if isinstance(buf, dict):   # int8-quantized cache leaf
+            qn = _quantize_kv(new)
+            return {"q": jax.lax.dynamic_update_slice(
+                        buf["q"], qn["q"], (0, index, 0, 0)),
+                    "s": jax.lax.dynamic_update_slice(
+                        buf["s"], qn["s"], (0, index, 0, 0))}
+        return jax.lax.dynamic_update_slice(buf, new, (0, index, 0, 0))
+
+    return {"k": upd(layer_cache["k"], k_new),
+            "v": upd(layer_cache["v"], v_new)}
+
+
+def _read_cache(layer_cache, dtype):
+    k, v = layer_cache["k"], layer_cache["v"]
+    if isinstance(k, dict):
+        return _dequantize_kv(k, dtype), _dequantize_kv(v, dtype)
+    return k, v
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +177,7 @@ def _block(cfg: DecoderConfig, p, x, mask4, cos, sin, layer_cache, index, impl,
     new_cache = None
     if layer_cache is not None:
         new_cache = _write_cache(layer_cache, k, v, index)
-        k, v = new_cache["k"], new_cache["v"]
+        k, v = _read_cache(new_cache, x.dtype)
     a = attention(q, k, v, mask4, impl=impl).reshape(b, s, hq * d)
     x = x + g("o_proj", a)
     r = _norm(cfg, p["ffn_norm"], x)
