@@ -39,6 +39,8 @@ def _model_args(p: argparse.ArgumentParser) -> None:
                    help="tokenizer dir (default: --model-base)")
     p.add_argument("--load-int8", action="store_true",
                    help="int8 weight-only LLM (≙ reference --load-8bit)")
+    p.add_argument("--quantize-cache", action="store_true",
+                   help="int8 KV cache during generation")
 
 
 def _gen_args(p: argparse.ArgumentParser) -> None:
@@ -109,7 +111,7 @@ def cmd_annotate(args) -> None:
         max_new_tokens=args.max_new_tokens or max_new_tokens_for(args.test_json),
         temperature=args.temperature, top_p=args.top_p,
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
-        seed=args.seed)
+        seed=args.seed, quantize_cache=getattr(args, "quantize_cache", False))
     rep = runner.run_annotation_eval(
         params, cfg, tok, args.test_json, gen=gen,
         batch_size=args.batch_size, save_path=args.save_path,

@@ -299,6 +299,7 @@ class GenerationConfig:
     eos_token_id: int = -1
     pad_token_id: int = 0
     seed: int = 0
+    quantize_cache: bool = False     # int8 KV cache (half HBM traffic)
 
     @property
     def do_sample(self) -> bool:

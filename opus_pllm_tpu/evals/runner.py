@@ -74,7 +74,8 @@ def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
         params["llm"], cfg.llm, sp.embeds, sp.mask, pos, rng,
         max_new_tokens=gen.max_new_tokens, temperature=gen.temperature,
         top_p=gen.top_p, eos_token_id=gen.eos_token_id,
-        pad_token_id=gen.pad_token_id, impl=impl)
+        pad_token_id=gen.pad_token_id,
+        quantize_cache=gen.quantize_cache, impl=impl)
     toks = np.asarray(out.tokens)
     lens = np.asarray(out.lengths)
     texts = []
