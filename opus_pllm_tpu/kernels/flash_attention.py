@@ -31,10 +31,14 @@ DEFAULT_BLOCK_K = 256
 
 
 def supports(q, k, mask) -> bool:
-    """Shapes the kernel handles; callers fall back to XLA otherwise."""
+    """Shapes where the kernel BEATS XLA; `attention(impl="auto")` callers
+    fall back to XLA otherwise. d=64 is handled by the kernel (padded to the
+    128-lane tile) but measured ~35% SLOWER than XLA attention at ESM2
+    shapes (BENCH_NOTES.md), so auto-dispatch requires d % 128 == 0;
+    call flash_attention directly to force the padded path."""
     b, sq, hq, d = q.shape
     skv = k.shape[1]
-    if d % 128 != 0 and d != 64:   # d=64 (ESM2) pads to 128 in the wrapper
+    if d % 128 != 0:
         return False
     bq = min(DEFAULT_BLOCK_Q, sq)
     bk = min(DEFAULT_BLOCK_K, skv)
