@@ -85,7 +85,7 @@ def splice_prompt(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens,
 
 def forward(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens=None,
             labels=None, *, lora=None, lora_scale: float = 1.0,
-            left_pad: bool = False, pooled_emb=None,
+            left_pad: bool = False, pooled_emb=None, remat: bool = False,
             impl: str = "auto") -> Tuple[jnp.ndarray, Spliced]:
     """Full multimodal forward -> (logits (B, L_out, V), spliced inputs)."""
     sp = splice_prompt(params, cfg, input_ids, attn_mask, esm_tokens, labels,
@@ -93,7 +93,8 @@ def forward(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens=None,
     mask4 = causal_mask(sp.mask)
     logits, _ = decoder.forward(
         params["llm"], cfg.llm, sp.embeds.astype(cfg.llm.jnp_dtype),
-        sp.positions, mask4, lora=lora, lora_scale=lora_scale, impl=impl)
+        sp.positions, mask4, lora=lora, lora_scale=lora_scale, remat=remat,
+        impl=impl)
     return logits, sp
 
 

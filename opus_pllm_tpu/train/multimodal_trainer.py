@@ -66,19 +66,21 @@ def _assemble(frozen, trainable):
 
 
 def loss_fn(trainable, frozen, cfg: OpusConfig, batch,
-            lora_scale: float) -> Tuple[jnp.ndarray, dict]:
+            lora_scale: float, remat: bool = True) -> Tuple[jnp.ndarray, dict]:
     """Next-token CE over the spliced multimodal stream (RIGHT-pad training
     path, opus_arch.py:245-269; labels at protein slots = IGNORE_INDEX).
 
     Batches with a `pooled_emb` key skip the frozen ESM tower entirely
     (offline-precomputed embeddings, the reference's training data layout).
+    Per-layer remat is on by default: backward-pass activation memory is
+    what OOMs billion-parameter training on a 16 GB chip.
     """
     params = _assemble(frozen, trainable)
     logits, sp = opus.forward(
         params, cfg, batch["input_ids"], batch["attn_mask"],
         batch.get("esm_tokens"), labels=batch["labels"],
         lora=trainable.get("lora"), lora_scale=lora_scale, left_pad=False,
-        pooled_emb=batch.get("pooled_emb"))
+        pooled_emb=batch.get("pooled_emb"), remat=remat)
     loss = opus.next_token_loss(logits, sp.labels, sp.mask)
     return loss, {"loss": loss}
 
