@@ -75,6 +75,42 @@ def _kernel(x_ref, wq_ref, s_ref, o_ref, acc, *, n_k: int):
                                              "impl"))
 def int8_matmul(x, wq, scale, *, block_m: int = 256, block_n: int = 256,
                 block_k: int = 512, impl: str = "auto"):
+    """x (M, K) bf16/fp32 @ int8 wq (K, N) * scale (N,) -> (M, N) x.dtype.
+
+    Differentiable wrt x (custom VJP: dx = g @ dequant(w).T — pallas_call
+    itself has no autodiff rule); the int8 weights are frozen by definition,
+    so LoRA training over an int8 base works.
+    """
+    return _int8_matmul_core(x, wq, scale, block_m, block_n, block_k, impl)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _int8_matmul_core(x, wq, scale, block_m, block_n, block_k, impl):
+    return _int8_matmul_impl(x, wq, scale, block_m, block_n, block_k, impl)
+
+
+def _int8_matmul_fwd(x, wq, scale, block_m, block_n, block_k, impl):
+    out = _int8_matmul_impl(x, wq, scale, block_m, block_n, block_k, impl)
+    return out, (x, wq, scale)
+
+
+def _int8_matmul_bwd(block_m, block_n, block_k, impl, res, g):
+    x, wq, scale = res
+    w = (wq.astype(jnp.float32) * scale.astype(jnp.float32)[None, :])
+    dx = jnp.dot(g.astype(jnp.float32), w.T,
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+    # frozen weights: zero cotangents (int8/scale are never trained)
+    import numpy as _np
+    dwq = _np.zeros(wq.shape, dtype=jax.dtypes.float0)
+    dscale = jnp.zeros_like(scale)
+    return dx, dwq, dscale
+
+
+_int8_matmul_core.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
+
+
+def _int8_matmul_impl(x, wq, scale, block_m: int, block_n: int,
+                      block_k: int, impl: str):
     """x (M, K) bf16/fp32 @ int8 wq (K, N) * scale (N,) -> (M, N) x.dtype."""
     m, k = x.shape
     k2, n = wq.shape
