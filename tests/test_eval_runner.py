@@ -13,9 +13,9 @@ from opus_pllm_tpu.infer.tokenization import ByteTokenizer
 from opus_pllm_tpu.models import opus
 
 
-@pytest.fixture(scope="module")
-def tiny_model():
-    cfg = OpusConfig.tiny()
+@pytest.fixture(scope="module", params=["llama", "opt", "qwen2"])
+def tiny_model(request):
+    cfg = OpusConfig.tiny(request.param)
     params = opus.init(jax.random.PRNGKey(0), cfg)
     return cfg, params
 
