@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Mapping
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -291,6 +292,57 @@ def merge_lora_into_decoder(params, lora_tree, scaling: float):
             base.astype(jnp.float32) + delta.astype(jnp.float32)
         ).astype(base.dtype)
     return params
+
+
+# ---------------------------------------------------------------------------
+# Reverse converters: our trained trees -> reference checkpoint formats
+# ---------------------------------------------------------------------------
+
+def switch_projector_to_torch(params) -> Dict[str, np.ndarray]:
+    """Switch-projector tree -> the reference's
+    `switch_projector.{i}.weight/bias` layout (nn.Sequential indices with
+    GELU at odd slots, opus_arch.py:85-89 / extract_mm_projector.py), so a
+    projector trained here loads in the PyTorch stack."""
+    sd: Dict[str, np.ndarray] = {}
+    for i, lp in enumerate(params["layers"]):
+        slot = 2 * i   # Linear, GELU, Linear, GELU, ...
+        sd[f"switch_projector.{slot}.weight"] = np.asarray(
+            lp["kernel"], np.float32).T
+        if "bias" in lp:
+            sd[f"switch_projector.{slot}.bias"] = np.asarray(
+                lp["bias"], np.float32)
+    return sd
+
+
+def lora_to_peft(lora_tree, *, where_of=None) -> Dict[str, np.ndarray]:
+    """LoRA tree -> PEFT state-dict keys
+    (`base_model.model.model.layers.{i}.{where}.{proj}.lora_{A,B}.weight`),
+    torch (out, in) orientation."""
+    def default_where(proj: str) -> str:
+        return "self_attn" if proj in ("q_proj", "k_proj", "v_proj",
+                                       "o_proj") else "mlp"
+
+    where_of = where_of or default_where
+    layers = lora_tree["layers"] if "layers" in lora_tree else None
+    if layers is None:   # stacked layout
+        stacked = lora_tree["layers_stacked"]
+        n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        layers = [jax.tree_util.tree_map(lambda x: x[i], stacked)
+                  for i in range(n)]
+    sd: Dict[str, np.ndarray] = {}
+    for i, lp in enumerate(layers):
+        for proj, ab in lp.items():
+            base = (f"base_model.model.model.layers.{i}."
+                    f"{where_of(proj)}.{proj}")
+            sd[f"{base}.lora_A.weight"] = np.asarray(ab["A"], np.float32).T
+            sd[f"{base}.lora_B.weight"] = np.asarray(ab["B"], np.float32).T
+    return sd
+
+
+def save_torch_state_dict(sd: Dict[str, np.ndarray], path: str) -> None:
+    import torch
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               path)
 
 
 # ---------------------------------------------------------------------------
