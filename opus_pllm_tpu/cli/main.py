@@ -258,6 +258,29 @@ def _train_multimodal(args, *, lora: bool) -> None:
     state = mmt.fit(state, tx, cfg, tcfg, params, batches, lora_cfg=lcfg)
     mgr.save(int(state.step), state.trainable)
     print(f"saved trainable tree at step {int(state.step)} -> {args.out}")
+    if args.export_reference_format:
+        import os as _os
+
+        from ..core import convert as cv
+        if "switch" in state.trainable:
+            d = _os.path.join(args.out, "modality_refinement_projector")
+            _os.makedirs(d, exist_ok=True)
+            cv.save_torch_state_dict(
+                cv.switch_projector_to_torch(state.trainable["switch"]),
+                _os.path.join(d, "modality_refinement_projection.bin"))
+            print(f"exported switch projector (reference format) -> {d}")
+        if "lora" in state.trainable:
+            d = _os.path.join(args.out, "lora_adapter")
+            _os.makedirs(d, exist_ok=True)
+            cv.save_torch_state_dict(
+                cv.lora_to_peft(state.trainable["lora"]),
+                _os.path.join(d, "adapter_model.bin"))
+            import json as _json
+            with open(_os.path.join(d, "adapter_config.json"), "w") as f:
+                _json.dump({"r": lcfg.rank if lcfg else 16,
+                            "lora_alpha": lcfg.alpha if lcfg else 32,
+                            "peft_type": "LORA"}, f)
+            print(f"exported LoRA adapter (PEFT format) -> {d}")
 
 
 def cmd_precompute(args) -> None:
@@ -393,6 +416,9 @@ def build_parser() -> argparse.ArgumentParser:
         t.add_argument("--max-len", type=int, default=512)
         t.add_argument("--lora-rank", type=int, default=16)
         t.add_argument("--train-switch", action="store_true")
+        t.add_argument("--export-reference-format", action="store_true",
+                       help="also write the reference checkpoint layout "
+                            "(modality_refinement_projector/, lora_adapter/)")
         t.set_defaults(fn=lambda a, _l=is_lora: _train_multimodal(a, lora=_l))
 
     pc = sub.add_parser("precompute-embeddings")
