@@ -1,0 +1,1 @@
+from . import adapters, cstp, losses, projector, splice  # noqa: F401

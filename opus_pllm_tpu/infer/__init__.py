@@ -1,0 +1,1 @@
+from . import conversation, engine, tokenization  # noqa: F401

@@ -1,0 +1,1 @@
+from . import bert, decoder, esm2, layers, opus, text_encoder  # noqa: F401
