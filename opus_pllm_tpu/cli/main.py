@@ -137,7 +137,8 @@ def cmd_annotate_all(args) -> None:
                 max_new_tokens=args.max_new_tokens or max_new_tokens_for(test_json),
                 temperature=args.temperature, top_p=args.top_p,
                 eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
-                seed=args.seed + rep)
+                seed=args.seed + rep,
+                quantize_cache=getattr(args, "quantize_cache", False))
             save = None
             if args.save_dir:
                 os.makedirs(args.save_dir, exist_ok=True)
@@ -160,7 +161,7 @@ def cmd_mcq(args) -> None:
         max_new_tokens=args.max_new_tokens or 50,
         temperature=args.temperature, top_p=args.top_p,
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
-        seed=args.seed)
+        seed=args.seed, quantize_cache=getattr(args, "quantize_cache", False))
     rep = runner.run_mcq_eval(params, cfg, tok, args.test_json, gen=gen,
                               batch_size=args.batch_size,
                               save_path=args.save_path)
@@ -177,7 +178,8 @@ def cmd_chat(args) -> None:
     gen = GenerationConfig(
         max_new_tokens=args.max_new_tokens or 256,
         temperature=args.temperature, top_p=args.top_p,
-        eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id)
+        eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
+        quantize_cache=getattr(args, "quantize_cache", False))
     print("opus-pllm-tpu chat — empty line to exit")
     while True:
         try:
@@ -273,13 +275,23 @@ def _train_multimodal(args, *, lora: bool) -> None:
             d = _os.path.join(args.out, "lora_adapter")
             _os.makedirs(d, exist_ok=True)
             cv.save_torch_state_dict(
-                cv.lora_to_peft(state.trainable["lora"]),
+                cv.lora_to_peft(state.trainable["lora"], family=cfg.llm.family),
                 _os.path.join(d, "adapter_model.bin"))
             import json as _json
+            # target_modules in HF names; without it PEFT falls back to the
+            # model default (q/v only) and silently drops the other adapters
+            from ..lora.lora import _proj_dims
+            hf_name = {"o_proj": "out_proj"} if cfg.llm.family == "opt" else {}
+            targets = [hf_name.get(t, t) for t in lcfg.target_modules
+                       if t in _proj_dims(cfg.llm)] if lcfg else []
             with open(_os.path.join(d, "adapter_config.json"), "w") as f:
                 _json.dump({"r": lcfg.rank if lcfg else 16,
                             "lora_alpha": lcfg.alpha if lcfg else 32,
-                            "peft_type": "LORA"}, f)
+                            "peft_type": "LORA",
+                            "task_type": "CAUSAL_LM",
+                            "lora_dropout": 0.0,
+                            "bias": "none",
+                            "target_modules": targets}, f)
             print(f"exported LoRA adapter (PEFT format) -> {d}")
 
 

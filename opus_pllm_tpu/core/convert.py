@@ -256,12 +256,20 @@ def switch_projector_from_torch(sd: Mapping[str, Any], cfg: SwitchProjectorConfi
 # PEFT LoRA
 # ---------------------------------------------------------------------------
 
+# HF module name -> our param name (OPT uses out_proj; llama/qwen match)
+_PEFT_PROJ_MAP = {"out_proj": "o_proj"}
+_PEFT_PROJ_MAP_INV = {"o_proj": "out_proj"}
+
+
 def lora_from_peft(sd: Mapping[str, Any], dtype=jnp.float32):
     """Convert a PEFT LoRA state dict into {layer_path: {A, B}} numpy trees.
 
-    PEFT keys look like
-    `base_model.model.model.layers.{i}.self_attn.q_proj.lora_A.weight`.
-    Returns a dict keyed by (layer_index, proj_name).
+    Handles both HF layouts: llama/qwen
+    (`base_model.model.model.layers.{i}.self_attn.q_proj.lora_A.weight`)
+    and OPT/Galactica
+    (`...model.decoder.layers.{i}.self_attn.out_proj.lora_A.weight`,
+    `...layers.{i}.fc1.lora_A.weight`). Returns a dict keyed by
+    (layer_index, our_proj_name).
     """
     out: Dict[Any, Dict[str, jnp.ndarray]] = {}
     for k, v in sd.items():
@@ -270,7 +278,9 @@ def lora_from_peft(sd: Mapping[str, Any], dtype=jnp.float32):
         which = "A" if ".lora_A." in k else "B"
         parts = k.split(".")
         li = int(parts[parts.index("layers") + 1])
-        proj = parts[parts.index("layers") + 3]  # e.g. self_attn.q_proj
+        # module name just before lora_{A,B}
+        proj = parts[parts.index(f"lora_{which}") - 1]
+        proj = _PEFT_PROJ_MAP.get(proj, proj)
         w = _np(v)
         # torch Linear (out,in) -> A: (in, r) kernel, B: (r, out) kernel
         out.setdefault((li, proj), {})[which] = jnp.asarray(w.T, dtype=dtype)
@@ -314,15 +324,26 @@ def switch_projector_to_torch(params) -> Dict[str, np.ndarray]:
     return sd
 
 
-def lora_to_peft(lora_tree, *, where_of=None) -> Dict[str, np.ndarray]:
-    """LoRA tree -> PEFT state-dict keys
-    (`base_model.model.model.layers.{i}.{where}.{proj}.lora_{A,B}.weight`),
-    torch (out, in) orientation."""
-    def default_where(proj: str) -> str:
-        return "self_attn" if proj in ("q_proj", "k_proj", "v_proj",
-                                       "o_proj") else "mlp"
+def lora_to_peft(lora_tree, *, family: str = "llama") -> Dict[str, np.ndarray]:
+    """LoRA tree -> PEFT state-dict keys in the target family's HF layout,
+    torch (out, in) orientation.
 
-    where_of = where_of or default_where
+    llama/qwen2: `base_model.model.model.layers.{i}.self_attn.{p}` /
+                 `...mlp.{p}`
+    opt:         `base_model.model.model.decoder.layers.{i}.self_attn.{p}`
+                 (out_proj) / `...layers.{i}.fc{1,2}` (no mlp wrapper)
+    """
+    def path_of(i: int, proj: str) -> str:
+        if family == "opt":
+            name = _PEFT_PROJ_MAP_INV.get(proj, proj)
+            stem = f"base_model.model.model.decoder.layers.{i}"
+            if proj in ("fc1", "fc2"):
+                return f"{stem}.{name}"
+            return f"{stem}.self_attn.{name}"
+        where = "self_attn" if proj in ("q_proj", "k_proj", "v_proj",
+                                        "o_proj") else "mlp"
+        return f"base_model.model.model.layers.{i}.{where}.{proj}"
+
     layers = lora_tree["layers"] if "layers" in lora_tree else None
     if layers is None:   # stacked layout
         stacked = lora_tree["layers_stacked"]
@@ -332,8 +353,7 @@ def lora_to_peft(lora_tree, *, where_of=None) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
     for i, lp in enumerate(layers):
         for proj, ab in lp.items():
-            base = (f"base_model.model.model.layers.{i}."
-                    f"{where_of(proj)}.{proj}")
+            base = path_of(i, proj)
             sd[f"{base}.lora_A.weight"] = np.asarray(ab["A"], np.float32).T
             sd[f"{base}.lora_B.weight"] = np.asarray(ab["B"], np.float32).T
     return sd

@@ -78,12 +78,18 @@ def generate(params, cfg: DecoderConfig, input_embeds, attn_mask, positions,
     finishes when its generated tail matches any suffix (or hits EOS).
     quantize_cache: int8 KV cache (half the cache HBM footprint/traffic).
     """
+    from ..kernels.flash_attention import DEFAULT_BLOCK_K
+
     b, l, h = input_embeds.shape
     tail_len = max((len(s) for s in stop_sequences), default=0) \
         if stop_sequences else 0
     # cache capacity rounds to the flash kernel's KV block so the prefill
-    # attention qualifies for the Pallas path (+29% prefill at d=128)
-    cap = -(-(l + max_new_tokens) // 256) * 256
+    # attention qualifies for the Pallas path (+29% prefill at d=128) —
+    # only when the prompt shape can actually take that path; otherwise the
+    # exact capacity avoids inflating short-chat caches
+    cap = l + max_new_tokens
+    if cfg.head_dim % 128 == 0 and l % 8 == 0:
+        cap = -(-cap // DEFAULT_BLOCK_K) * DEFAULT_BLOCK_K
     cache = decoder.init_cache(cfg, b, cap, dtype=cfg.jnp_dtype,
                                stacked="layers_stacked" in params,
                                quantize=quantize_cache)

@@ -96,8 +96,11 @@ def _int8_matmul_fwd(x, wq, scale, block_m, block_n, block_k, impl):
 
 def _int8_matmul_bwd(block_m, block_n, block_k, impl, res, g):
     x, wq, scale = res
-    w = (wq.astype(jnp.float32) * scale.astype(jnp.float32)[None, :])
-    dx = jnp.dot(g.astype(jnp.float32), w.T,
+    # dx = g @ (wq * scale_col).T == (g * scale) @ wq.T: scale the small
+    # (M, N) cotangent instead of materializing a dequantized (K, N) fp32
+    # weight temporary (235 MB per 8B projection — would defeat int8 loading)
+    gs = g.astype(jnp.float32) * scale.astype(jnp.float32)[None, :]
+    dx = jnp.dot(gs, wq.T.astype(jnp.float32),
                  preferred_element_type=jnp.float32).astype(x.dtype)
     # frozen weights: zero cotangents (int8/scale are never trained)
     import numpy as _np

@@ -82,6 +82,30 @@ def test_pallas_kernel_k_not_multiple_of_block():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_int8_matmul_grad_matches_dequantized_reference():
+    """Custom VJP: dx through the int8 matmul == dx through x @ dequant(w),
+    on both the XLA path and the Pallas path (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(256, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 128)), jnp.float32)
+    q, s = quant.quantize_per_channel(w)
+    wd = np.asarray(q, np.float32) * np.asarray(s)[None, :]
+    g_ref = jax.grad(lambda x: jnp.sum((x @ jnp.asarray(wd)) ** 2))(x)
+    g_xla = jax.grad(lambda x: jnp.sum(
+        quant.int8_matmul(x, q, s, impl="xla") ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_xla), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(lambda x: jnp.sum(
+            quant.int8_matmul(x, q, s, impl="pallas") ** 2))(x)
+    # interpret-mode fwd accumulates differently; grads large (~1e3)
+    rel = (np.abs(np.asarray(g_pl) - np.asarray(g_ref)).max()
+           / np.abs(np.asarray(g_ref)).max())
+    assert rel < 1e-4, rel
+
+
 def test_quantize_on_load_matches_post_quantize():
     """decoder_from_hf(quantize_int8=True) == load-then-quantize_decoder."""
     import pytest
