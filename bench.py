@@ -22,7 +22,10 @@ import numpy as np
 
 def main() -> None:
     from opus_pllm_tpu.core.config import ESM2Config
+    from opus_pllm_tpu.core.util import enable_persistent_compilation_cache
     from opus_pllm_tpu.models import esm2
+
+    enable_persistent_compilation_cache()
 
     on_tpu = jax.default_backend() == "tpu"
     # full 650M on TPU; small config keeps CPU smoke runs fast
