@@ -181,6 +181,7 @@ def cmd_chat(args) -> None:
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
         quantize_cache=getattr(args, "quantize_cache", False))
     print("opus-pllm-tpu chat — empty line to exit")
+    turn = 0   # folds into the PRNG so repeated prompts resample at T>0
     while True:
         try:
             instr = input("instruction> ").strip()
@@ -204,7 +205,8 @@ def cmd_chat(args) -> None:
             prompt = annotation_prompt("<seq>\n" + instr, VICUNA_V0)
         texts = runner_mod._generate_batch(
             params, cfg, tok, [prompt], [seq], gen,
-            prompt_bucket=64, esm_bucket=128, impl="auto")
+            prompt_bucket=64, esm_bucket=128, impl="auto", batch_index=turn)
+        turn += 1
         print(texts[0])
 
 

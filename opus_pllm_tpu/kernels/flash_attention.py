@@ -171,6 +171,12 @@ def _flash_impl(q, k, v, mask, causal: bool, block_q: int, block_k: int,
     groups = hq // hkv
     bq = min(block_q, sq)
     bk = min(block_k, skv)
+    if sq % bq != 0 or skv % bk != 0:
+        raise ValueError(
+            f"flash_attention needs block-multiple sequence lengths: "
+            f"sq={sq} % bq={bq}, skv={skv} % bk={bk} — pad the sequences or "
+            f"pass block_q/block_k that divide them (grid floor-division "
+            f"would silently leave trailing blocks uncomputed)")
     scale = 1.0 / math.sqrt(d_orig)
     d = d_orig
     if d == 64:

@@ -138,6 +138,11 @@ def flash_attention_bwd(q, k, v, mask, out, lse, g, *, causal: bool,
     groups = hq // hkv
     bq = min(block_q, sq)
     bk = min(block_k, skv)
+    if sq % bq != 0 or skv % bk != 0:
+        raise ValueError(
+            f"flash_attention_bwd needs block-multiple sequence lengths: "
+            f"sq={sq} % bq={bq}, skv={skv} % bk={bk} — grid floor-division "
+            f"would silently leave trailing gradient blocks uncomputed")
     scale = 1.0 / math.sqrt(d_orig)
     d = d_orig
     if d == 64:

@@ -56,7 +56,8 @@ def _rule(path, leaf) -> P:
 
     if last == "embedding":
         # embed_tokens / embed_positions: replicate vocab, FSDP-shard hidden
-        if leaf.ndim == 2 and leaf.shape[1] % 2 == 0:
+        # (divisibility vs the actual mesh is enforced in _sanitize)
+        if leaf.ndim == 2:
             return P(None, DATA_AXIS)
         return P()
     if last == "kernel":
@@ -88,13 +89,39 @@ def _rule(path, leaf) -> P:
     return spec()
 
 
-def specs(params) -> Any:
-    """PartitionSpec pytree matching `params` (any of our param trees)."""
-    return jax.tree_util.tree_map_with_path(_rule, params)
+def _sanitize(spec: P, leaf, mesh: Mesh) -> P:
+    """Drop any sharded dim the mesh cannot actually split evenly.
+
+    The name rules are shape-blind; a hidden dim not divisible by the mesh
+    axis size would make device_put/NamedSharding fail at runtime. Replace
+    such entries with None (replicate that dim) instead."""
+    axes = list(spec)
+    if len(axes) > getattr(leaf, "ndim", len(axes)):
+        return spec                      # rule/leaf rank mismatch: leave as-is
+    out = []
+    for dim, ax in enumerate(axes):
+        if ax is None:
+            out.append(None)
+            continue
+        names = ax if isinstance(ax, tuple) else (ax,)
+        size = 1
+        for n in names:
+            size *= mesh.shape.get(n, 1)
+        out.append(ax if leaf.shape[dim] % size == 0 else None)
+    return P(*out)
+
+
+def specs(params, mesh: Mesh | None = None) -> Any:
+    """PartitionSpec tree matching `params`. With `mesh`, specs are validated
+    against the actual axis sizes (non-divisible dims fall back to None)."""
+    if mesh is None:
+        return jax.tree_util.tree_map_with_path(_rule, params)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: _sanitize(_rule(p, x), x, mesh), params)
 
 
 def shardings(mesh: Mesh, params) -> Any:
-    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs(params))
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs(params, mesh))
 
 
 def batch_spec() -> P:

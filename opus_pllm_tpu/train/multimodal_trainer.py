@@ -9,8 +9,9 @@ builder.py:105-111 merges at load.
 
 TPU-native design: ONE jitted train step covers both stages. The trainable
 leaves live in their own pytree (`trainable`: {"switch": ...} and/or
-{"lora": ...}); the frozen ESM/CSTP/LLM tree is a closed-over donated input
-whose gradients are never materialized. Sharding: frozen LLM params shard
+{"lora": ...}); gradients for the frozen ESM/CSTP/LLM tree are never
+materialized, and the train state (trainable + optimizer buffers) is
+donated so XLA reuses those buffers in place. Sharding: frozen LLM params shard
 TP+FSDP per parallel/partition.py; the batch shards over "data"; XLA inserts
 the gradient all-reduce — the role DDP/DeepSpeed play in the reference
 stack.
@@ -18,6 +19,7 @@ stack.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -87,9 +89,13 @@ def loss_fn(trainable, frozen, cfg: OpusConfig, batch,
 
 def make_train_step(cfg: OpusConfig, tx, *, lora_cfg: Optional[LoRAConfig] = None,
                     donate: bool = True):
+    """Jitted train step. With donate=True (default) the state argument is
+    donated: trainable/optimizer buffers are updated in place, halving the
+    train-state footprint. The caller must not reuse a state object after
+    passing it in (fit() rebinds each step, so this is safe there)."""
     ls = lora_mod.scaling(lora_cfg) if lora_cfg is not None else 1.0
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: MMTrainState, frozen, batch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, metrics), grads = grad_fn(state.trainable, frozen, cfg, batch, ls)

@@ -89,7 +89,8 @@ def test_multimodal_step_sharded_matches_single_device():
     frozen = opus.init(jax.random.PRNGKey(0), cfg)
     state, tx = mmt.create_state(jax.random.PRNGKey(1), cfg, tcfg, frozen,
                                  train_switch=True, lora_cfg=lcfg)
-    step = mmt.make_train_step(cfg, tx, lora_cfg=lcfg)
+    # donate=False: this test reuses `state` for the sharded re-run below
+    step = mmt.make_train_step(cfg, tx, lora_cfg=lcfg, donate=False)
     batch = {k: jnp.asarray(v) for k, v in _mm_batch(cfg, 8).items()}
     _, m_single = step(state, frozen, batch)
 
