@@ -1,37 +1,62 @@
-"""Benchmark: ESM2-650M protein-encode throughput (seqs/sec/chip).
+"""North-star benchmarks (BASELINE.json): encode seqs/sec/chip, Llama3-8B
+int8 decode tokens/sec/chip (batch 8 and 32), and stage-(c)+(d) train
+tokens/sec/chip.
 
-The encode path is the prefill hot loop of the reference's eval runner
-(ESM2 forward per batch, SURVEY.md §3.1); the north star tracks protein
-seqs/sec/chip alongside decode tokens/sec (BASELINE.json). The reference
-publishes no machine-readable numbers (BASELINE.md), so vs_baseline is
-reported against the first recorded TPU value once one exists; until then
-it is 1.0 by definition.
+Prints ONE JSON line per metric as each bench finishes (so partial results
+survive a timeout), then a final summary line whose value is the geometric
+mean of vs_baseline over the completed metrics. `vs_baseline` compares
+against the round-1 recorded TPU values (BENCH_NOTES.md) — the reference
+publishes no machine-readable numbers (BASELINE.md), so round 1 established
+the baseline and regressions now show up as vs_baseline != 1.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Encode is the prefill hot loop of the reference's eval runner (ESM2 forward
+per batch, SURVEY.md §3.1, run_opus_ddp.py:143); decode is the
+HF-generate-with-KV-cache inner loop (opus_llama.py:96-132) on the full 8B
+architecture with int8 weights (the bitsandbytes-role path); train is the
+stage-(c)+(d) LoRA+switch step the reference never shipped launchers for.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Round-1 recorded values on one v5e chip (BENCH_NOTES.md). CPU smoke runs
+# have no recorded baseline -> vs_baseline 1.0 by definition.
+ROUND1_TPU = {
+    "esm2_650M_encode_seqs_per_sec_per_chip": 89.55,
+    "llama3_8b_int8_decode_tok_per_sec_b8": 628.0,
+    "llama3_8b_int8_decode_tok_per_sec_b32": 1620.0,
+    "stage_cd_train_1b_tok_per_sec_per_chip": 16900.0,
+}
 
-def main() -> None:
+_RESULTS = []
+
+
+def emit(metric: str, value: float, unit: str, on_tpu: bool) -> None:
+    base = ROUND1_TPU.get(metric) if on_tpu else None
+    vs = round(value / base, 4) if base else 1.0
+    _RESULTS.append(vs)
+    print(json.dumps({"metric": metric, "value": round(value, 2),
+                      "unit": unit, "vs_baseline": vs}), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# 1. ESM2-650M encode
+# ---------------------------------------------------------------------------
+
+def bench_encode(on_tpu: bool) -> None:
     from opus_pllm_tpu.core.config import ESM2Config
-    from opus_pllm_tpu.core.util import enable_persistent_compilation_cache
     from opus_pllm_tpu.models import esm2
 
-    enable_persistent_compilation_cache()
-
-    on_tpu = jax.default_backend() == "tpu"
-    # full 650M on TPU; small config keeps CPU smoke runs fast
-    cfg = (ESM2Config.t33_650M() if on_tpu else ESM2Config.t6_8M())
+    cfg = ESM2Config.t33_650M() if on_tpu else ESM2Config.t6_8M()
     cfg = type(cfg)(**{**cfg.__dict__, "dtype": "bfloat16" if on_tpu else "float32"})
-    batch, seq_len = (128, 512) if on_tpu else (4, 128)  # 128: best measured
+    batch, seq_len = (128, 512) if on_tpu else (4, 128)   # 128: best measured
 
     # unrolled layers: ~12% faster than the lax.scan path for ESM2's small
     # matmuls (XLA fuses across layers); compile cost is acceptable here
@@ -51,19 +76,183 @@ def main() -> None:
     np.asarray(acc)                              # compile + sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        # feed the previous result back in so iterations serialize
         acc = fn(params, toks + (acc[0, 0] * 0).astype(jnp.int32))
     np.asarray(acc)                              # host fetch = full sync
     dt = time.perf_counter() - t0
+    emit("esm2_650M_encode_seqs_per_sec_per_chip" if on_tpu
+         else "esm2_8M_encode_seqs_per_sec_cpu_smoke",
+         batch * iters / dt, "seqs/sec", on_tpu)
 
-    seqs_per_sec = batch * iters / dt
+
+# ---------------------------------------------------------------------------
+# 2. Llama3-8B int8 decode (batch 8 and 32)
+# ---------------------------------------------------------------------------
+
+def _synth_int8_decoder(cfg):
+    """Random int8 decoder params, synthesized directly in the quantized
+    layout (host RAM never holds fp32 8B weights). Values are irrelevant to
+    the bandwidth-bound decode measurement; scales keep dequantized weights
+    at a trained-network magnitude so activations stay finite."""
+    rng = np.random.default_rng(0)
+    h, d = cfg.hidden_size, cfg.head_dim
+    qd, kvd = cfg.num_heads * d, cfg.num_kv_heads * d
+
+    def lin_q(k, n):
+        s = 0.02 / 74.0   # int8 uniform std ~74 -> weight std ~0.02
+        return {"kernel_q": jnp.asarray(
+                    rng.integers(-127, 128, (k, n), dtype=np.int8)),
+                "scale": jnp.full((n,), s, jnp.float32)}
+
+    emb = (rng.standard_normal((cfg.vocab_size, h), np.float32) * 0.02)
+    params = {
+        "embed_tokens": {"embedding": jnp.asarray(emb, jnp.bfloat16)},
+        "final_norm": {"scale": jnp.ones((h,), jnp.bfloat16)},
+        "lm_head": lin_q(h, cfg.vocab_size),
+        "layers": [],
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append({
+            "attn_norm": {"scale": jnp.ones((h,), jnp.bfloat16)},
+            "ffn_norm": {"scale": jnp.ones((h,), jnp.bfloat16)},
+            "q_proj": lin_q(h, qd), "k_proj": lin_q(h, kvd),
+            "v_proj": lin_q(h, kvd), "o_proj": lin_q(qd, h),
+            "gate_proj": lin_q(h, cfg.intermediate_size),
+            "up_proj": lin_q(h, cfg.intermediate_size),
+            "down_proj": lin_q(cfg.intermediate_size, h),
+        })
+    return params
+
+
+def bench_decode(on_tpu: bool) -> None:
+    from opus_pllm_tpu.core.config import DecoderConfig
+    from opus_pllm_tpu.infer import engine
+    from opus_pllm_tpu.kernels.quant import quantize_decoder
+    from opus_pllm_tpu.models import decoder
+
+    if on_tpu:
+        cfg = DecoderConfig.llama3_8b()
+        params = _synth_int8_decoder(cfg)
+        runs = [("llama3_8b_int8_decode_tok_per_sec_b8", 8, 128, False),
+                ("llama3_8b_int8_decode_tok_per_sec_b32", 32, 128, True)]
+    else:
+        cfg = DecoderConfig(family="llama", vocab_size=1024, hidden_size=256,
+                            intermediate_size=512, num_layers=4, num_heads=8,
+                            num_kv_heads=4, head_dim=32, dtype="float32")
+        params = quantize_decoder(decoder.init(jax.random.PRNGKey(0), cfg))
+        runs = [("llama_tiny_int8_decode_tok_per_sec_cpu_smoke", 2, 16, False)]
+
+    prompt_len = 64
+    for metric, b, new_toks, quant_cache in runs:
+        rng = np.random.default_rng(1)
+        emb = jnp.asarray(rng.standard_normal(
+            (b, prompt_len, cfg.hidden_size)) * 0.02, cfg.jnp_dtype)
+        mask = jnp.ones((b, prompt_len), bool)
+        pos = jnp.broadcast_to(jnp.arange(prompt_len), (b, prompt_len))
+        key = jax.random.PRNGKey(0)
+        kw = dict(max_new_tokens=new_toks, temperature=0.0, eos_token_id=-1,
+                  pad_token_id=0, quantize_cache=quant_cache)
+        out = engine.generate(params, cfg, emb, mask, pos, key, **kw)
+        np.asarray(out.tokens)                   # compile + sync
+        t0 = time.perf_counter()
+        out = engine.generate(params, cfg, emb, mask, pos, key, **kw)
+        np.asarray(out.tokens)
+        dt = time.perf_counter() - t0
+        emit(metric, b * new_toks / dt, "tokens/sec", on_tpu)
+
+
+# ---------------------------------------------------------------------------
+# 3. Stage-(c)+(d) train step (switch + LoRA, remat)
+# ---------------------------------------------------------------------------
+
+def bench_train(on_tpu: bool) -> None:
+    from opus_pllm_tpu.core.config import (CSTPConfig, DecoderConfig,
+                                           ESM2Config, IGNORE_INDEX,
+                                           LoRAConfig, OpusConfig,
+                                           SEQ_TOKEN_INDEX,
+                                           SwitchProjectorConfig, TrainConfig)
+    from opus_pllm_tpu.models import opus
+    from opus_pllm_tpu.train import multimodal_trainer as mmt
+
+    if on_tpu:
+        llm = DecoderConfig(family="llama", vocab_size=32000,
+                            hidden_size=2048, intermediate_size=5632,
+                            num_layers=22, num_heads=16, num_kv_heads=4,
+                            head_dim=128, dtype="bfloat16")   # ~1.1B, d=128
+                            # head_dim 128: flash kernel dispatches (d%128)
+        esm = ESM2Config.t12_35M()
+        esm = type(esm)(**{**esm.__dict__, "dtype": "bfloat16"})
+        batch, seq, l_aa, steps, rank = 8, 512, 256, 5, 16
+    else:
+        llm = DecoderConfig(family="llama", vocab_size=512, hidden_size=128,
+                            intermediate_size=256, num_layers=2, num_heads=4,
+                            num_kv_heads=2, head_dim=32, dtype="float32")
+        esm = ESM2Config.tiny()
+        batch, seq, l_aa, steps, rank = 2, 64, 32, 2, 4
+
+    cfg = OpusConfig(
+        esm=esm,
+        cstp=CSTPConfig(protein_dim=esm.embed_dim, text_dim=llm.hidden_size,
+                        proj_dim=llm.hidden_size),
+        switch=SwitchProjectorConfig(input_dim=llm.hidden_size,
+                                     llm_hidden_size=llm.hidden_size,
+                                     n_tokens=8),
+        llm=llm, max_prompt_len=seq)
+    lcfg = LoRAConfig(rank=rank)
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    state, tx = mmt.create_state(jax.random.PRNGKey(1), cfg,
+                                 TrainConfig(learning_rate=1e-4), params,
+                                 train_switch=True, lora_cfg=lcfg)
+    step = mmt.make_train_step(cfg, tx, lora_cfg=lcfg)
+
+    rng = np.random.default_rng(2)
+    ids = rng.integers(4, llm.vocab_size, (batch, seq)).astype(np.int32)
+    ids[:, 1] = SEQ_TOKEN_INDEX
+    labels = ids.copy()
+    labels[:, :16] = IGNORE_INDEX
+    esm_toks = rng.integers(4, 24, (batch, 1, l_aa)).astype(np.int32)
+    esm_toks[:, :, 0], esm_toks[:, :, -1] = 0, 2
+    batch_d = {"input_ids": jnp.asarray(ids),
+               "attn_mask": jnp.ones((batch, seq), bool),
+               "labels": jnp.asarray(labels),
+               "esm_tokens": jnp.asarray(esm_toks)}
+
+    state, m = step(state, params, batch_d)      # compile
+    float(m["loss"])      # host fetch = full sync (block_until_ready lies
+                          # through the remote relay, BENCH_NOTES.md)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, params, batch_d)
+    # each step consumes the previous state, so fetching the last loss
+    # forces the whole chain
+    loss = float(m["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss)
+    emit("stage_cd_train_1b_tok_per_sec_per_chip" if on_tpu
+         else "stage_cd_train_tok_per_sec_cpu_smoke",
+         batch * seq * steps / dt, "tokens/sec", on_tpu)
+
+
+def main() -> None:
+    from opus_pllm_tpu.core.util import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    on_tpu = jax.default_backend() == "tpu"
+    for name, fn in (("encode", bench_encode), ("decode", bench_decode),
+                     ("train", bench_train)):
+        try:
+            fn(on_tpu)
+        except Exception as e:  # noqa: BLE001 — report, keep benching
+            print(json.dumps({"metric": f"{name}_FAILED", "value": 0,
+                              "unit": f"{type(e).__name__}: {e}"[:200],
+                              "vs_baseline": 0.0}), flush=True)
+            _RESULTS.append(0.0)
+    ok = [r for r in _RESULTS if r > 0]
+    geo = math.exp(sum(math.log(r) for r in ok) / len(ok)) if ok else 0.0
     print(json.dumps({
-        "metric": "esm2_650M_encode_seqs_per_sec_per_chip" if on_tpu
-                  else "esm2_8M_encode_seqs_per_sec_cpu_smoke",
-        "value": round(seqs_per_sec, 2),
-        "unit": "seqs/sec",
-        "vs_baseline": 1.0,
-    }))
+        "metric": "north_star_geomean_vs_baseline",
+        "value": round(geo, 4),
+        "unit": f"geomean of vs_baseline over {len(ok)}/{len(_RESULTS)} metrics",
+        "vs_baseline": round(geo, 4)}), flush=True)
 
 
 if __name__ == "__main__":

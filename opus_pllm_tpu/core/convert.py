@@ -129,6 +129,8 @@ def filter_prefix(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
 def decoder_from_hf(sd: Mapping[str, Any], cfg: DecoderConfig, dtype=None,
                     *, quantize_int8: bool = False):
     dtype = dtype or cfg.jnp_dtype
+    if has_bnb_4bit(sd):   # 4-bit-saved checkpoint: dequantize-on-load
+        sd = dequantize_bnb_state_dict(sd)
     lin = _linear_int8 if quantize_int8 else _linear
     if cfg.family in ("llama", "qwen2"):
         return _llama_like_from_hf(sd, cfg, dtype, lin)
@@ -410,16 +412,105 @@ NF4_CODE = np.array([
 
 
 def dequantize_nf4(packed: np.ndarray, absmax: np.ndarray, blocksize: int,
-                   shape) -> np.ndarray:
-    """Dequantize bitsandbytes NF4 data: packed uint8 (2 nibbles/elem),
-    per-block absmax scales. Returns fp32 of `shape`."""
+                   shape, code: Optional[np.ndarray] = None) -> np.ndarray:
+    """Dequantize bitsandbytes 4-bit data: packed uint8 (2 nibbles/elem),
+    per-block absmax scales, 16-entry `code` table (NF4 by default).
+    Returns fp32 of `shape`."""
+    code = NF4_CODE if code is None else np.asarray(code, np.float32)
+    packed = np.asarray(packed, np.uint8).reshape(-1)
     flat = np.empty(packed.size * 2, dtype=np.float32)
     hi = (packed >> 4) & 0xF
     lo = packed & 0xF
-    flat[0::2] = NF4_CODE[hi]
-    flat[1::2] = NF4_CODE[lo]
+    flat[0::2] = code[hi]
+    flat[1::2] = code[lo]
     n = int(np.prod(shape))
     flat = flat[:n]
     nblocks = (n + blocksize - 1) // blocksize
-    scales = np.repeat(absmax[:nblocks].astype(np.float32), blocksize)[:n]
+    scales = np.repeat(
+        np.asarray(absmax, np.float32).reshape(-1)[:nblocks], blocksize)[:n]
     return (flat * scales).reshape(shape)
+
+
+def dequantize_blockwise_8bit(q: np.ndarray, absmax: np.ndarray,
+                              code: np.ndarray, blocksize: int) -> np.ndarray:
+    """bitsandbytes blockwise 8-bit dequant: value = code[q] * absmax[block].
+    This is the second ("nested") level of double quantization — the fp32
+    per-block absmax of the 4-bit data is itself stored 8-bit."""
+    q = np.asarray(q, np.uint8).reshape(-1)
+    vals = np.asarray(code, np.float32)[q]
+    scales = np.repeat(np.asarray(absmax, np.float32).reshape(-1),
+                       blocksize)[:q.size]
+    return vals * scales
+
+
+def _bnb_meta(sd: Mapping[str, Any], wkey: str) -> Optional[dict]:
+    """Parse `{wkey}.quant_state.bitsandbytes__{nf4,fp4}` json metadata
+    (the bnb>=0.41 serialization transformers writes for 4-bit-saved models,
+    reference loads with bnb_4bit_use_double_quant=True, builder.py:50-55)."""
+    import json as _json
+
+    for qt in ("nf4", "fp4"):
+        k = f"{wkey}.quant_state.bitsandbytes__{qt}"
+        if k in sd:
+            raw = bytes(np.asarray(_np(sd[k]), np.uint8).tolist())
+            meta = _json.loads(raw.decode("utf-8"))
+            meta["quant_type"] = qt
+            return meta
+    return None
+
+
+def dequantize_bnb_4bit(sd: Mapping[str, Any], wkey: str) -> np.ndarray:
+    """Reconstruct the fp32 weight for `wkey` from a bitsandbytes 4-bit
+    quant_state dir entry, including the double-quant (nested absmax) chain:
+
+        absmax = nested_quant_map[absmax_q8] * repeat(nested_absmax)
+                 + nested_offset                      (when double-quant)
+        w      = quant_map[nibble] * repeat(absmax)
+
+    Layout keys (per transformers' bnb serialization): `{w}` packed uint8,
+    `{w}.absmax` (uint8 double-quant | fp32 single), `{w}.quant_map`,
+    `{w}.nested_absmax`, `{w}.nested_quant_map`, and the json quant_state.
+    """
+    meta = _bnb_meta(sd, wkey)
+    if meta is None:
+        raise ValueError(f"no bitsandbytes quant_state for {wkey}")
+    shape = meta["shape"]
+    blocksize = int(meta.get("blocksize", 64))
+    code = _np(sd[f"{wkey}.quant_map"]) if f"{wkey}.quant_map" in sd \
+        else NF4_CODE
+    absmax = _np(sd[f"{wkey}.absmax"])
+    if f"{wkey}.nested_absmax" in sd:     # double quant
+        absmax = dequantize_blockwise_8bit(
+            absmax, _np(sd[f"{wkey}.nested_absmax"]),
+            _np(sd[f"{wkey}.nested_quant_map"]),
+            int(meta.get("nested_blocksize", 256)))
+        absmax = absmax + np.float32(meta.get("nested_offset", 0.0))
+    return dequantize_nf4(_np(sd[wkey]), absmax, blocksize, shape, code)
+
+
+_BNB_AUX_SUFFIXES = (".absmax", ".quant_map", ".nested_absmax",
+                     ".nested_quant_map", ".quant_state.bitsandbytes__nf4",
+                     ".quant_state.bitsandbytes__fp4")
+
+
+def has_bnb_4bit(sd: Mapping[str, Any]) -> bool:
+    return any(".quant_state.bitsandbytes__" in k for k in sd)
+
+
+def dequantize_bnb_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Replace every bitsandbytes-4bit weight in `sd` with its fp32
+    reconstruction and drop the aux keys, so the normal converters apply."""
+    out: Dict[str, Any] = {}
+    quantized = {k[:-len(".quant_state.bitsandbytes__nf4")]
+                 if k.endswith("nf4") else
+                 k[:-len(".quant_state.bitsandbytes__fp4")]
+                 for k in sd if ".quant_state.bitsandbytes__" in k}
+    for k, v in sd.items():
+        if any(k == q or (k.startswith(q) and
+                          k[len(q):] in _BNB_AUX_SUFFIXES)
+               for q in quantized):
+            continue
+        out[k] = v
+    for q in quantized:
+        out[q] = dequantize_bnb_4bit(sd, q)
+    return out

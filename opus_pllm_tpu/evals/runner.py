@@ -138,7 +138,13 @@ def run_mcq_eval(params, cfg: OpusConfig, tokenizer, file_path: str, *,
                  examples=None, save_path: Optional[str] = None,
                  log_fn=print) -> EvalReport:
     """MCQ eval (≙ eval_run_multichoice eval_model): chat-template prompt,
-    max_new_tokens=50, option-letter accuracy + histogram."""
+    max_new_tokens=50, option-letter accuracy + histogram.
+
+    Default prompt rendering follows the reference exactly
+    (eval_run_multichoice.py:61-73,124-134 via conversation.py:104-111):
+    the MODEL's own HF chat template when the tokenizer has one (for
+    Llama-3-Instruct that is NOT ChatML), falling back to ChatML for
+    template-less tokenizers."""
     from ..infer.conversation import VICUNA_V3
 
     if examples is None:
@@ -150,6 +156,11 @@ def run_mcq_eval(params, cfg: OpusConfig, tokenizer, file_path: str, *,
         pad_token_id=getattr(tokenizer, "pad_token_id", 0))
 
     def default_render(instr: str) -> str:
+        messages = [{"role": "system", "content": VICUNA_V3.system},
+                    {"role": "user", "content": "<seq>\n" + instr}]
+        if hasattr(tokenizer, "apply_chat_template"):
+            return tokenizer.apply_chat_template(
+                messages, add_generation_prompt=True)
         conv = VICUNA_V3.copy()
         conv.append("user", "<seq>\n" + instr)
         return conv.get_prompt_chatml(add_generation_prompt=True)
@@ -181,6 +192,30 @@ def run_mcq_eval(params, cfg: OpusConfig, tokenizer, file_path: str, *,
                                 "OptionCounts": counts}, eps, dt)
 
 
+def gather_json_blobs(results: List[dict], process_count: int,
+                      process_index: int, allgather_fn) -> List[dict]:
+    """Variable-size JSON gather over a fixed-shape allgather primitive.
+
+    Each process serializes its results to a byte blob; blob SIZES are
+    allgathered first (collectives need equal shapes), every blob is padded
+    to the max, allgathered, and sliced back by true size. `allgather_fn`
+    takes a local np array and returns the (process_count, ...) stack —
+    production passes multihost_utils.process_allgather; tests inject a
+    fake topology so this path is exercised without a cluster."""
+    blob = json.dumps(results).encode()
+    arr = np.frombuffer(blob, np.uint8)
+    n = np.zeros((process_count,), np.int32)
+    n[process_index] = len(arr)
+    sizes = np.asarray(allgather_fn(n)).sum(0)
+    buf = np.zeros((max(int(sizes.max()), 1),), np.uint8)
+    buf[:len(arr)] = arr
+    all_bufs = np.asarray(allgather_fn(buf))
+    merged: List[dict] = []
+    for i in range(process_count):
+        merged.extend(json.loads(bytes(all_bufs[i][:int(sizes[i])]).decode()))
+    return merged
+
+
 def _allgather_results(results: List[dict]) -> List[dict]:
     """Cross-host gather of JSON results (≙ accelerate gather_object,
     run_opus_ddp.py:138). Single-process: identity."""
@@ -188,15 +223,6 @@ def _allgather_results(results: List[dict]) -> List[dict]:
         return results
     from jax.experimental import multihost_utils
 
-    blob = json.dumps(results).encode()
-    arr = np.frombuffer(blob, np.uint8)
-    n = np.zeros((jax.process_count(),), np.int32)
-    n[jax.process_index()] = len(arr)
-    sizes = multihost_utils.process_allgather(n).sum(0)
-    buf = np.zeros((int(sizes.max()),), np.uint8)
-    buf[:len(arr)] = arr
-    all_bufs = multihost_utils.process_allgather(buf)
-    merged: List[dict] = []
-    for i in range(jax.process_count()):
-        merged.extend(json.loads(bytes(all_bufs[i][:int(sizes[i])]).decode()))
-    return merged
+    return gather_json_blobs(results, jax.process_count(),
+                             jax.process_index(),
+                             multihost_utils.process_allgather)

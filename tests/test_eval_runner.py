@@ -118,3 +118,116 @@ def test_wordpiece_tokenizer():
     assert tok.tokenize("unknownword") == ["[UNK]"]
     ids = tok.encode("binding", max_tokens=10)
     assert ids[0] == 2 and ids[-1] == 3
+
+
+class _TemplateTokenizer(ByteTokenizer):
+    """Byte tokenizer with a Llama-3-style chat template: records that the
+    MCQ runner's default render used the MODEL's template (VERDICT round-1
+    item 6; reference: conversation.py:104-111)."""
+
+    def __init__(self):
+        super().__init__()
+        self.template_calls = []
+
+    def apply_chat_template(self, messages, add_generation_prompt=True):
+        self.template_calls.append(messages)
+        out = "<|begin_of_text|>"
+        for m in messages:
+            out += (f"<|start_header_id|>{m['role']}<|end_header_id|>\n\n"
+                    f"{m['content']}<|eot_id|>")
+        if add_generation_prompt:
+            out += "<|start_header_id|>assistant<|end_header_id|>\n\n"
+        return out
+
+
+def test_mcq_default_render_uses_model_chat_template(tiny_model, tmp_path):
+    cfg, params = tiny_model
+    tok = _TemplateTokenizer()
+    data = [{"question": "Which compartment?",
+             "options": ["A) Nucleus", "B) Cytoplasm"],
+             "input": "MKTAYIAKQR", "answer": "A) Nucleus"}]
+    p = tmp_path / "protein_mcq_choice.json"
+    p.write_text(json.dumps(data))
+    gen = GenerationConfig(max_new_tokens=4, temperature=0.0,
+                           eos_token_id=tok.eos_token_id,
+                           pad_token_id=tok.pad_token_id)
+    runner.run_mcq_eval(params, cfg, tok, str(p), gen=gen, batch_size=1,
+                        prompt_bucket=32, esm_bucket=32,
+                        log_fn=lambda *_: None)
+    assert tok.template_calls, "default render bypassed the chat template"
+    msgs = tok.template_calls[0]
+    assert msgs[0]["role"] == "system"
+    assert msgs[1]["role"] == "user"
+    assert msgs[1]["content"].startswith("<seq>\n")
+
+
+def test_hf_tokenizer_chat_template_matches_hf(tmp_path):
+    """HFTokenizer.apply_chat_template == the raw HF tokenizer's rendering
+    for a Llama-3-style template (and ChatML fallback when absent)."""
+    transformers = pytest.importorskip("transformers")
+    import reference_harness  # noqa: F401  (same toy-tokenizer recipe)
+    from test_reference_differential import _make_toy_tokenizer
+
+    from opus_pllm_tpu.infer.hf_tokenizer import HFTokenizer
+
+    d = tmp_path / "tiny-llama-tok"
+    _make_toy_tokenizer(str(d))
+    llama3_template = (
+        "{{ '<|begin_of_text|>' }}{% for message in messages %}"
+        "{{ '<|start_header_id|>' + message['role'] + '<|end_header_id|>\n\n'"
+        " + message['content'] + '<|eot_id|>' }}{% endfor %}"
+        "{% if add_generation_prompt %}"
+        "{{ '<|start_header_id|>assistant<|end_header_id|>\n\n' }}{% endif %}")
+    raw = transformers.AutoTokenizer.from_pretrained(str(d))
+    raw.chat_template = llama3_template
+    raw.save_pretrained(str(d))
+
+    wrapped = HFTokenizer(str(d), family="llama")
+    messages = [{"role": "system", "content": "sys"},
+                {"role": "user", "content": "<seq>\nQ?"}]
+    ours = wrapped.apply_chat_template(messages, add_generation_prompt=True)
+    theirs = raw.apply_chat_template(messages, tokenize=False,
+                                     add_generation_prompt=True)
+    assert ours == theirs
+    assert "<|start_header_id|>assistant<|end_header_id|>" in ours
+
+
+def test_gather_json_blobs_unequal_shards():
+    """The byte-blob allgather path (VERDICT round-1 item 7): a faked
+    3-process topology round-trips unequal-size shards, preserving order
+    and unicode content."""
+    from opus_pllm_tpu.evals.runner import gather_json_blobs
+
+    shards = [
+        [{"ground_truth": "Nucleus", "generated": "nucleus membrane"}],
+        [{"ground_truth": f"EC {i}.1.1.1", "generated": "答案是 A" * (i + 1)}
+         for i in range(5)],
+        [],
+    ]
+    P = len(shards)
+
+    # gather_json_blobs makes exactly two equal-shape allgather calls
+    # (sizes, then padded blobs): precompute both rounds' stacks.
+    def run_all():
+        blobs = [json.dumps(s).encode() for s in shards]
+        sizes_round = np.zeros((P, P), np.int32)
+        for i, b in enumerate(blobs):
+            sizes_round[i, i] = len(b)
+        maxlen = max(max(len(b) for b in blobs), 1)
+        bufs = np.zeros((P, maxlen), np.uint8)
+        for i, b in enumerate(blobs):
+            bufs[i, :len(b)] = np.frombuffer(b, np.uint8)
+        calls = {"n": 0}
+
+        def allgather(arr):
+            calls["n"] += 1
+            return sizes_round if arr.dtype == np.int32 else bufs
+
+        out = [gather_json_blobs(shards[pi], P, pi, allgather)
+               for pi in range(P)]
+        assert calls["n"] == 2 * P
+        return out
+
+    expected = [r for s in shards for r in s]
+    for merged in run_all():
+        assert merged == expected
