@@ -49,6 +49,10 @@ def _gen_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-new-tokens", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-beams", type=int, default=1,
+                   help="beam search width (run_opus_ddp.py:156-158); >1 "
+                        "disables sampling")
+    p.add_argument("--length-penalty", type=float, default=1.0)
 
 
 def _build(args):
@@ -111,7 +115,9 @@ def cmd_annotate(args) -> None:
         max_new_tokens=args.max_new_tokens or max_new_tokens_for(args.test_json),
         temperature=args.temperature, top_p=args.top_p,
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
-        seed=args.seed, quantize_cache=getattr(args, "quantize_cache", False))
+        seed=args.seed, quantize_cache=getattr(args, "quantize_cache", False),
+        num_beams=getattr(args, "num_beams", 1),
+        length_penalty=getattr(args, "length_penalty", 1.0))
     rep = runner.run_annotation_eval(
         params, cfg, tok, args.test_json, gen=gen,
         batch_size=args.batch_size, save_path=args.save_path,
@@ -138,7 +144,9 @@ def cmd_annotate_all(args) -> None:
                 temperature=args.temperature, top_p=args.top_p,
                 eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
                 seed=args.seed + rep,
-                quantize_cache=getattr(args, "quantize_cache", False))
+                quantize_cache=getattr(args, "quantize_cache", False),
+        num_beams=getattr(args, "num_beams", 1),
+        length_penalty=getattr(args, "length_penalty", 1.0))
             save = None
             if args.save_dir:
                 os.makedirs(args.save_dir, exist_ok=True)
@@ -161,7 +169,9 @@ def cmd_mcq(args) -> None:
         max_new_tokens=args.max_new_tokens or 50,
         temperature=args.temperature, top_p=args.top_p,
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
-        seed=args.seed, quantize_cache=getattr(args, "quantize_cache", False))
+        seed=args.seed, quantize_cache=getattr(args, "quantize_cache", False),
+        num_beams=getattr(args, "num_beams", 1),
+        length_penalty=getattr(args, "length_penalty", 1.0))
     rep = runner.run_mcq_eval(params, cfg, tok, args.test_json, gen=gen,
                               batch_size=args.batch_size,
                               save_path=args.save_path)
@@ -179,7 +189,9 @@ def cmd_chat(args) -> None:
         max_new_tokens=args.max_new_tokens or 256,
         temperature=args.temperature, top_p=args.top_p,
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
-        quantize_cache=getattr(args, "quantize_cache", False))
+        quantize_cache=getattr(args, "quantize_cache", False),
+        num_beams=getattr(args, "num_beams", 1),
+        length_penalty=getattr(args, "length_penalty", 1.0))
     print("opus-pllm-tpu chat — empty line to exit")
     turn = 0   # folds into the PRNG so repeated prompts resample at T>0
     while True:

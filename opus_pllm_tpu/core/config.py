@@ -300,6 +300,10 @@ class GenerationConfig:
     pad_token_id: int = 0
     seed: int = 0
     quantize_cache: bool = False     # int8 KV cache (half HBM traffic)
+    # --num_beams surface (run_opus_ddp.py:156-158); >1 switches the engine
+    # to beam search (greedy scoring, HF early_stopping=False semantics)
+    num_beams: int = 1
+    length_penalty: float = 1.0
 
     @property
     def do_sample(self) -> bool:

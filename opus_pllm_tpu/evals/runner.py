@@ -70,12 +70,20 @@ def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
     pos = decoder.positions_from_mask(sp.mask)
     rng = jax.random.fold_in(jax.random.PRNGKey(gen.seed),
                              jax.process_index() * 100003 + batch_index)
-    out = engine.generate(
-        params["llm"], cfg.llm, sp.embeds, sp.mask, pos, rng,
-        max_new_tokens=gen.max_new_tokens, temperature=gen.temperature,
-        top_p=gen.top_p, eos_token_id=gen.eos_token_id,
-        pad_token_id=gen.pad_token_id,
-        quantize_cache=gen.quantize_cache, impl=impl)
+    if getattr(gen, "num_beams", 1) > 1:
+        out = engine.beam_generate(
+            params["llm"], cfg.llm, sp.embeds, sp.mask, pos,
+            num_beams=gen.num_beams, max_new_tokens=gen.max_new_tokens,
+            eos_token_id=gen.eos_token_id, pad_token_id=gen.pad_token_id,
+            length_penalty=gen.length_penalty,
+            quantize_cache=gen.quantize_cache, impl=impl)
+    else:
+        out = engine.generate(
+            params["llm"], cfg.llm, sp.embeds, sp.mask, pos, rng,
+            max_new_tokens=gen.max_new_tokens, temperature=gen.temperature,
+            top_p=gen.top_p, eos_token_id=gen.eos_token_id,
+            pad_token_id=gen.pad_token_id,
+            quantize_cache=gen.quantize_cache, impl=impl)
     toks = np.asarray(out.tokens)
     lens = np.asarray(out.lengths)
     texts = []

@@ -147,3 +147,138 @@ def generate(params, cfg: DecoderConfig, input_embeds, attn_mask, positions,
     # lengths = tokens actually generated per row (counting the terminal
     # EOS/stop token); robust to the pad id being a sampleable vocab token
     return GenerateOutput(out, nwritten)
+
+
+NEG_INF = -1.0e9   # HF beam search's masking constant (generation/utils.py)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_beams", "max_new_tokens", "eos_token_id",
+                     "pad_token_id", "length_penalty", "impl",
+                     "quantize_cache"))
+def beam_generate(params, cfg: DecoderConfig, input_embeds, attn_mask,
+                  positions, *, num_beams: int, max_new_tokens: int,
+                  eos_token_id: int = -1, pad_token_id: int = 0,
+                  length_penalty: float = 1.0, quantize_cache: bool = False,
+                  impl: str = "auto") -> GenerateOutput:
+    """Beam search over left-padded prompt embeddings (the reference's
+    --num_beams surface, run_opus_ddp.py:156-158 -> HF generate).
+
+    Mirrors transformers' static-shaped `_beam_search`
+    (generation/utils.py `_get_top_k_continuations` /
+    `_get_running_beams_for_next_iteration` / `_update_finished_beams` /
+    `_check_early_stop_heuristic`) with do_sample=False and the default
+    early_stopping=False, as one jitted prefill + lax.while_loop:
+    2*num_beams candidates per step, finished hypotheses only from the top
+    num_beams ranks, sum-logprob scores normalized by generated length **
+    length_penalty, and the can-still-improve stopping heuristic.
+
+    Returns the best finished hypothesis per batch row (tokens incl. the
+    terminal EOS, padded with pad_token_id; lengths count the EOS).
+    """
+    k = num_beams
+    k2 = 2 * k
+    b, l, h = input_embeds.shape
+    v = cfg.vocab_size
+    cap = l + max_new_tokens
+
+    # prefill once on B rows, then tile everything to B*K beam rows
+    cache = decoder.init_cache(cfg, b, cap, dtype=cfg.jnp_dtype,
+                               stacked="layers_stacked" in params,
+                               quantize=quantize_cache)
+    cache["mask"] = cache["mask"].at[:, :l].set(attn_mask)
+    rows = jnp.arange(l)[None, None, :, None]
+    cols = jnp.arange(cap)[None, None, None, :]
+    pre_mask4 = cache["mask"][:, None, None, :] & (cols <= rows)
+    logits, cache = decoder.forward(
+        params, cfg, input_embeds.astype(cfg.jnp_dtype), positions,
+        pre_mask4, cache, impl=impl)
+    cache = decoder.tile_cache(cache, k)
+    cur_logits = jnp.repeat(logits[:, -1].astype(jnp.float32), k, axis=0)
+    last_pos = jnp.repeat(positions[:, -1], k, axis=0)        # (B*K,)
+
+    top_mask = jnp.arange(k2) < k                             # (2K,) ranks
+    batch_off = (jnp.arange(b)[:, None] * k)                  # (B, 1)
+
+    def gather_beams(x, idx):
+        # x (B, K', ...) select along beam axis by idx (B, Kout)
+        idxe = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+        return jnp.take_along_axis(x, idxe.astype(jnp.int32), axis=1)
+
+    def cond(st):
+        gen_i, _, _, _, run_sc, _, fin_sc, fin_done, improve_ok, all_hit = st[:10]
+        return ((gen_i < max_new_tokens) & jnp.any(improve_ok) & ~all_hit)
+
+    def body(st):
+        (gen_i, cur_logits, cache, run_seq, run_sc, fin_seq, fin_sc,
+         fin_done, improve_ok, _, fin_len) = st
+        logp = jax.nn.log_softmax(cur_logits, axis=-1)        # (B*K, V)
+        cand = (logp.reshape(b, k, v) + run_sc[:, :, None]).reshape(b, k * v)
+        topv, topi = jax.lax.top_k(cand, k2)                  # (B, 2K)
+        tok = (topi % v).astype(jnp.int32)
+        parent = topi // v                                    # (B, 2K)
+
+        topk_seq = gather_beams(run_seq, parent)              # (B, 2K, max)
+        topk_seq = jax.lax.dynamic_update_slice(
+            topk_seq, tok[:, :, None], (0, 0, gen_i))
+
+        hits = (tok == eos_token_id) | (gen_i + 1 >= max_new_tokens)
+
+        # running beams for the next step: best K non-finished continuations
+        run_cand = topv + hits.astype(jnp.float32) * NEG_INF
+        _, idx2 = jax.lax.top_k(run_cand, k)                  # (B, K)
+        new_run_sc = jnp.take_along_axis(run_cand, idx2, axis=1)
+        new_run_seq = gather_beams(topk_seq, idx2)
+        parent_sel = jnp.take_along_axis(parent, idx2, axis=1)
+
+        # finished-hypothesis update (only top-K ranks may finish)
+        fin_cand = topv / ((gen_i + 1).astype(jnp.float32) ** length_penalty)
+        fin_gate = hits & top_mask[None, :] & improve_ok
+        fin_cand = jnp.where(fin_gate, fin_cand, NEG_INF)
+        m_sc = jnp.concatenate([fin_sc, fin_cand], axis=1)    # (B, 3K)
+        m_seq = jnp.concatenate([fin_seq, topk_seq], axis=1)
+        m_done = jnp.concatenate([fin_done, fin_gate], axis=1)
+        m_len = jnp.concatenate(
+            [fin_len, jnp.broadcast_to(gen_i + 1, (b, k2))], axis=1)
+        _, idx3 = jax.lax.top_k(m_sc, k)
+        new_fin_sc = jnp.take_along_axis(m_sc, idx3, axis=1)
+        new_fin_seq = gather_beams(m_seq, idx3)
+        new_fin_done = jnp.take_along_axis(m_done, idx3, axis=1)
+        new_fin_len = jnp.take_along_axis(m_len, idx3, axis=1)
+
+        # each surviving beam inherits its parent's KV history
+        flat_parent = (parent_sel + batch_off).reshape(-1)    # (B*K,)
+        cache2 = decoder.reorder_cache(cache, flat_parent)
+        nxt = jax.lax.dynamic_slice_in_dim(
+            new_run_seq, gen_i, 1, axis=2)[:, :, 0].reshape(-1)   # (B*K,)
+        emb = decoder.embed_tokens(params, nxt)[:, None].astype(cfg.jnp_dtype)
+        pos = (last_pos + 1 + gen_i)[:, None]
+        cache2["mask"] = jax.lax.dynamic_update_slice(
+            cache2["mask"], jnp.ones((b * k, 1), bool), (0, l + gen_i))
+        lg, cache2 = decoder.forward(params, cfg, emb, pos,
+                                     cache2["mask"][:, None, None, :],
+                                     cache2, impl=impl)
+
+        # can any running beam still beat the worst finished hypothesis?
+        best_possible = (new_run_sc[:, :1]
+                         / ((gen_i + 1).astype(jnp.float32) ** length_penalty))
+        worst_fin = jnp.where(new_fin_done,
+                              jnp.min(new_fin_sc, axis=1, keepdims=True),
+                              NEG_INF)
+        new_improve = improve_ok & jnp.any(best_possible > worst_fin,
+                                           axis=-1, keepdims=True)
+        return (gen_i + 1, lg[:, 0].astype(jnp.float32), cache2, new_run_seq,
+                new_run_sc, new_fin_seq, new_fin_sc, new_fin_done,
+                new_improve, jnp.all(hits), new_fin_len)
+
+    run_seq0 = jnp.full((b, k, max_new_tokens), pad_token_id, jnp.int32)
+    run_sc0 = jnp.where(jnp.arange(k)[None, :] == 0, 0.0, NEG_INF
+                        ).astype(jnp.float32).repeat(b, axis=0)
+    st = (jnp.int32(0), cur_logits, cache, run_seq0, run_sc0,
+          run_seq0, jnp.full((b, k), NEG_INF, jnp.float32),
+          jnp.zeros((b, k), bool), jnp.ones((b, 1), bool),
+          jnp.asarray(False), jnp.zeros((b, k), jnp.int32))
+    st = jax.lax.while_loop(cond, body, st)
+    fin_seq, fin_len = st[5], st[10]
+    return GenerateOutput(fin_seq[:, 0], fin_len[:, 0])

@@ -188,6 +188,32 @@ def embed_tokens(params, ids):
     return embed(params["embed_tokens"], ids)
 
 
+def tile_cache(cache, k: int):
+    """Repeat each batch row k times (row-major: b*k + beam) — expands a
+    B-row prefill cache to B*k beam rows for beam search."""
+    stacked = isinstance(cache["layers"], dict)
+    ax = 1 if stacked else 0
+    return {
+        "layers": jax.tree.map(lambda x: jnp.repeat(x, k, axis=ax),
+                               cache["layers"]),
+        "index": cache["index"],
+        "mask": jnp.repeat(cache["mask"], k, axis=0),
+    }
+
+
+def reorder_cache(cache, row_idx):
+    """Select cache rows by `row_idx` (B*k,) — HF reorder_cache's role in
+    beam search: each surviving beam inherits its parent's KV history."""
+    stacked = isinstance(cache["layers"], dict)
+    ax = 1 if stacked else 0
+    return {
+        "layers": jax.tree.map(lambda x: jnp.take(x, row_idx, axis=ax),
+                               cache["layers"]),
+        "index": cache["index"],
+        "mask": jnp.take(cache["mask"], row_idx, axis=0),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Stacked layers + lax.scan
 # ---------------------------------------------------------------------------
@@ -233,19 +259,21 @@ def unstack_params(params):
 
 
 def _forward_scan(params, cfg, x, mask4, cos, sin, cache, lora, lora_scale,
-                  impl, remat):
+                  impl, remat, scan_mode: str = "xs"):
+    """Stacked-layer loop as lax.scan.
+
+    scan_mode:
+      "xs"    — feed the stacked weights as scan xs (default; best for
+                decode: XLA reads each layer slice straight from HBM).
+      "index" — scan over the layer index and dynamic-slice each layer's
+                weights inside the body. When XLA decides the xs layout
+                doesn't match what the loop wants, "xs" mode relayouts a
+                COPY of the whole multi-GB stack (the single-chip >3B OOM,
+                ROADMAP round 1); indexed slicing bounds any relayout to one
+                layer at a time, so big-model training fits.
+    """
     stacked = params["layers_stacked"]
     index = cache["index"] if cache is not None else None
-
-    def body(carry, layer_in):
-        h = carry
-        p, lc, la = layer_in
-        h, nlc = _block(cfg, p, h, mask4, cos, sin, lc, index, impl,
-                        la, lora_scale)
-        return h, nlc
-
-    if remat and cache is None:
-        body = jax.checkpoint(body)
 
     lc_stack = None
     if cache is not None:
@@ -255,8 +283,36 @@ def _forward_scan(params, cfg, x, mask4, cos, sin, cache, lora, lora_scale,
     if lora is not None:
         la_stack = (lora["layers_stacked"] if "layers_stacked" in lora else
                     jax.tree.map(lambda *xs: jnp.stack(xs), *lora["layers"]))
-    xs = (stacked, lc_stack, la_stack)
-    x, new_lc = jax.lax.scan(body, x, xs)
+
+    if scan_mode == "index":
+        n_layers = jax.tree.leaves(stacked)[0].shape[0]
+
+        def body(carry, i):
+            h = carry
+            take = lambda t: jax.tree.map(
+                lambda s: jax.lax.dynamic_index_in_dim(s, i, keepdims=False),
+                t)
+            p = take(stacked)
+            lc = take(lc_stack) if lc_stack is not None else None
+            la = take(la_stack) if la_stack is not None else None
+            h, nlc = _block(cfg, p, h, mask4, cos, sin, lc, index, impl,
+                            la, lora_scale)
+            return h, nlc
+
+        if remat and cache is None:
+            body = jax.checkpoint(body)
+        x, new_lc = jax.lax.scan(body, x, jnp.arange(n_layers))
+    else:
+        def body(carry, layer_in):
+            h = carry
+            p, lc, la = layer_in
+            h, nlc = _block(cfg, p, h, mask4, cos, sin, lc, index, impl,
+                            la, lora_scale)
+            return h, nlc
+
+        if remat and cache is None:
+            body = jax.checkpoint(body)
+        x, new_lc = jax.lax.scan(body, x, (stacked, lc_stack, la_stack))
     new_cache = None
     if cache is not None:
         new_cache = {"layers": new_lc, "index": cache["index"] + x.shape[1],
@@ -267,6 +323,7 @@ def _forward_scan(params, cfg, x, mask4, cos, sin, cache, lora, lora_scale,
 def forward(params, cfg: DecoderConfig, input_embeds, positions, mask4,
             cache=None, *, lora=None, lora_scale: float = 1.0,
             impl: str = "auto", remat: bool = False,
+            scan_mode: str = "xs",
             return_hidden: bool = False) -> Tuple[jnp.ndarray, Optional[dict]]:
     """Run the decoder stack on already-embedded inputs.
 
@@ -291,7 +348,7 @@ def forward(params, cfg: DecoderConfig, input_embeds, positions, mask4,
 
     if "layers_stacked" in params:
         x, new_cache = _forward_scan(params, cfg, x, mask4, cos, sin, cache,
-                                     lora, lora_scale, impl, remat)
+                                     lora, lora_scale, impl, remat, scan_mode)
         return _head(params, cfg, x, new_cache, return_hidden)
 
     new_layers = []

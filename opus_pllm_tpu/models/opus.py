@@ -86,6 +86,7 @@ def splice_prompt(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens,
 def forward(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens=None,
             labels=None, *, lora=None, lora_scale: float = 1.0,
             left_pad: bool = False, pooled_emb=None, remat: bool = False,
+            scan_mode: str = "xs",
             impl: str = "auto") -> Tuple[jnp.ndarray, Spliced]:
     """Full multimodal forward -> (logits (B, L_out, V), spliced inputs)."""
     sp = splice_prompt(params, cfg, input_ids, attn_mask, esm_tokens, labels,
@@ -94,7 +95,7 @@ def forward(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens=None,
     logits, _ = decoder.forward(
         params["llm"], cfg.llm, sp.embeds.astype(cfg.llm.jnp_dtype),
         sp.positions, mask4, lora=lora, lora_scale=lora_scale, remat=remat,
-        impl=impl)
+        scan_mode=scan_mode, impl=impl)
     return logits, sp
 
 

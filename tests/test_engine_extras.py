@@ -101,3 +101,78 @@ def test_update_dict_nonnull():
     assert ML.update_dict_nonnull({"a": 1, "b": 2}, {"b": 3, "c": 4}) == \
         {"a": 1, "b": 3, "c": 4}
     assert ML.update_dict_nonnull({"a": 1}, {"a": None}) == {"a": 1}
+
+
+@pytest.mark.parity
+@pytest.mark.parametrize("num_beams", [2, 3])
+def test_beam_search_matches_hf(num_beams):
+    """beam_generate vs transformers' beam search on identical tiny weights,
+    generating from inputs_embeds (the reference calls HF generate with
+    num_beams via run_opus_ddp.py:156-158)."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from opus_pllm_tpu.core.config import DecoderConfig
+    from opus_pllm_tpu.core.convert import decoder_from_hf
+
+    v, h = 64, 32
+    hf_cfg = LlamaConfig(
+        vocab_size=v, hidden_size=h, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+        pad_token_id=0)
+    torch.manual_seed(4)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    with torch.no_grad():
+        hf.lm_head.weight.mul_(4.0)   # decisive logit gaps
+
+    cfg = DecoderConfig(
+        family="llama", vocab_size=v, hidden_size=h, intermediate_size=64,
+        num_layers=2, num_heads=2, num_kv_heads=2, head_dim=16,
+        max_position_embeddings=128, rope_theta=10000.0, dtype="float32",
+        tie_word_embeddings=False)
+    params = decoder_from_hf(hf.state_dict(), cfg, dtype=jnp.float32)
+
+    b, l, max_new = 2, 5, 12
+    torch.manual_seed(5)
+    emb_t = torch.randn(b, l, h) * 0.6
+    with torch.no_grad():
+        out_hf = hf.generate(
+            inputs_embeds=emb_t, attention_mask=torch.ones(b, l,
+                                                           dtype=torch.long),
+            num_beams=num_beams, do_sample=False, max_new_tokens=max_new,
+            eos_token_id=2, pad_token_id=0, use_cache=True)
+
+    emb = jnp.asarray(emb_t.numpy())
+    mask = jnp.ones((b, l), bool)
+    pos = jnp.broadcast_to(jnp.arange(l), (b, l))
+    out = engine.beam_generate(params, cfg, emb, mask, pos,
+                               num_beams=num_beams, max_new_tokens=max_new,
+                               eos_token_id=2, pad_token_id=0)
+    ours_tok = np.asarray(out.tokens)
+    ours_len = np.asarray(out.lengths)
+    for i in range(b):
+        theirs = [int(t) for t in out_hf[i].tolist()]
+        # HF pads finished rows; trim at (and including) first EOS
+        if 2 in theirs:
+            theirs = theirs[:theirs.index(2) + 1]
+        ours = [int(t) for t in ours_tok[i, :ours_len[i]]]
+        assert ours == theirs, (num_beams, i, ours, theirs)
+
+
+def test_beam_one_matches_greedy():
+    cfg = DecoderConfig.tiny()
+    params = decoder.init(jax.random.PRNGKey(0), cfg)
+    b, l = 2, 4
+    emb = jax.random.normal(jax.random.PRNGKey(1), (b, l, cfg.hidden_size),
+                            jnp.float32) * 0.5
+    mask = jnp.ones((b, l), bool)
+    pos = jnp.broadcast_to(jnp.arange(l), (b, l))
+    g = engine.generate(params, cfg, emb, mask, pos, jax.random.PRNGKey(0),
+                        max_new_tokens=8, temperature=0.0, eos_token_id=-1,
+                        pad_token_id=0)
+    bm = engine.beam_generate(params, cfg, emb, mask, pos, num_beams=1,
+                              max_new_tokens=8, eos_token_id=-1,
+                              pad_token_id=0)
+    np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(bm.tokens))

@@ -453,3 +453,42 @@ def test_evidential_loss_matches_reference():
         jnp.asarray(targets.numpy()),
         CSTPConfig(temperature=1.0, evidence_global_step=1000)))
     np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_beam_search_generate_matches(pair):
+    """num_beams=2 through the reference's own generate vs our
+    beam_generate on the spliced stream (run_opus_ddp.py:156-158)."""
+    from opus_pllm_tpu.infer import engine
+    from opus_pllm_tpu.models import decoder, esm2, opus
+
+    if pair.family != "llama":
+        pytest.skip("beam differential: one family suffices (engine-level "
+                    "HF parity is covered for all shapes in "
+                    "test_engine_extras)")
+    max_new = 12
+    eos = pair.vocab["</s>"]
+    ref_ids, ref_mask = pair.ref_batch()
+    with torch.inference_mode():
+        out_ref = pair.ref_model.generate(
+            ref_ids, SEQS, attention_mask=ref_mask,
+            pad_token_id=pair.tok.eos_token_id, seq_embedding=None,
+            do_sample=False, num_beams=2, max_new_tokens=max_new,
+            use_cache=True)
+
+    _, ids, mask = pair.our_batch()
+    toks, _ = esm2.tokenize(SEQS)
+    sp = opus.splice_prompt(pair.params, pair.cfg, ids, mask,
+                            jnp.asarray(toks)[:, None], left_pad=True)
+    pos = decoder.positions_from_mask(sp.mask)
+    out = engine.beam_generate(
+        pair.params["llm"], pair.cfg.llm, sp.embeds, sp.mask, pos,
+        num_beams=2, max_new_tokens=max_new, eos_token_id=eos,
+        pad_token_id=pair.tok.pad_token_id)
+    ours_tok = np.asarray(out.tokens)
+    ours_len = np.asarray(out.lengths)
+    for i in range(len(SEQS)):
+        theirs = [int(t) for t in out_ref[i].tolist()]
+        if eos in theirs:
+            theirs = theirs[:theirs.index(eos) + 1]
+        ours = [int(t) for t in ours_tok[i, :ours_len[i]]]
+        assert ours == theirs, (i, ours, theirs)

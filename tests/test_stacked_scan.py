@@ -104,3 +104,61 @@ def test_stacked_partition_specs():
     assert specs["layers_stacked"]["o_proj"]["kernel"] == \
         P(None, "model", "data")
     assert specs["embed_tokens"]["embedding"] == P(None, "data")
+
+
+def test_index_scan_matches_xs_scan():
+    """scan_mode="index" (dynamic-slice per layer — bounds the stacked-weight
+    relayout to one layer, the single-chip >3B OOM fix) must be numerically
+    identical to the xs scan and the unrolled loop, with and without cache
+    and LoRA."""
+    from opus_pllm_tpu.lora import lora as lora_mod
+    from opus_pllm_tpu.core.config import LoRAConfig
+    from opus_pllm_tpu.models.layers import causal_mask
+
+    cfg = DecoderConfig.tiny()
+    base = decoder.init(jax.random.PRNGKey(0), cfg)
+    stacked = decoder.stack_params(base)
+    lcfg = LoRAConfig(rank=2)
+    lora = lora_mod.init(jax.random.PRNGKey(1), cfg, lcfg)
+    lora = jax.tree.map(lambda x: x + 0.01, lora)   # nonzero B
+    emb = jax.random.normal(jax.random.PRNGKey(2), (2, 8, cfg.hidden_size),
+                            jnp.float32) * 0.3
+    mask = jnp.ones((2, 8), bool)
+    pos = jnp.broadcast_to(jnp.arange(8), (2, 8))
+    m4 = causal_mask(mask)
+
+    lg_un, _ = decoder.forward(base, cfg, emb, pos, m4, lora=lora)
+    lg_xs, _ = decoder.forward(stacked, cfg, emb, pos, m4, lora=lora)
+    lg_ix, _ = decoder.forward(stacked, cfg, emb, pos, m4, lora=lora,
+                               scan_mode="index")
+    np.testing.assert_allclose(np.asarray(lg_ix), np.asarray(lg_xs),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lg_ix), np.asarray(lg_un),
+                               rtol=2e-4, atol=2e-4)
+
+    # with KV cache (decode path) + remat (train path)
+    cache = decoder.init_cache(cfg, 2, 16, dtype=jnp.float32, stacked=True)
+    cache["mask"] = cache["mask"].at[:, :8].set(True)
+    rows = jnp.arange(8)[None, None, :, None]
+    cols = jnp.arange(16)[None, None, None, :]
+    m4c = cache["mask"][:, None, None, :] & (cols <= rows)
+    lg1, c1 = decoder.forward(stacked, cfg, emb, pos, m4c, cache)
+    lg2, c2 = decoder.forward(stacked, cfg, emb, pos, m4c, cache,
+                              scan_mode="index")
+    np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg2),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(c1), jax.tree.leaves(c2)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-5, atol=1e-5)
+
+    def loss(p, mode):
+        lg, _ = decoder.forward(p, cfg, emb, pos, m4, remat=True,
+                                scan_mode=mode)
+        return jnp.sum(lg.astype(jnp.float32) ** 2) * 1e-4
+
+    g_xs = jax.grad(loss)(stacked, "xs")
+    g_ix = jax.grad(loss)(stacked, "index")
+    for a, b in zip(jax.tree.leaves(g_xs), jax.tree.leaves(g_ix)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
