@@ -330,6 +330,10 @@ class TrainConfig:
     grad_clip_norm: float = 0.0
     seed: int = 0
     log_every: int = 10
+    # sequence-chunked cross-entropy: 0 = full (B, S, V) logits; >0 bounds
+    # live fp32 logits to (B, chunk, V) — required for single-chip training
+    # of 128k-vocab 8B models where full logits+softmax add ~4 GB
+    ce_chunk: int = 0
 
 
 def to_json(cfg: Any) -> str:

@@ -388,16 +388,22 @@ def _head(params, cfg: DecoderConfig, x, new_cache, return_hidden: bool):
         x = rms_norm(params["final_norm"], x, eps=cfg.rms_norm_eps)
     if return_hidden:
         return x, new_cache
+    return head_logits(params, cfg, x), new_cache
 
+
+def head_logits(params, cfg: DecoderConfig, x):
+    """Vocab projection of already-final-norm'ed hidden states -> fp32.
+
+    Factored out of the forward head so memory-aware losses can apply it to
+    sequence chunks (see next_token_loss_hidden) instead of materializing
+    the full (B, S, V) fp32 logits."""
     if cfg.tie_word_embeddings or "lm_head" not in params:
-        logits = jnp.dot(x, params["embed_tokens"]["embedding"].T,
-                         preferred_element_type=jnp.float32)
-    elif "kernel_q" in params["lm_head"]:
-        logits = dense(params["lm_head"], x).astype(jnp.float32)
-    else:
-        logits = jnp.dot(x, params["lm_head"]["kernel"],
-                         preferred_element_type=jnp.float32)
-    return logits, new_cache
+        return jnp.dot(x, params["embed_tokens"]["embedding"].T,
+                       preferred_element_type=jnp.float32)
+    if "kernel_q" in params["lm_head"]:
+        return dense(params["lm_head"], x).astype(jnp.float32)
+    return jnp.dot(x, params["lm_head"]["kernel"],
+                   preferred_element_type=jnp.float32)
 
 
 def positions_from_mask(attn_mask):

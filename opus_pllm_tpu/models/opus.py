@@ -86,16 +86,19 @@ def splice_prompt(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens,
 def forward(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens=None,
             labels=None, *, lora=None, lora_scale: float = 1.0,
             left_pad: bool = False, pooled_emb=None, remat: bool = False,
-            scan_mode: str = "xs",
+            scan_mode: str = "xs", return_hidden: bool = False,
             impl: str = "auto") -> Tuple[jnp.ndarray, Spliced]:
-    """Full multimodal forward -> (logits (B, L_out, V), spliced inputs)."""
+    """Full multimodal forward -> (logits (B, L_out, V), spliced inputs).
+
+    return_hidden=True returns final-norm'ed hidden states instead of
+    logits (feed to next_token_loss_hidden for chunked-CE training)."""
     sp = splice_prompt(params, cfg, input_ids, attn_mask, esm_tokens, labels,
                        left_pad=left_pad, pooled_emb=pooled_emb, impl=impl)
     mask4 = causal_mask(sp.mask)
     logits, _ = decoder.forward(
         params["llm"], cfg.llm, sp.embeds.astype(cfg.llm.jnp_dtype),
         sp.positions, mask4, lora=lora, lora_scale=lora_scale, remat=remat,
-        scan_mode=scan_mode, impl=impl)
+        scan_mode=scan_mode, return_hidden=return_hidden, impl=impl)
     return logits, sp
 
 
@@ -111,3 +114,46 @@ def next_token_loss(logits, labels, mask) -> jnp.ndarray:
     nll = -jnp.take_along_axis(logp, tg_safe[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
     return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def next_token_loss_hidden(llm_params, llm_cfg, hidden, labels, mask,
+                           *, chunk: int = 64) -> jnp.ndarray:
+    """Same loss as next_token_loss, computed from final-norm'ed hidden
+    states with the vocab projection applied per sequence chunk.
+
+    The full path materializes (B, S, V) fp32 logits plus a log_softmax
+    copy — ~2 GB each at B=4, S=512, V=128k — which is what pushes a
+    single 16 GB chip over the edge when 8B int8 weights already occupy
+    ~9.5 GB. Chunking bounds the live logits to (B, chunk, V); the
+    jax.checkpoint'ed scan body recomputes each chunk's projection in the
+    backward pass instead of saving it (decoder.head_logits), so training
+    memory for the head is O(S/chunk smaller) at the cost of one extra
+    head matmul in the backward."""
+    b, s, _ = hidden.shape
+    hs, tg = hidden[:, :-1], labels[:, 1:]
+    valid = (tg != IGNORE_INDEX) & mask[:, 1:]
+    sm1 = s - 1
+    n = -(-sm1 // chunk)
+    pad = n * chunk - sm1
+    if pad:
+        hs = jnp.pad(hs, ((0, 0), (0, pad), (0, 0)))
+        tg = jnp.pad(tg, ((0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    hs = hs.reshape(b, n, chunk, hs.shape[-1]).transpose(1, 0, 2, 3)
+    tg = jnp.maximum(tg, 0).reshape(b, n, chunk).transpose(1, 0, 2)
+    valid = valid.reshape(b, n, chunk).transpose(1, 0, 2)
+
+    def body(carry, xs):
+        hc, tc, vc = xs
+        logp = jax.nn.log_softmax(head_logits_fp32(hc), axis=-1)
+        nll = -jnp.take_along_axis(logp, tc[..., None], axis=-1)[..., 0]
+        return (carry[0] + jnp.sum(jnp.where(vc, nll, 0.0)),
+                carry[1] + jnp.sum(vc)), None
+
+    def head_logits_fp32(hc):
+        return decoder.head_logits(llm_params, llm_cfg, hc).astype(
+            jnp.float32)
+
+    init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
+    (tot, cnt), _ = jax.lax.scan(jax.checkpoint(body), init, (hs, tg, valid))
+    return tot / jnp.maximum(cnt, 1)

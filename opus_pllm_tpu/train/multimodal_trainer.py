@@ -68,27 +68,36 @@ def _assemble(frozen, trainable):
 
 
 def loss_fn(trainable, frozen, cfg: OpusConfig, batch,
-            lora_scale: float, remat: bool = True) -> Tuple[jnp.ndarray, dict]:
+            lora_scale: float, remat: bool = True, ce_chunk: int = 0,
+            scan_mode: str = "xs") -> Tuple[jnp.ndarray, dict]:
     """Next-token CE over the spliced multimodal stream (RIGHT-pad training
     path, opus_arch.py:245-269; labels at protein slots = IGNORE_INDEX).
 
     Batches with a `pooled_emb` key skip the frozen ESM tower entirely
     (offline-precomputed embeddings, the reference's training data layout).
     Per-layer remat is on by default: backward-pass activation memory is
-    what OOMs billion-parameter training on a 16 GB chip.
+    what OOMs billion-parameter training on a 16 GB chip. ce_chunk > 0
+    additionally chunks the vocab projection + CE (TrainConfig.ce_chunk;
+    the other half of the single-chip 8B memory budget).
     """
     params = _assemble(frozen, trainable)
-    logits, sp = opus.forward(
+    out, sp = opus.forward(
         params, cfg, batch["input_ids"], batch["attn_mask"],
         batch.get("esm_tokens"), labels=batch["labels"],
         lora=trainable.get("lora"), lora_scale=lora_scale, left_pad=False,
-        pooled_emb=batch.get("pooled_emb"), remat=remat)
-    loss = opus.next_token_loss(logits, sp.labels, sp.mask)
+        pooled_emb=batch.get("pooled_emb"), remat=remat,
+        scan_mode=scan_mode, return_hidden=ce_chunk > 0)
+    if ce_chunk > 0:
+        loss = opus.next_token_loss_hidden(params["llm"], cfg.llm, out,
+                                           sp.labels, sp.mask, chunk=ce_chunk)
+    else:
+        loss = opus.next_token_loss(out, sp.labels, sp.mask)
     return loss, {"loss": loss}
 
 
 def make_train_step(cfg: OpusConfig, tx, *, lora_cfg: Optional[LoRAConfig] = None,
-                    donate: bool = True):
+                    donate: bool = True, ce_chunk: int = 0,
+                    scan_mode: str = "xs"):
     """Jitted train step. With donate=True (default) the state argument is
     donated: trainable/optimizer buffers are updated in place, halving the
     train-state footprint. The caller must not reuse a state object after
@@ -98,7 +107,8 @@ def make_train_step(cfg: OpusConfig, tx, *, lora_cfg: Optional[LoRAConfig] = Non
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: MMTrainState, frozen, batch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, metrics), grads = grad_fn(state.trainable, frozen, cfg, batch, ls)
+        (loss, metrics), grads = grad_fn(state.trainable, frozen, cfg, batch,
+                                         ls, True, ce_chunk, scan_mode)
         updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
         new_trainable = optax.apply_updates(state.trainable, updates)
         return MMTrainState(new_trainable, new_opt, state.step + 1), metrics
@@ -106,12 +116,14 @@ def make_train_step(cfg: OpusConfig, tx, *, lora_cfg: Optional[LoRAConfig] = Non
     return train_step
 
 
-def make_eval_step(cfg: OpusConfig, *, lora_cfg: Optional[LoRAConfig] = None):
+def make_eval_step(cfg: OpusConfig, *, lora_cfg: Optional[LoRAConfig] = None,
+                   ce_chunk: int = 0, scan_mode: str = "xs"):
     ls = lora_mod.scaling(lora_cfg) if lora_cfg is not None else 1.0
 
     @jax.jit
     def eval_step(trainable, frozen, batch):
-        loss, metrics = loss_fn(trainable, frozen, cfg, batch, ls)
+        loss, metrics = loss_fn(trainable, frozen, cfg, batch, ls, True,
+                                ce_chunk, scan_mode)
         return metrics
 
     return eval_step
@@ -119,7 +131,8 @@ def make_eval_step(cfg: OpusConfig, *, lora_cfg: Optional[LoRAConfig] = None):
 
 def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
         batches, *, lora_cfg: Optional[LoRAConfig] = None, log_fn=print):
-    step_fn = make_train_step(cfg, tx, lora_cfg=lora_cfg)
+    step_fn = make_train_step(cfg, tx, lora_cfg=lora_cfg,
+                              ce_chunk=getattr(tcfg, "ce_chunk", 0))
     for i, batch in enumerate(batches):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, frozen, batch)

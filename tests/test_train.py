@@ -82,6 +82,33 @@ def test_multimodal_step_trains_only_trainable():
         before_b, np.asarray(state.trainable["lora"]["layers"][0]["q_proj"]["B"]))
 
 
+def test_chunked_ce_matches_full_loss_and_grads():
+    """ce_chunk > 0 must be numerically the same loss (and gradients) as
+    the full-logits path — only the memory profile differs. Chunk size 5
+    does not divide the spliced length, so the padded-tail path runs too."""
+    cfg = OpusConfig.tiny()
+    lcfg = LoRAConfig(rank=2)
+    frozen = opus.init(jax.random.PRNGKey(0), cfg)
+    trainable = mmt.init_trainable(jax.random.PRNGKey(1), cfg,
+                                   train_switch=True, lora_cfg=lcfg,
+                                   frozen_params=frozen)
+    batch = {k: jnp.asarray(v) for k, v in _mm_batch(cfg, 4).items()}
+    ls = 2.0
+
+    def run(ce_chunk):
+        grad_fn = jax.value_and_grad(mmt.loss_fn, has_aux=True)
+        (loss, _), grads = grad_fn(trainable, frozen, cfg, batch, ls,
+                                   True, ce_chunk)
+        return float(loss), grads
+
+    l_full, g_full = run(0)
+    l_chunk, g_chunk = run(5)
+    np.testing.assert_allclose(l_full, l_chunk, rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        g_full, g_chunk)
+
+
 def test_multimodal_step_sharded_matches_single_device():
     cfg = OpusConfig.tiny()
     tcfg = TrainConfig(learning_rate=1e-3)
