@@ -71,13 +71,22 @@ def _build(args):
         switch=SwitchProjectorConfig(input_dim=switch_in,
                                      llm_hidden_size=llm_cfg.hidden_size),
         llm=llm_cfg)
-    params, _ = builder.load_pretrained(
-        args.model_base, args.weights, cfg, esm_path=args.esm,
-        quantize="int8" if getattr(args, "load_int8", False) else None)
-    # stacked layers -> lax.scan: one-layer compiles for the 32/33-deep stacks
+    # host_arrays: convert + quantize + stack in host RAM, then transfer the
+    # stacked tree once — per-layer device staging + on-device stacking
+    # fragments HBM and OOMs 8B-class loads (BENCH_NOTES.md round 2)
+    import jax
+
+    from ..core import convert as _conv
     from ..models import decoder as _dec, esm2 as _esm
+    with _conv.host_arrays():
+        params, _ = builder.load_pretrained(
+            args.model_base, args.weights, cfg, esm_path=args.esm,
+            quantize="int8" if getattr(args, "load_int8", False) else None)
+    # stacked layers -> lax.scan: one-layer compiles for the 32/33-deep stacks
     params["llm"] = _dec.stack_params(params["llm"], donate=True)
     params["esm"] = _esm.stack_params(params["esm"], donate=True)
+    params = jax.device_put(params)
+    jax.block_until_ready(jax.tree.leaves(params)[0])
     from ..infer.hf_tokenizer import HFTokenizer
     tok = HFTokenizer(args.tokenizer or args.model_base,
                       family=llm_cfg.family)

@@ -22,6 +22,43 @@ import numpy as np
 
 from .config import BertConfig, CSTPConfig, DecoderConfig, ESM2Config, SwitchProjectorConfig
 
+# ---------------------------------------------------------------------------
+# Host-side conversion mode
+# ---------------------------------------------------------------------------
+
+_HOST_MODE = [False]
+
+
+def _asarray(x, dtype=None):
+    """jnp.asarray, or numpy passthrough inside `host_arrays()`."""
+    if _HOST_MODE[0]:
+        a = np.asarray(x)
+        return a.astype(dtype) if dtype is not None and a.dtype != dtype else a
+    return jnp.asarray(x, dtype=dtype)
+
+
+class host_arrays:
+    """Context manager: converters return numpy (host RAM) leaves instead
+    of device arrays.
+
+    Loading a big model per-layer onto the chip and stacking there peaks at
+    full-params + one stacked leaf AND fragments HBM — measured as the
+    remaining single-chip 8B OOM after the compiled step itself fit
+    (BENCH_NOTES.md round 2). Convert under host_arrays(), stack with
+    decoder.stack_params (numpy-aware: np.stack on host), then transfer
+    once per stacked leaf with jax.device_put — fewer, larger transfers
+    are also ~25% faster through the chip tunnel.
+    """
+
+    def __enter__(self):
+        self._prev = _HOST_MODE[0]
+        _HOST_MODE[0] = True
+        return self
+
+    def __exit__(self, *exc):
+        _HOST_MODE[0] = self._prev
+        return False
+
 
 def _np(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
@@ -31,9 +68,9 @@ def _np(t) -> np.ndarray:
 
 def _linear(sd: Mapping[str, Any], prefix: str, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
     """torch Linear stores (out, in); we store kernel as (in, out)."""
-    p = {"kernel": jnp.asarray(_np(sd[prefix + ".weight"]).T, dtype=dtype)}
+    p = {"kernel": _asarray(_np(sd[prefix + ".weight"]).T, dtype=dtype)}
     if prefix + ".bias" in sd:
-        p["bias"] = jnp.asarray(_np(sd[prefix + ".bias"]), dtype=dtype)
+        p["bias"] = _asarray(_np(sd[prefix + ".bias"]), dtype=dtype)
     return p
 
 
@@ -45,22 +82,22 @@ def _linear_int8(sd: Mapping[str, Any], prefix: str,
     w = _np(sd[prefix + ".weight"]).T
     s = np.maximum(np.abs(w).max(axis=0) / 127.0, 1e-8)
     q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
-    p = {"kernel_q": jnp.asarray(q),
-         "scale": jnp.asarray(s.astype(np.float32))}
+    p = {"kernel_q": _asarray(q),
+         "scale": _asarray(s.astype(np.float32))}
     if prefix + ".bias" in sd:
-        p["bias"] = jnp.asarray(_np(sd[prefix + ".bias"]), dtype=dtype)
+        p["bias"] = _asarray(_np(sd[prefix + ".bias"]), dtype=dtype)
     return p
 
 
 def _norm(sd: Mapping[str, Any], prefix: str, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
-    p = {"scale": jnp.asarray(_np(sd[prefix + ".weight"]), dtype=dtype)}
+    p = {"scale": _asarray(_np(sd[prefix + ".weight"]), dtype=dtype)}
     if prefix + ".bias" in sd:
-        p["bias"] = jnp.asarray(_np(sd[prefix + ".bias"]), dtype=dtype)
+        p["bias"] = _asarray(_np(sd[prefix + ".bias"]), dtype=dtype)
     return p
 
 
 def _embedding(sd: Mapping[str, Any], key: str, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
-    return {"embedding": jnp.asarray(_np(sd[key]), dtype=dtype)}
+    return {"embedding": _asarray(_np(sd[key]), dtype=dtype)}
 
 
 # ---------------------------------------------------------------------------
@@ -143,7 +180,7 @@ def _llama_like_from_hf(sd, cfg: DecoderConfig, dtype, lin=_linear):
     pre = "model." if any(k.startswith("model.") for k in sd) else ""
     params = {
         "embed_tokens": _embedding(sd, pre + "embed_tokens.weight", dtype),
-        "final_norm": {"scale": jnp.asarray(_np(sd[pre + "norm.weight"]), dtype=dtype)},
+        "final_norm": {"scale": _asarray(_np(sd[pre + "norm.weight"]), dtype=dtype)},
         "layers": [],
     }
     if not cfg.tie_word_embeddings:
@@ -151,12 +188,12 @@ def _llama_like_from_hf(sd, cfg: DecoderConfig, dtype, lin=_linear):
     for i in range(cfg.num_layers):
         lp = f"{pre}layers.{i}."
         params["layers"].append({
-            "attn_norm": {"scale": jnp.asarray(_np(sd[lp + "input_layernorm.weight"]), dtype=dtype)},
+            "attn_norm": {"scale": _asarray(_np(sd[lp + "input_layernorm.weight"]), dtype=dtype)},
             "q_proj": lin(sd, lp + "self_attn.q_proj", dtype),
             "k_proj": lin(sd, lp + "self_attn.k_proj", dtype),
             "v_proj": lin(sd, lp + "self_attn.v_proj", dtype),
             "o_proj": lin(sd, lp + "self_attn.o_proj", dtype),
-            "ffn_norm": {"scale": jnp.asarray(_np(sd[lp + "post_attention_layernorm.weight"]), dtype=dtype)},
+            "ffn_norm": {"scale": _asarray(_np(sd[lp + "post_attention_layernorm.weight"]), dtype=dtype)},
             "gate_proj": lin(sd, lp + "mlp.gate_proj", dtype),
             "up_proj": lin(sd, lp + "mlp.up_proj", dtype),
             "down_proj": lin(sd, lp + "mlp.down_proj", dtype),
@@ -285,7 +322,7 @@ def lora_from_peft(sd: Mapping[str, Any], dtype=jnp.float32):
         proj = _PEFT_PROJ_MAP.get(proj, proj)
         w = _np(v)
         # torch Linear (out,in) -> A: (in, r) kernel, B: (r, out) kernel
-        out.setdefault((li, proj), {})[which] = jnp.asarray(w.T, dtype=dtype)
+        out.setdefault((li, proj), {})[which] = _asarray(w.T, dtype=dtype)
     return out
 
 

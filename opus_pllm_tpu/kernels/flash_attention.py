@@ -28,23 +28,35 @@ NEG_LARGE = -1e30  # exp(NEG_LARGE - m) == 0 in fp32
 
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
+# d=64-native tiles: whole-row 512 blocks measured 1.43x over XLA attention
+# on the ESM2-650M encode shape (B=128, H=20, S=512) — vs 0.7x for the old
+# pad-to-128 path, which wasted half of every lane (BENCH_NOTES.md round 2)
+D64_BLOCK_Q = 512
+D64_BLOCK_K = 512
+
+
+def _d64_native_ok(sq: int, skv: int, block_q: int, block_k: int) -> bool:
+    return (block_q == DEFAULT_BLOCK_Q and block_k == DEFAULT_BLOCK_K
+            and sq % D64_BLOCK_Q == 0 and skv % D64_BLOCK_K == 0)
 
 
 def supports(q, k, mask) -> bool:
     """Shapes where the kernel BEATS XLA; `attention(impl="auto")` callers
-    fall back to XLA otherwise. d=64 is handled by the kernel (padded to the
-    128-lane tile) but measured ~35% SLOWER than XLA attention at ESM2
-    shapes (BENCH_NOTES.md), so auto-dispatch requires d % 128 == 0;
-    call flash_attention directly to force the padded path."""
+    fall back to XLA otherwise. Auto-dispatch requires d % 128 == 0:
+    at d=64 even the native 512-block tiles (1.43x over XLA in isolation)
+    LOSE end to end — the (B,S,H,D)->(B,H,S,D) transposes around the
+    opaque pallas_call cost more than the kernel saves (BENCH_NOTES.md
+    round 2: encode 75 vs 104 seqs/s). Call flash_attention directly to
+    force the d=64-native path."""
     b, sq, hq, d = q.shape
     skv = k.shape[1]
+    if mask is not None and mask.shape[1] not in (1,):
+        return False
     if d % 128 != 0:
         return False
     bq = min(DEFAULT_BLOCK_Q, sq)
     bk = min(DEFAULT_BLOCK_K, skv)
     if sq % bq != 0 or skv % bk != 0 or bq % 8 != 0 or bk % 128 != 0:
-        return False
-    if mask is not None and mask.shape[1] not in (1,):
         return False
     return True
 
@@ -169,22 +181,26 @@ def _flash_impl(q, k, v, mask, causal: bool, block_q: int, block_k: int,
     b, sq, hq, d_orig = q.shape
     skv, hkv = k.shape[1], k.shape[2]
     groups = hq // hkv
-    bq = min(block_q, sq)
-    bk = min(block_k, skv)
+    scale = 1.0 / math.sqrt(d_orig)
+    d = d_orig
+    if d == 64 and _d64_native_ok(sq, skv, block_q, block_k):
+        # d=64-native path: keep the 64-wide lanes, use whole-row tiles
+        bq, bk = min(D64_BLOCK_Q, sq), min(D64_BLOCK_K, skv)
+    else:
+        bq = min(block_q, sq)
+        bk = min(block_k, skv)
+        if d == 64:
+            # pad head dim to the 128-lane tile; zero dims contribute
+            # nothing to the q.k logits, extra output columns slice off below
+            pad = [(0, 0)] * 3 + [(0, 64)]
+            q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+            d = 128
     if sq % bq != 0 or skv % bk != 0:
         raise ValueError(
             f"flash_attention needs block-multiple sequence lengths: "
             f"sq={sq} % bq={bq}, skv={skv} % bk={bk} — pad the sequences or "
             f"pass block_q/block_k that divide them (grid floor-division "
             f"would silently leave trailing blocks uncomputed)")
-    scale = 1.0 / math.sqrt(d_orig)
-    d = d_orig
-    if d == 64:
-        # pad head dim to the 128-lane tile; zero dims contribute nothing
-        # to the q.k logits and the extra output columns slice off below
-        pad = [(0, 0)] * 3 + [(0, 64)]
-        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
-        d = 128
 
     # (B, H, S, D) layout so blocks are (S, D) tiles per head
     qt = q.transpose(0, 2, 1, 3)

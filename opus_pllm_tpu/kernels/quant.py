@@ -22,6 +22,7 @@ import functools
 from typing import Dict, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -33,10 +34,13 @@ def quantize_per_channel(w, axis: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     axis=0: scales per output column (one scale per N), the layout
     `int8_matmul` consumes.
     """
-    w = w.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
-    scale = jnp.maximum(absmax / 127.0, 1e-8)
-    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    # numpy in -> numpy out: quantize-on-load under convert.host_arrays()
+    # must stay in host RAM (big-model load path, BENCH_NOTES.md round 2)
+    xp = np if isinstance(w, np.ndarray) else jnp
+    w = w.astype(xp.float32)
+    absmax = xp.max(xp.abs(w), axis=axis, keepdims=True)
+    scale = xp.maximum(absmax / 127.0, 1e-8)
+    q = xp.clip(xp.round(w / scale), -127, 127).astype(xp.int8)
     return q, scale.squeeze(axis)
 
 

@@ -20,6 +20,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.config import DecoderConfig
 from .layers import (ACTIVATIONS, apply_rope, attention, dense, dense_init,
@@ -230,6 +231,12 @@ def stack_params(params, *, donate: bool = False):
     memory is total + one stacked leaf, not 2x total (a 4.5B model OOMs a
     16 GB chip with the all-at-once stack). The input tree is unusable
     afterwards.
+
+    numpy leaves (converted under `core.convert.host_arrays()`) stack with
+    np.stack and STAY on host: for 8B-class models even the one-stacked-leaf
+    on-device transient plus allocator fragmentation OOMs the chip
+    (BENCH_NOTES.md round 2) — transfer the finished stacked tree once with
+    `jax.device_put` (or per-leaf `jnp.asarray`) instead.
     """
     if "layers_stacked" in params:
         return params
@@ -239,7 +246,9 @@ def stack_params(params, *, donate: bool = False):
     flats = [list(f) for f in flats]
     stacked_leaves = []
     for i in range(len(flats[0])):
-        stacked_leaves.append(jnp.stack([f[i] for f in flats]))
+        stack = np.stack if all(
+            isinstance(f[i], np.ndarray) for f in flats) else jnp.stack
+        stacked_leaves.append(stack([f[i] for f in flats]))
         if donate:
             for f in flats:
                 f[i] = None   # drop per-layer refs so buffers free as we go

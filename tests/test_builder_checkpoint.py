@@ -90,6 +90,49 @@ def test_load_pretrained_reference_contract(reference_weights_dir):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_host_arrays_load_path_matches_device_path():
+    """convert.host_arrays(): leaves stay numpy through convert + int8
+    quantize + stack_params (np.stack), and the once-transferred tree is
+    leaf-identical to the per-layer device path (the 8B load-OOM fix)."""
+    from opus_pllm_tpu.core import convert
+    from opus_pllm_tpu.kernels.quant import quantize_decoder
+    from opus_pllm_tpu.models import decoder
+
+    torch = pytest.importorskip("torch")
+    cfg = DecoderConfig(family="llama", vocab_size=64, hidden_size=16,
+                        intermediate_size=32, num_layers=3, num_heads=4,
+                        num_kv_heads=2, head_dim=4, dtype="float32")
+    rng = np.random.default_rng(0)
+    sd = {"model.embed_tokens.weight": rng.standard_normal((64, 16)).astype(np.float32),
+          "model.norm.weight": np.ones(16, np.float32),
+          "lm_head.weight": rng.standard_normal((64, 16)).astype(np.float32)}
+    for i in range(cfg.num_layers):
+        lp = f"model.layers.{i}."
+        for name, shape in (("self_attn.q_proj", (16, 16)),
+                            ("self_attn.k_proj", (8, 16)),
+                            ("self_attn.v_proj", (8, 16)),
+                            ("self_attn.o_proj", (16, 16)),
+                            ("mlp.gate_proj", (32, 16)),
+                            ("mlp.up_proj", (32, 16)),
+                            ("mlp.down_proj", (16, 32))):
+            sd[lp + name + ".weight"] = rng.standard_normal(shape).astype(np.float32)
+        sd[lp + "input_layernorm.weight"] = np.ones(16, np.float32)
+        sd[lp + "post_attention_layernorm.weight"] = np.ones(16, np.float32)
+
+    with convert.host_arrays():
+        host = convert.decoder_from_hf(dict(sd), cfg, quantize_int8=True)
+        assert all(isinstance(l, np.ndarray) for l in jax.tree.leaves(host))
+        host = decoder.stack_params(host, donate=True)
+        assert all(isinstance(l, np.ndarray) for l in jax.tree.leaves(host))
+    host = jax.device_put(host)
+
+    dev = decoder.stack_params(
+        convert.decoder_from_hf(dict(sd), cfg, quantize_int8=True),
+        donate=True)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a, np.float32), np.asarray(b, np.float32)), host, dev)
+
+
 def test_load_pretrained_raw_pipeline():
     """No weights dir -> random init everywhere, no LoRA (builder.py:117)."""
     cfg = OpusConfig.tiny()
