@@ -26,13 +26,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Round-1 recorded values on one v5e chip (BENCH_NOTES.md). CPU smoke runs
-# have no recorded baseline -> vs_baseline 1.0 by definition.
+# First recorded values on one v5e chip (BENCH_NOTES.md; rounds 1-2). CPU
+# smoke runs have no recorded baseline -> vs_baseline 1.0 by definition.
 ROUND1_TPU = {
     "esm2_650M_encode_seqs_per_sec_per_chip": 89.55,
     "llama3_8b_int8_decode_tok_per_sec_b8": 628.0,
     "llama3_8b_int8_decode_tok_per_sec_b32": 1620.0,
     "stage_cd_train_1b_tok_per_sec_per_chip": 16900.0,
+    # round 2: single-chip 8B LoRA train (index scan + chunked CE)
+    "llama3_8b_int8_lora_train_tok_per_sec_per_chip": 2105.0,
 }
 
 _RESULTS = []
@@ -89,38 +91,54 @@ def bench_encode(on_tpu: bool) -> None:
 # ---------------------------------------------------------------------------
 
 def _synth_int8_decoder(cfg):
-    """Random int8 decoder params, synthesized directly in the quantized
-    layout (host RAM never holds fp32 8B weights). Values are irrelevant to
-    the bandwidth-bound decode measurement; scales keep dequantized weights
-    at a trained-network magnitude so activations stay finite."""
+    """Random int8 decoder params, synthesized host-side DIRECTLY in the
+    stacked quantized layout and transferred once per leaf. Per-layer
+    staging + on-device stacking OOMs an 8B load even though the train
+    step itself fits — see convert.host_arrays / BENCH_NOTES round 2.
+    Values are irrelevant to the bandwidth-bound decode measurement;
+    scales keep dequantized weights at trained-network magnitude so
+    activations stay finite."""
     rng = np.random.default_rng(0)
-    h, d = cfg.hidden_size, cfg.head_dim
+    h, d, L = cfg.hidden_size, cfg.head_dim, cfg.num_layers
     qd, kvd = cfg.num_heads * d, cfg.num_kv_heads * d
+    s_val = 0.02 / 74.0   # int8 uniform std ~74 -> weight std ~0.02
 
-    def lin_q(k, n):
-        s = 0.02 / 74.0   # int8 uniform std ~74 -> weight std ~0.02
-        return {"kernel_q": jnp.asarray(
-                    rng.integers(-127, 128, (k, n), dtype=np.int8)),
-                "scale": jnp.full((n,), s, jnp.float32)}
+    def lin_q(k, n, stacked=True):
+        shape = (L, k, n) if stacked else (k, n)
+        sshape = (L, n) if stacked else (n,)
+        w = jnp.asarray(rng.integers(-127, 128, shape, dtype=np.int8))
+        jax.block_until_ready(w)   # one leaf in flight at a time
+        return {"kernel_q": w, "scale": jnp.full(sshape, s_val, jnp.float32)}
 
     emb = (rng.standard_normal((cfg.vocab_size, h), np.float32) * 0.02)
-    params = {
+    return {
         "embed_tokens": {"embedding": jnp.asarray(emb, jnp.bfloat16)},
         "final_norm": {"scale": jnp.ones((h,), jnp.bfloat16)},
-        "lm_head": lin_q(h, cfg.vocab_size),
-        "layers": [],
-    }
-    for _ in range(cfg.num_layers):
-        params["layers"].append({
-            "attn_norm": {"scale": jnp.ones((h,), jnp.bfloat16)},
-            "ffn_norm": {"scale": jnp.ones((h,), jnp.bfloat16)},
+        "lm_head": lin_q(h, cfg.vocab_size, stacked=False),
+        "layers_stacked": {
+            "attn_norm": {"scale": jnp.ones((L, h), jnp.bfloat16)},
+            "ffn_norm": {"scale": jnp.ones((L, h), jnp.bfloat16)},
             "q_proj": lin_q(h, qd), "k_proj": lin_q(h, kvd),
             "v_proj": lin_q(h, kvd), "o_proj": lin_q(qd, h),
             "gate_proj": lin_q(h, cfg.intermediate_size),
             "up_proj": lin_q(h, cfg.intermediate_size),
             "down_proj": lin_q(cfg.intermediate_size, h),
-        })
-    return params
+        },
+    }
+
+
+_8B_CACHE = []
+
+
+def _get_8b():
+    """Synthesize the 8B int8 stacked params once (≈5 min through the
+    tunnel); shared by the decode and 8B-train benches."""
+    from opus_pllm_tpu.core.config import DecoderConfig
+
+    if not _8B_CACHE:
+        cfg = DecoderConfig.llama3_8b()
+        _8B_CACHE.append((cfg, _synth_int8_decoder(cfg)))
+    return _8B_CACHE[0]
 
 
 def bench_decode(on_tpu: bool) -> None:
@@ -130,8 +148,7 @@ def bench_decode(on_tpu: bool) -> None:
     from opus_pllm_tpu.models import decoder
 
     if on_tpu:
-        cfg = DecoderConfig.llama3_8b()
-        params = _synth_int8_decoder(cfg)
+        cfg, params = _get_8b()
         runs = [("llama3_8b_int8_decode_tok_per_sec_b8", 8, 128, False),
                 ("llama3_8b_int8_decode_tok_per_sec_b32", 32, 128, True)]
     else:
@@ -232,13 +249,69 @@ def bench_train(on_tpu: bool) -> None:
          batch * seq * steps / dt, "tokens/sec", on_tpu)
 
 
+def bench_train_8b(on_tpu: bool) -> None:
+    """Single-chip 8B int8-base LoRA train step (the round-1 blocker):
+    index-mode stacked scan + sequence-chunked CE + remat. Runs LAST —
+    the first step costs ~13 min through the tunnel (per-process runtime
+    warmup; XLA compile itself is seconds), so a driver timeout here
+    cannot cost the other metrics."""
+    if not on_tpu:
+        return   # CPU smoke of this path: tests/test_train.py chunked-CE
+    import functools
+
+    import optax
+
+    from opus_pllm_tpu.core.config import LoRAConfig, TrainConfig
+    from opus_pllm_tpu.lora import lora as lora_mod
+    from opus_pllm_tpu.models import decoder, opus
+    from opus_pllm_tpu.models.layers import causal_mask
+    from opus_pllm_tpu.train.optim import adamw
+
+    cfg, params = _get_8b()
+    B, S = 4, 512
+    lora = decoder.stack_params(
+        lora_mod.init(jax.random.PRNGKey(0), cfg, LoRAConfig(rank=16)))
+    tx = adamw(TrainConfig(learning_rate=1e-4), None)
+    opt = tx.init(lora)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(4, 32000, (B, S)).astype(np.int32))
+
+    def loss_fn(lora, params, ids):
+        emb = decoder.embed_tokens(params, ids).astype(jnp.bfloat16)
+        mask = jnp.ones((B, S), bool)
+        pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+        hid, _ = decoder.forward(params, cfg, emb, pos, causal_mask(mask),
+                                 lora=lora, lora_scale=2.0, remat=True,
+                                 scan_mode="index", return_hidden=True)
+        return opus.next_token_loss_hidden(params, cfg, hid, ids, mask,
+                                           chunk=64)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(lora, opt, params, ids):
+        loss, g = jax.value_and_grad(loss_fn)(lora, params, ids)
+        upd, opt = tx.update(g, opt, lora)
+        return optax.apply_updates(lora, upd), opt, loss
+
+    lora, opt, loss = step(lora, opt, params, ids)
+    l0 = float(loss)                              # warmup + sync
+    steps = 3
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        lora, opt, loss = step(lora, opt, params, ids)
+    lN = float(loss)                              # forces the chain
+    dt = time.perf_counter() - t0
+    assert np.isfinite(lN) and lN < l0
+    emit("llama3_8b_int8_lora_train_tok_per_sec_per_chip",
+         B * S * steps / dt, "tokens/sec", on_tpu)
+
+
 def main() -> None:
     from opus_pllm_tpu.core.util import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
     on_tpu = jax.default_backend() == "tpu"
     for name, fn in (("encode", bench_encode), ("decode", bench_decode),
-                     ("train", bench_train)):
+                     ("train", bench_train), ("train_8b", bench_train_8b)):
         try:
             fn(on_tpu)
         except Exception as e:  # noqa: BLE001 — report, keep benching
