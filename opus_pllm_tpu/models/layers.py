@@ -86,9 +86,15 @@ def rms_norm(params, x, eps: float = 1e-5):
 
 
 def layer_norm(params, x, eps: float = 1e-5):
+    # One-pass statistics (E[x^2] - mu^2, fp32): mean and mean-of-squares
+    # reduce in a single fused read of x instead of the two chained passes
+    # of the definitional form — the encode profile showed fp32 LN reduces
+    # at 15% of ESM2-650M device time (BENCH_NOTES.md round 2). fp32
+    # accumulation keeps bf16 inputs exact to ~1e-7 of the two-pass form.
     h = x.astype(jnp.float32)
     mu = jnp.mean(h, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+    musq = jnp.mean(jnp.square(h), axis=-1, keepdims=True)
+    var = jnp.maximum(musq - jnp.square(mu), 0.0)
     h = (h - mu) * jax.lax.rsqrt(var + eps)
     return (h * params["scale"].astype(jnp.float32)
             + params["bias"].astype(jnp.float32)).astype(x.dtype)
@@ -139,8 +145,16 @@ def attention(q, k, v, mask=None, *, impl: str = "auto"):
 
     q: (B, Sq, Hq, D); k, v: (B, Skv, Hkv, D) with Hq % Hkv == 0.
     mask: bool (B, 1|Hq, Sq, Skv) — True = attend. Softmax in fp32.
+
+    impl: "auto" uses the Pallas kernel only on shapes where it measures
+    faster than XLA (kernels.flash_attention.supports); "flash" forces it
+    on any TPU-lowerable shape (e.g. the d=64-native tiles, for A/B runs);
+    "xla" forces the reference path.
     """
-    if impl in ("auto", "flash") and _flash_ok(q, k, mask):
+    if impl == "flash" and jax.default_backend() == "tpu":
+        from ..kernels.flash_attention import flash_attention
+        return flash_attention(q, k, v, mask)
+    if impl == "auto" and _flash_ok(q, k, mask):
         from ..kernels.flash_attention import flash_attention
         return flash_attention(q, k, v, mask)
     return attention_xla(q, k, v, mask)
