@@ -94,9 +94,35 @@ def init(key, cfg: ESM2Config):
 # Forward
 # ---------------------------------------------------------------------------
 
+def _fused_ok(cfg: ESM2Config, x, mask) -> bool:
+    """auto-dispatch guard for the fused pair-packed block: TPU backend,
+    d=64 heads in pairs, block-tileable sequence, padding-style mask.
+    The fused path is forward-only (the ESM tower is frozen in every
+    reference training stage); differentiating THROUGH the encoder
+    requires impl="xla"."""
+    if jax.default_backend() != "tpu":
+        return False
+    if mask is not None and mask.shape[1] != 1:
+        return False
+    from ..kernels import fused_encoder
+
+    return fused_encoder.supports(cfg, x)
+
+
 def _block(p, cfg: ESM2Config, x, mask, cos, sin, impl):
     b, s, e = x.shape
     h, d = cfg.num_heads, cfg.head_dim
+    if impl == "fused" or (impl == "auto" and _fused_ok(cfg, x, mask)):
+        # pair-packed fused LN+QKV+rope+flash (kernels/fused_encoder.py):
+        # profile-guided replacement for the whole attention half-block —
+        # measured 1.83x on the 650M encode (BENCH_NOTES.md round 2)
+        from ..kernels import fused_encoder
+
+        a = fused_encoder.encoder_attention(p, x, mask, cos, sin)
+        x = x + dense(p["o_proj"], a)
+        r = layer_norm(p["ffn_norm"], x)
+        r = dense(p["fc2"], layers.ACTIVATIONS["gelu"](dense(p["fc1"], r)))
+        return x + r
     r = layer_norm(p["attn_norm"], x)
     if "qkv_proj" in p:
         q, k, v = jnp.split(dense(p["qkv_proj"], r), 3, axis=-1)

@@ -153,6 +153,29 @@ def train_step_converges():
     assert losses[-1] < losses[0], losses
 
 
+def fused_encoder_block():
+    """Pair-packed fused LN+QKV+rope+flash vs the XLA composition, bf16."""
+    import numpy as np
+
+    from opus_pllm_tpu.core.config import ESM2Config
+    from opus_pllm_tpu.models import esm2
+
+    cfg = ESM2Config.t33_650M()
+    cfg = type(cfg)(**{**cfg.__dict__, "num_layers": 4, "dtype": "bfloat16"})
+    params = esm2.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    toks = rng.integers(4, 24, (4, 512)).astype(np.int32)
+    toks[:, 0], toks[:, -1] = 0, 2
+    toks[1, -99:] = 1
+    toks = jnp.asarray(toks)
+    ref = np.asarray(esm2.pooled_embedding(params, cfg, toks, impl="xla"),
+                     np.float32)
+    got = np.asarray(esm2.pooled_embedding(params, cfg, toks, impl="fused"),
+                     np.float32)
+    d = np.abs(got - ref)
+    assert d.max() < 0.05 and d.mean() < 0.01, (d.max(), d.mean())
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true",
@@ -161,6 +184,7 @@ def main():
 
     assert jax.default_backend() == "tpu", \
         f"not on TPU: {jax.default_backend()}"
+    check("fused encoder block (pairs)", fused_encoder_block)
     check("flash fwd d=128 padding", lambda: flash_forward(128, False))
     check("flash fwd d=64 (padded)", lambda: flash_forward(64, False))
     check("flash fwd causal", lambda: flash_forward(128, True))

@@ -1,0 +1,104 @@
+"""Fused encoder attention block (pair-packed): parity with the XLA path.
+
+Interpret mode on CPU; the kernels are hardware-validated separately
+(scripts/validate_tpu.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from opus_pllm_tpu.core.config import ESM2Config
+from opus_pllm_tpu.kernels import fused_encoder
+from opus_pllm_tpu.models import esm2
+from opus_pllm_tpu.models.layers import (apply_rope, attention_xla, dense,
+                                         layer_norm, padding_mask,
+                                         rope_cos_sin)
+
+
+def _cfg(num_layers=2, heads=4, s=16):
+    return ESM2Config(num_layers=num_layers, embed_dim=heads * 64,
+                      num_heads=heads)
+
+
+def _ref_attention_half_block(p, cfg, x, mask, cos, sin):
+    """The existing XLA composition: LN -> QKV -> rope -> attention."""
+    b, s, e = x.shape
+    h, d = cfg.num_heads, cfg.head_dim
+    r = layer_norm(p["attn_norm"], x)
+    q = dense(p["q_proj"], r).reshape(b, s, h, d)
+    k = dense(p["k_proj"], r).reshape(b, s, h, d)
+    v = dense(p["v_proj"], r).reshape(b, s, h, d)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    return attention_xla(q, k, v, mask).reshape(b, s, e)
+
+
+@pytest.mark.parametrize("pad", [0, 5])
+def test_fused_block_matches_xla(pad):
+    cfg = _cfg()
+    s = 16
+    key = jax.random.PRNGKey(0)
+    params = esm2.init(key, cfg)
+    p = params["layers"][0]
+    # non-trivial but realistic (O(1)) LN values: a 20x scale makes the
+    # softmax sharp enough to amplify 5e-6 fp32 op-order noise to 1e-4
+    ln_rng = np.random.default_rng(7)
+    p["attn_norm"]["scale"] = jnp.asarray(
+        1.0 + 0.2 * ln_rng.standard_normal(cfg.embed_dim), jnp.float32)
+    p["attn_norm"]["bias"] = jnp.asarray(
+        0.1 * ln_rng.standard_normal(cfg.embed_dim), jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, s, cfg.embed_dim)), jnp.float32)
+    am = np.ones((3, s), bool)
+    if pad:
+        am[0, -pad:] = False
+    mask = padding_mask(jnp.asarray(am))
+    cos, sin = rope_cos_sin(jnp.arange(s), cfg.head_dim)
+
+    ref = _ref_attention_half_block(p, cfg, x, mask, cos, sin)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_encoder.encoder_attention(p, x, mask, cos, sin)
+    # online softmax vs one-shot softmax differ by fp32 conditioning only;
+    # the test's large LN scale makes logits ~1e2, so compare relatively
+    g, r = np.asarray(got)[am], np.asarray(ref)[am]
+    rel = np.abs(g - r) / (np.abs(r) + 1.0)
+    assert rel.max() < 5e-5, rel.max()
+
+
+def test_fused_full_encode_matches_xla():
+    """Whole esm2.encode with impl='fused' == impl='xla' (pooled output,
+    padded batch)."""
+    cfg = _cfg(num_layers=2)
+    params = esm2.init(jax.random.PRNGKey(1), cfg)
+    toks, _ = esm2.tokenize(["MKTAYIAKQR", "ACDEF"])
+    toks = jnp.asarray(toks)
+    ref = esm2.pooled_embedding(params, cfg, toks, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got = esm2.pooled_embedding(params, cfg, toks, impl="fused")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_pair_packing_preserves_head_order():
+    """(B, HP, S, 128).transpose.reshape must equal the (B, S, H*D)
+    head-major layout the output projection expects."""
+    b, hp, s = 2, 3, 8
+    rng = np.random.default_rng(1)
+    per_head = rng.standard_normal((b, 2 * hp, s, 64))   # (B, H, S, D)
+    packed = np.concatenate(
+        [per_head[:, 0::2], per_head[:, 1::2]], axis=-1)  # WRONG pairing?
+    # correct pair packing: pair g holds heads (2g, 2g+1) side by side
+    packed = np.stack(
+        [np.concatenate([per_head[:, 2 * g], per_head[:, 2 * g + 1]], -1)
+         for g in range(hp)], axis=1)                     # (B, HP, S, 128)
+    unpacked = packed.transpose(0, 2, 1, 3).reshape(b, s, 2 * hp * 64)
+    ref = per_head.transpose(0, 2, 1, 3).reshape(b, s, 2 * hp * 64)
+    np.testing.assert_array_equal(unpacked, ref)
+
+
+def test_flash_pairs_rejects_bad_seq():
+    qkv = jnp.zeros((3, 1, 2, 12, 128))
+    with pytest.raises(ValueError):
+        fused_encoder.flash_attention_pairs(qkv, block_q=8, block_k=8)
