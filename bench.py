@@ -90,55 +90,52 @@ def bench_encode(on_tpu: bool) -> None:
 # 2. Llama3-8B int8 decode (batch 8 and 32)
 # ---------------------------------------------------------------------------
 
-def _synth_int8_decoder(cfg):
-    """Random int8 decoder params, synthesized host-side DIRECTLY in the
-    stacked quantized layout and transferred once per leaf. Per-layer
-    staging + on-device stacking OOMs an 8B load even though the train
-    step itself fits — see convert.host_arrays / BENCH_NOTES round 2.
-    Values are irrelevant to the bandwidth-bound decode measurement;
-    scales keep dequantized weights at trained-network magnitude so
-    activations stay finite."""
+def _synth_int8_decoder(cfg, stacked: bool = False):
+    """Random int8 decoder params, synthesized host-side in the quantized
+    layout and transferred one leaf at a time. stacked=True builds the
+    stacked-scan layout DIRECTLY (per-layer staging + on-device stacking
+    OOMs an 8B load even though the train step itself fits — see
+    convert.host_arrays / BENCH_NOTES round 2); stacked=False builds the
+    per-layer layout, which decodes 12-19% faster at 8B (stacked-scan
+    weight streaming costs real decode throughput at this scale).
+    Values are irrelevant to the bandwidth-bound measurements; scales
+    keep dequantized weights at trained-network magnitude."""
     rng = np.random.default_rng(0)
     h, d, L = cfg.hidden_size, cfg.head_dim, cfg.num_layers
     qd, kvd = cfg.num_heads * d, cfg.num_kv_heads * d
     s_val = 0.02 / 74.0   # int8 uniform std ~74 -> weight std ~0.02
 
-    def lin_q(k, n, stacked=True):
-        shape = (L, k, n) if stacked else (k, n)
-        sshape = (L, n) if stacked else (n,)
+    def lin_q(k, n, in_stack=True):
+        shape = (L, k, n) if stacked and in_stack else (k, n)
+        sshape = (L, n) if stacked and in_stack else (n,)
         w = jnp.asarray(rng.integers(-127, 128, shape, dtype=np.int8))
         jax.block_until_ready(w)   # one leaf in flight at a time
         return {"kernel_q": w, "scale": jnp.full(sshape, s_val, jnp.float32)}
 
+    def norm(in_stack=True):
+        shape = (L, h) if stacked and in_stack else (h,)
+        return {"scale": jnp.ones(shape, jnp.bfloat16)}
+
     emb = (rng.standard_normal((cfg.vocab_size, h), np.float32) * 0.02)
-    return {
+    params = {
         "embed_tokens": {"embedding": jnp.asarray(emb, jnp.bfloat16)},
-        "final_norm": {"scale": jnp.ones((h,), jnp.bfloat16)},
-        "lm_head": lin_q(h, cfg.vocab_size, stacked=False),
-        "layers_stacked": {
-            "attn_norm": {"scale": jnp.ones((L, h), jnp.bfloat16)},
-            "ffn_norm": {"scale": jnp.ones((L, h), jnp.bfloat16)},
-            "q_proj": lin_q(h, qd), "k_proj": lin_q(h, kvd),
-            "v_proj": lin_q(h, kvd), "o_proj": lin_q(qd, h),
-            "gate_proj": lin_q(h, cfg.intermediate_size),
-            "up_proj": lin_q(h, cfg.intermediate_size),
-            "down_proj": lin_q(cfg.intermediate_size, h),
-        },
+        "final_norm": norm(in_stack=False),
+        "lm_head": lin_q(h, cfg.vocab_size, in_stack=False),
     }
 
+    def layer():
+        return {"attn_norm": norm(), "ffn_norm": norm(),
+                "q_proj": lin_q(h, qd), "k_proj": lin_q(h, kvd),
+                "v_proj": lin_q(h, kvd), "o_proj": lin_q(qd, h),
+                "gate_proj": lin_q(h, cfg.intermediate_size),
+                "up_proj": lin_q(h, cfg.intermediate_size),
+                "down_proj": lin_q(cfg.intermediate_size, h)}
 
-_8B_CACHE = []
-
-
-def _get_8b():
-    """Synthesize the 8B int8 stacked params once (≈5 min through the
-    tunnel); shared by the decode and 8B-train benches."""
-    from opus_pllm_tpu.core.config import DecoderConfig
-
-    if not _8B_CACHE:
-        cfg = DecoderConfig.llama3_8b()
-        _8B_CACHE.append((cfg, _synth_int8_decoder(cfg)))
-    return _8B_CACHE[0]
+    if stacked:
+        params["layers_stacked"] = layer()
+    else:
+        params["layers"] = [layer() for _ in range(L)]
+    return params
 
 
 def bench_decode(on_tpu: bool) -> None:
@@ -148,7 +145,8 @@ def bench_decode(on_tpu: bool) -> None:
     from opus_pllm_tpu.models import decoder
 
     if on_tpu:
-        cfg, params = _get_8b()
+        cfg = DecoderConfig.llama3_8b()
+        params = _synth_int8_decoder(cfg)   # per-layer: fastest decode
         runs = [("llama3_8b_int8_decode_tok_per_sec_b8", 8, 128, False),
                 ("llama3_8b_int8_decode_tok_per_sec_b32", 32, 128, True)]
     else:
@@ -252,9 +250,9 @@ def bench_train(on_tpu: bool) -> None:
 def bench_train_8b(on_tpu: bool) -> None:
     """Single-chip 8B int8-base LoRA train step (the round-1 blocker):
     index-mode stacked scan + sequence-chunked CE + remat. Runs LAST —
-    the first step costs ~13 min through the tunnel (per-process runtime
-    warmup; XLA compile itself is seconds), so a driver timeout here
-    cannot cost the other metrics."""
+    the 8 GB stacked synth (~5 min) plus a ~13-min first step through the
+    tunnel (per-process runtime warmup; XLA compile itself is seconds)
+    must not cost the other metrics under a driver timeout."""
     if not on_tpu:
         return   # CPU smoke of this path: tests/test_train.py chunked-CE
     import functools
@@ -267,7 +265,11 @@ def bench_train_8b(on_tpu: bool) -> None:
     from opus_pllm_tpu.models.layers import causal_mask
     from opus_pllm_tpu.train.optim import adamw
 
-    cfg, params = _get_8b()
+    from opus_pllm_tpu.core.config import DecoderConfig
+
+    cfg = DecoderConfig.llama3_8b()
+    params = _synth_int8_decoder(cfg, stacked=True)
+    jax.block_until_ready(jax.tree.leaves(params)[0])
     B, S = 4, 512
     lora = decoder.stack_params(
         lora_mod.init(jax.random.PRNGKey(0), cfg, LoRAConfig(rank=16)))

@@ -41,6 +41,11 @@ def _model_args(p: argparse.ArgumentParser) -> None:
                    help="int8 weight-only LLM (≙ reference --load-8bit)")
     p.add_argument("--quantize-cache", action="store_true",
                    help="int8 KV cache during generation")
+    p.add_argument("--unroll-layers", action="store_true",
+                   help="per-layer (unrolled) decode instead of the "
+                        "stacked lax.scan: 12-19%% faster decode at "
+                        "8B-class models, at the cost of ~30x longer "
+                        "first compile (BENCH_NOTES.md round 2)")
 
 
 def _gen_args(p: argparse.ArgumentParser) -> None:
@@ -82,9 +87,12 @@ def _build(args):
         params, _ = builder.load_pretrained(
             args.model_base, args.weights, cfg, esm_path=args.esm,
             quantize="int8" if getattr(args, "load_int8", False) else None)
-    # stacked layers -> lax.scan: one-layer compiles for the 32/33-deep stacks
-    params["llm"] = _dec.stack_params(params["llm"], donate=True)
-    params["esm"] = _esm.stack_params(params["esm"], donate=True)
+    # stacked layers -> lax.scan: one-layer compiles for the 32/33-deep
+    # stacks; --unroll-layers trades compile time for 12-19% decode
+    # throughput at 8B scale (BENCH_NOTES.md round 2)
+    if not getattr(args, "unroll_layers", False):
+        params["llm"] = _dec.stack_params(params["llm"], donate=True)
+        params["esm"] = _esm.stack_params(params["esm"], donate=True)
     params = jax.device_put(params)
     jax.block_until_ready(jax.tree.leaves(params)[0])
     from ..infer.hf_tokenizer import HFTokenizer

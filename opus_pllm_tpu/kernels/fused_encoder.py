@@ -236,6 +236,103 @@ def flash_attention_pairs(qkv, mask=None, *, block_q: int = 512,
     )(*args)
 
 
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf, fp32, |err| <= 1.5e-7."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, o_ref,
+                acc_s, mu_s, inv_s, *, eps: float):
+    kf = pl.program_id(1)
+    nkf = pl.num_programs(1)
+    x = x_ref[0].astype(jnp.float32)                    # (S, E)
+
+    @pl.when(kf == 0)
+    def _init():
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+            - jnp.square(mu), 0.0)
+        mu_s[...] = jnp.broadcast_to(mu, mu_s.shape)
+        inv_s[...] = jnp.broadcast_to(jax.lax.rsqrt(var + eps), inv_s.shape)
+        acc_s[...] = x + b2_ref[0].astype(jnp.float32)  # residual + bias2
+
+    scale = ln_ref[0, 0].astype(jnp.float32)
+    bias = ln_ref[1, 0].astype(jnp.float32)
+    r = ((x - mu_s[:, :1]) * inv_s[:, :1] * scale + bias
+         ).astype(o_ref.dtype)
+    y1 = jax.lax.dot_general(
+        r, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[0].astype(jnp.float32)
+    # erf gelu (fair-esm/torch default). Mosaic lowers neither erfc nor
+    # erf, so erf is computed in-kernel with the Abramowitz-Stegun 7.1.26
+    # rational approximation (1.5e-7 max abs error in fp32 — below bf16
+    # resolution and the 2e-5 interpret-mode parity tolerance)
+    y1 = (0.5 * y1 * (1.0 + _erf(y1 * (2.0 ** -0.5)))).astype(o_ref.dtype)
+    acc_s[...] += jax.lax.dot_general(
+        y1, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kf == nkf - 1)
+    def _fin():
+        o_ref[0] = acc_s[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_f"))
+def fused_ffn(x, w1, b1, w2, b2, ln_sb, *, eps: float = 1e-5,
+              block_f: int = 640):
+    """x + FC2(gelu(FC1(LN(x)))) in one kernel, K-blocked over the FFN dim.
+
+    XLA runs this as LN reduce -> FC1 -> gelu -> FC2, materializing the
+    (B, S, F) gelu activations in HBM (~670 MB/layer for ESM2-650M at
+    batch 128) because two GEMMs cannot fuse. Blocking the F dimension as
+    a reduction keeps each gelu(FC1) slice in VMEM and accumulates FC2
+    into an (S, E) scratch; the residual add and both biases ride along.
+    x (B, S, E); w1 (E, F); b1 (F,); w2 (F, E); b2 (E,); ln_sb (2, E)."""
+    b, s, e = x.shape
+    f = w1.shape[1]
+    # largest K-block from the preference list that tiles f exactly
+    bf = next((c for c in (min(block_f, f), 640, 512, 256, 128)
+               if c <= f and f % c == 0), None)
+    if bf is None:
+        raise ValueError(f"FFN dim {f} must be a multiple of 128")
+    b1_r = jnp.broadcast_to(b1[None, :], (8, f))
+    b2_r = jnp.broadcast_to(b2[None, :], (8, e))
+    ln_r = jnp.broadcast_to(ln_sb[:, None, :], (2, 8, e))
+
+    return pl.pallas_call(
+        functools.partial(_ffn_kernel, eps=eps),
+        grid=(b, f // bf),
+        in_specs=[
+            pl.BlockSpec((1, s, e), lambda ib, kf: (ib, 0, 0)),
+            pl.BlockSpec((e, bf), lambda ib, kf: (0, kf)),
+            pl.BlockSpec((8, bf), lambda ib, kf: (0, kf)),
+            pl.BlockSpec((bf, e), lambda ib, kf: (kf, 0)),
+            pl.BlockSpec((8, e), lambda ib, kf: (0, 0)),
+            pl.BlockSpec((2, 8, e), lambda ib, kf: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, e), lambda ib, kf: (ib, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, e), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((s, e), jnp.float32),      # FC2 accumulator
+            pltpu.VMEM((s, LANES), jnp.float32),  # LN mean
+            pltpu.VMEM((s, LANES), jnp.float32),  # LN inv-std
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * s * e * f,
+            bytes_accessed=(2 * x.size + 2 * e * f) * x.dtype.itemsize,
+            transcendentals=b * s * f,
+        ),
+    )(x, w1, b1_r, w2, b2_r, ln_r)
+
+
 def pack_qkv_params(p_layer):
     """Stack a layer's q/k/v projections into the (3, E, E) / (3, E)
     layout the fused kernel consumes (transform once at load time to
@@ -266,8 +363,8 @@ def encoder_attention(p_layer, x, mask, cos, sin, *, eps: float = 1e-5):
 
 def supports(cfg, x) -> bool:
     """Shapes the fused path handles: d=64 heads, even head count,
-    whole-row (<=512-divisible) sequences."""
+    whole-row (<=512-divisible) sequences, 128-tileable FFN dim."""
     b, s, e = x.shape
     return (cfg.head_dim == 64 and cfg.num_heads % 2 == 0
             and e == cfg.num_heads * 64 and s % min(512, s) == 0
-            and s % 8 == 0)
+            and s % 8 == 0 and cfg.ffn_dim % 128 == 0)

@@ -120,9 +120,10 @@ def _block(p, cfg: ESM2Config, x, mask, cos, sin, impl):
 
         a = fused_encoder.encoder_attention(p, x, mask, cos, sin)
         x = x + dense(p["o_proj"], a)
-        r = layer_norm(p["ffn_norm"], x)
-        r = dense(p["fc2"], layers.ACTIVATIONS["gelu"](dense(p["fc1"], r)))
-        return x + r
+        ln2 = jnp.stack([p["ffn_norm"]["scale"], p["ffn_norm"]["bias"]])
+        return fused_encoder.fused_ffn(
+            x, p["fc1"]["kernel"], p["fc1"]["bias"],
+            p["fc2"]["kernel"], p["fc2"]["bias"], ln2)
     r = layer_norm(p["attn_norm"], x)
     if "qkv_proj" in p:
         q, k, v = jnp.split(dense(p["qkv_proj"], r), 3, axis=-1)

@@ -81,6 +81,27 @@ def test_fused_full_encode_matches_xla():
                                atol=3e-5, rtol=1e-4)
 
 
+def test_fused_ffn_matches_xla():
+    """x + FC2(gelu(FC1(LN(x)))) — K-blocked kernel vs the plain
+    composition, including a block_f that forces multiple K iterations."""
+    from opus_pllm_tpu.models.layers import ACTIVATIONS, dense
+
+    cfg = _cfg()
+    params = esm2.init(jax.random.PRNGKey(2), cfg)
+    p = params["layers"][0]
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 16, cfg.embed_dim)), jnp.float32)
+    r = layer_norm(p["ffn_norm"], x)
+    ref = x + dense(p["fc2"], ACTIVATIONS["gelu"](dense(p["fc1"], r)))
+    ln2 = jnp.stack([p["ffn_norm"]["scale"], p["ffn_norm"]["bias"]])
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_encoder.fused_ffn(
+            x, p["fc1"]["kernel"], p["fc1"]["bias"],
+            p["fc2"]["kernel"], p["fc2"]["bias"], ln2, block_f=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_pair_packing_preserves_head_order():
     """(B, HP, S, 128).transpose.reshape must equal the (B, S, H*D)
     head-major layout the output projection expects."""
