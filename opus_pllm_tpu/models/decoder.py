@@ -126,15 +126,27 @@ def _dequantize_kv(leaf, dtype):
 
 
 def _write_cache(layer_cache, k_new, v_new, index):
+    """index: scalar -> every row writes at the same slot range (the
+    batch-uniform decode/prefill path); (B,)-array -> each row writes its
+    single new token at its own slot (continuous-batching serving, where
+    every sequence has a different length). The array path requires S=1."""
+    per_row = getattr(index, "ndim", 0) == 1
+
+    def upd_one(buf, new):
+        if per_row:
+            rows = jnp.arange(buf.shape[0])
+            return buf.at[rows, index].set(new[:, 0])
+        return jax.lax.dynamic_update_slice(buf, new, (0, index, 0, 0))
+
     def upd(buf, new):
         if isinstance(buf, dict):   # int8-quantized cache leaf
             qn = _quantize_kv(new)
-            return {"q": jax.lax.dynamic_update_slice(
-                        buf["q"], qn["q"], (0, index, 0, 0)),
-                    "s": jax.lax.dynamic_update_slice(
-                        buf["s"], qn["s"], (0, index, 0, 0))}
-        return jax.lax.dynamic_update_slice(buf, new, (0, index, 0, 0))
+            return {"q": upd_one(buf["q"], qn["q"]),
+                    "s": upd_one(buf["s"], qn["s"])}
+        return upd_one(buf, new)
 
+    if per_row and k_new.shape[1] != 1:
+        raise ValueError("per-row cache writes require one new token")
     return {"k": upd(layer_cache["k"], k_new),
             "v": upd(layer_cache["v"], v_new)}
 

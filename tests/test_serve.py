@@ -1,0 +1,128 @@
+"""Continuous-batching serving engine: token parity with the one-shot
+generate engine, slot reuse, mixed lengths, mid-stream admission."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opus_pllm_tpu.core.config import DecoderConfig
+from opus_pllm_tpu.infer import engine as gen_engine
+from opus_pllm_tpu.models import decoder
+from opus_pllm_tpu.serve.engine import Completion, ServeRequest, ServingEngine
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = DecoderConfig(family="llama", vocab_size=128, hidden_size=64,
+                        intermediate_size=128, num_layers=2, num_heads=4,
+                        num_kv_heads=2, head_dim=16, dtype="float32")
+    params = decoder.init(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _ref_tokens(params, cfg, emb, max_new, eos=-1):
+    """Greedy reference via the one-shot engine, eos trimmed."""
+    p = emb.shape[0]
+    out = gen_engine.generate(
+        params, cfg, jnp.asarray(emb[None], cfg.jnp_dtype),
+        jnp.ones((1, p), bool),
+        jnp.arange(p)[None].astype(jnp.int32),
+        jax.random.PRNGKey(0), max_new_tokens=max_new, temperature=0.0,
+        eos_token_id=eos, pad_token_id=0)
+    n = int(out.lengths[0])
+    toks = [int(t) for t in np.asarray(out.tokens[0][:n])]
+    if toks and toks[-1] == eos:
+        toks = toks[:-1]
+    return toks
+
+
+def _emb(cfg, seed, p):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((p, cfg.hidden_size)) * 0.3).astype(
+        np.float32)
+
+
+def test_matches_one_shot_generate_mixed_lengths(tiny):
+    cfg, params = tiny
+    prompts = [_emb(cfg, s, p) for s, p in ((0, 5), (1, 11), (2, 3), (3, 8))]
+    budgets = [6, 3, 9, 5]
+    refs = [_ref_tokens(params, cfg, e, m) for e, m in zip(prompts, budgets)]
+
+    eng = ServingEngine(params, cfg, max_slots=2, max_len=64,
+                        prefill_buckets=(16,))
+    reqs = [ServeRequest(i, embeds=e, max_new_tokens=m, temperature=0.0)
+            for i, (e, m) in enumerate(zip(prompts, budgets))]
+    done = eng.run(reqs, max_ticks=200)
+    assert set(done) == {0, 1, 2, 3}
+    for i, ref in enumerate(refs):
+        assert done[i].tokens == ref, (i, done[i].tokens, ref)
+        assert done[i].finish_reason == "length"
+
+
+def test_eos_stops_early(tiny):
+    cfg, params = tiny
+    emb = _emb(cfg, 7, 6)
+    long_ref = _ref_tokens(params, cfg, emb, 20)
+    eos = long_ref[2]   # force an EOS hit on the 3rd generated token
+    ref = _ref_tokens(params, cfg, emb, 20, eos=eos)
+    eng = ServingEngine(params, cfg, max_slots=2, max_len=64,
+                        prefill_buckets=(8,))
+    done = eng.run([ServeRequest("r", embeds=emb, max_new_tokens=20,
+                                 eos_token_id=eos)], max_ticks=50)
+    assert done["r"].finish_reason == "eos"
+    assert done["r"].tokens == ref
+
+
+def test_mid_stream_admission_does_not_disturb(tiny):
+    """A request admitted while another decodes must not change either
+    result (cache isolation between slots)."""
+    cfg, params = tiny
+    a, b = _emb(cfg, 10, 9), _emb(cfg, 11, 4)
+    ref_a = _ref_tokens(params, cfg, a, 8)
+    ref_b = _ref_tokens(params, cfg, b, 8)
+
+    eng = ServingEngine(params, cfg, max_slots=2, max_len=64,
+                        prefill_buckets=(16,))
+    eng.submit(ServeRequest("a", embeds=a, max_new_tokens=8))
+    harvested = {}
+    for c in eng.step():
+        harvested[c.request_id] = c
+    for _ in range(3):                     # a few ticks of A alone
+        for c in eng.step():
+            harvested[c.request_id] = c
+    eng.submit(ServeRequest("b", embeds=b, max_new_tokens=8))
+    for _ in range(40):
+        for c in eng.step():
+            harvested[c.request_id] = c
+        if len(harvested) == 2:
+            break
+    assert harvested["a"].tokens == ref_a
+    assert harvested["b"].tokens == ref_b
+
+
+def test_slot_reuse_after_completion(tiny):
+    cfg, params = tiny
+    eng = ServingEngine(params, cfg, max_slots=1, max_len=32,
+                        prefill_buckets=(8,))
+    e1, e2 = _emb(cfg, 20, 4), _emb(cfg, 21, 7)
+    ref2 = _ref_tokens(params, cfg, e2, 5)
+    done = eng.run([ServeRequest(1, embeds=e1, max_new_tokens=3),
+                    ServeRequest(2, embeds=e2, max_new_tokens=5)],
+                   max_ticks=100)
+    assert len(done) == 2
+    assert done[2].tokens == ref2
+
+
+def test_token_ids_prompt_and_stacked(tiny):
+    cfg, params = tiny
+    stacked = decoder.stack_params(
+        jax.tree.map(lambda x: x, params))   # shallow copy, keep original
+    ids = np.asarray([3, 17, 42, 9], np.int32)
+    emb = np.asarray(decoder.embed_tokens(params, jnp.asarray(ids)[None])[0])
+    ref = _ref_tokens(params, cfg, emb, 6)
+    eng = ServingEngine(stacked, cfg, max_slots=2, max_len=32,
+                        prefill_buckets=(8,))
+    done = eng.run([ServeRequest("t", token_ids=ids, max_new_tokens=6)],
+                   max_ticks=50)
+    assert done["t"].tokens == ref
