@@ -285,7 +285,10 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("eps", "block_f"))
 def fused_ffn(x, w1, b1, w2, b2, ln_sb, *, eps: float = 1e-5,
-              block_f: int = 640):
+              block_f: int = 512):
+    # block_f 640 measured the same speed but lands 0.9 MB over the 16 MB
+    # scoped-VMEM limit in some surrounding-program contexts (caught by
+    # validate_tpu); 512 keeps headroom
     """x + FC2(gelu(FC1(LN(x)))) in one kernel, K-blocked over the FFN dim.
 
     XLA runs this as LN reduce -> FC1 -> gelu -> FC2, materializing the
