@@ -148,3 +148,14 @@ def trust_evidence(p2t_logits, t2p_logits, targets,
     lp = evidential_ce(p2t_logits / cfg.temperature, targets, **kw)
     lt = evidential_ce(t2p_logits / cfg.temperature, targets, **kw)
     return 0.5 * (lp + lt)
+
+
+def evidence_is_dead(p2t_logits, t2p_logits, cfg: CSTPConfig,
+                     threshold: float = 1e-3):
+    """True when the evidential loss is in its zero-gradient region: the
+    LARGEST scaled similarity's elu+1 evidence is below `threshold`, so
+    every evidence in the batch has saturated to ~0 and the Dirichlet CE
+    is flat (module docstring). Used by the trainer's auto warm-up."""
+    x = jnp.maximum(jnp.max(p2t_logits), jnp.max(t2p_logits)) \
+        / cfg.temperature
+    return (jax.nn.elu(x.astype(jnp.float32)) + 1.0) < threshold

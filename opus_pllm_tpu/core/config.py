@@ -205,6 +205,12 @@ class CSTPConfig:
     kl_annealing_steps: int = 500
     kl_coefficient: float = 1.0
     evidence_global_step: int = 1000  # fixed at call sites (modelling.py:325)
+    # Dead-gradient protection (losses.py module docstring): cold-start
+    # embeddings can saturate every elu+1 evidence to 0, flat-lining the
+    # evidential loss. 0 = reference-faithful (no warm-up); N > 0 = train
+    # the first N steps with info_nce_sym; -1 = automatic — use
+    # info_nce_sym on any step where losses.evidence_is_dead() holds.
+    warmup_info_nce_steps: int = -1
 
     @staticmethod
     def tiny() -> "CSTPConfig":

@@ -50,6 +50,13 @@ def loss_and_metrics(params, cfg: CSTPConfig, seq_emb, text_emb, step):
     al = cstp.alignment(p, t)
     loss = losses.trust_evidence(al["protein2text"], al["text2protein"],
                                  al["targets"], cfg)
+    w = getattr(cfg, "warmup_info_nce_steps", 0)
+    if w:   # dead-gradient protection (CSTPConfig.warmup_info_nce_steps)
+        l_nce = losses.info_nce_sym(al["protein2text"], al["text2protein"],
+                                    al["targets"])
+        use_nce = (step < w) if w > 0 else losses.evidence_is_dead(
+            al["protein2text"], al["text2protein"], cfg)
+        loss = jnp.where(use_nce, l_nce, loss)
     acc_p2t = cstp.retrieval_accuracy(al["protein2text"], al["targets"])
     acc_t2p = cstp.retrieval_accuracy(al["text2protein"], al["targets"])
     return loss, {"loss": loss, "acc_seq2text": acc_p2t, "acc_text2seq": acc_t2p}

@@ -97,3 +97,88 @@ def test_info_nce_sym_average():
     a = losses.info_nce(jnp.asarray(p2t), jnp.arange(B), 0.007)
     b = losses.info_nce(jnp.asarray(t2p), jnp.arange(B), 0.007)
     np.testing.assert_allclose(float(s), 0.5 * (float(a) + float(b)), rtol=1e-6)
+
+
+def test_evidence_is_dead_detector():
+    cfg = CSTPConfig.tiny()
+    # all similarities strongly negative at T=0.0007 -> saturated evidence
+    dead = -0.5 * np.ones((4, 4), np.float32)
+    alive = dead.copy()
+    alive[0, 0] = 0.1
+    assert bool(losses.evidence_is_dead(jnp.asarray(dead),
+                                        jnp.asarray(dead), cfg))
+    assert not bool(losses.evidence_is_dead(jnp.asarray(alive),
+                                            jnp.asarray(dead), cfg))
+
+
+def test_auto_warmup_escapes_dead_gradient_region():
+    """Cold-start embeddings with all-negative similarities: the pure
+    evidential loss has exactly zero gradient; warmup_info_nce_steps=-1
+    switches to info_nce_sym on dead steps and training moves."""
+    import jax
+
+    from opus_pllm_tpu.bridge import cstp
+    from opus_pllm_tpu.core.config import TrainConfig
+    from opus_pllm_tpu.train import cstp_trainer
+
+    rng = np.random.default_rng(0)
+    b = 8
+    cfg_dead = CSTPConfig(protein_dim=16, text_dim=24, proj_dim=24,
+                          warmup_info_nce_steps=0)
+    cfg_auto = CSTPConfig(protein_dim=16, text_dim=24, proj_dim=24,
+                          warmup_info_nce_steps=-1)
+    seq = rng.standard_normal((b, 16)).astype(np.float32)
+    txt = rng.standard_normal((b, 24)).astype(np.float32)
+
+    state, tx = cstp_trainer.create_state(
+        jax.random.PRNGKey(0), cfg_dead,
+        TrainConfig(learning_rate=1e-2, weight_decay=0.0))
+    # force the dead region: zero kernels + opposite-sign biases make every
+    # similarity exactly -proj_dim (all pairs), saturating the evidence
+    params = jax.tree.map(lambda x: x, state.params)
+    params["protein_projection"]["kernel"] = jnp.zeros_like(
+        params["protein_projection"]["kernel"])
+    params["protein_projection"]["bias"] = -jnp.ones_like(
+        params["protein_projection"]["bias"])
+    params["text_projection"]["kernel"] = jnp.zeros_like(
+        params["text_projection"]["kernel"])
+    params["text_projection"]["bias"] = jnp.ones_like(
+        params["text_projection"]["bias"])
+    al = cstp.alignment(*cstp.forward(params, jnp.asarray(seq),
+                                      jnp.asarray(txt)))
+    assert bool(losses.evidence_is_dead(al["protein2text"],
+                                        al["text2protein"], cfg_dead)), \
+        "fixture failed to reach the dead region"
+
+    # (a) pure evidential loss: zero gradient exactly
+    g_dead = jax.grad(lambda p: cstp_trainer.loss_and_metrics(
+        p, cfg_dead, jnp.asarray(seq), jnp.asarray(txt),
+        jnp.zeros((), jnp.int32))[0])(params)
+    assert max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g_dead)) \
+        == 0.0
+
+    # (b) auto fallback: nonzero gradient, and a few steps reduce the loss
+    g_auto = jax.grad(lambda p: cstp_trainer.loss_and_metrics(
+        p, cfg_auto, jnp.asarray(seq), jnp.asarray(txt),
+        jnp.zeros((), jnp.int32))[0])(params)
+    assert max(float(jnp.max(jnp.abs(g))) for g in jax.tree.leaves(g_auto)) \
+        > 0.0
+    def delta(a, b):
+        return max(float(jnp.max(jnp.abs(x - y)))
+                   for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    # with warmup off the optimizer receives all-zero grads: frozen solid
+    state_d = cstp_trainer.CSTPTrainState(params, tx.init(params),
+                                          jnp.zeros((), jnp.int32))
+    step_d = cstp_trainer.make_train_step(cfg_dead, tx)
+    for _ in range(3):
+        state_d, _ = step_d(state_d, jnp.asarray(seq), jnp.asarray(txt))
+    assert delta(state_d.params, params) == 0.0
+
+    # auto fallback: the same steps actually move the parameters
+    state_a = cstp_trainer.CSTPTrainState(params, tx.init(params),
+                                          jnp.zeros((), jnp.int32))
+    step_a = cstp_trainer.make_train_step(cfg_auto, tx)
+    for _ in range(3):
+        state_a, _ = step_a(state_a, jnp.asarray(seq), jnp.asarray(txt))
+    assert delta(state_a.params, params) > 1e-4
