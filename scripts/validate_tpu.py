@@ -23,15 +23,20 @@ import jax.numpy as jnp
 import numpy as np
 
 FAILURES = []
+RESULTS = []
 
 
 def check(name: str, fn) -> None:
     t0 = time.perf_counter()
     try:
         fn()
-        print(f"PASS {name} ({time.perf_counter() - t0:.1f}s)")
+        dt = time.perf_counter() - t0
+        RESULTS.append({"check": name, "ok": True, "seconds": round(dt, 1)})
+        print(f"PASS {name} ({dt:.1f}s)")
     except Exception as e:  # noqa: BLE001 — report-and-continue harness
         FAILURES.append(name)
+        RESULTS.append({"check": name, "ok": False,
+                        "error": f"{type(e).__name__}: {e}"[:300]})
         print(f"FAIL {name}: {type(e).__name__}: {e}")
 
 
@@ -180,6 +185,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true",
                     help="skip the train-step check")
+    ap.add_argument("--json", default=None,
+                    help="write machine-checkable results to this path")
     args = ap.parse_args()
 
     assert jax.default_backend() == "tpu", \
@@ -194,6 +201,11 @@ def main():
     check("stacked-scan generate", stacked_generate)
     if not args.fast:
         check("stage c+d train step", train_step_converges)
+    if args.json:
+        import json as _json
+        with open(args.json, "w") as f:
+            _json.dump({"ok": not FAILURES, "device": str(jax.devices()[0]),
+                        "checks": RESULTS}, f, indent=1)
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILED: {FAILURES}")
         sys.exit(1)
