@@ -81,11 +81,18 @@ class ServingEngine:
     def __init__(self, params, cfg: DecoderConfig, *, max_slots: int = 8,
                  max_len: int = 512,
                  prefill_buckets: Tuple[int, ...] = (64, 128, 256),
-                 quantize_cache: bool = False, seed: int = 0):
+                 quantize_cache: bool = False, seed: int = 0,
+                 steps_per_tick: int = 1):
         self.params = params
         self.cfg = cfg
         self.max_slots = max_slots
         self.max_len = max_len
+        # steps_per_tick > 1 runs K decode steps per jitted call (an inner
+        # lax.scan): admission/harvest happen every K tokens, but host
+        # dispatch latency amortizes K-fold — the lever for remote-hosted
+        # chips and high-throughput serving. Slots finishing mid-scan
+        # burn at most K-1 wasted steps; their surplus tokens are dropped.
+        self.steps_per_tick = int(steps_per_tick)
         self.buckets = tuple(sorted(b for b in prefill_buckets
                                     if b <= max_len))
         if not self.buckets:
@@ -128,9 +135,9 @@ class ServingEngine:
     def _build_decode_step(self):
         cfg = self.cfg
         L = self.max_len
+        K = self.steps_per_tick
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def step(params, cache, state, key):
+        def one(params, cache, state, key):
             ids = state["last_token"]
             emb = decoder.embed_tokens(params, jnp.maximum(ids, 0)
                                        ).astype(cfg.jnp_dtype)[:, None]
@@ -160,7 +167,7 @@ class ServingEngine:
                 length=state["length"] + act.astype(jnp.int32),
                 remaining=remaining,
                 active=act & ~done_now,
-                done_now=done_now,
+                done_now=state["done_now"] | done_now,
             )
             # rows that were inactive must not corrupt their cache slot:
             # their write landed at length_i which stays their next free
@@ -169,6 +176,21 @@ class ServingEngine:
             # slot is each row's (new) length
             new_cache = dict(new_cache, index=new_state["length"])
             return new_cache, new_state, nxt
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def step(params, cache, state, key):
+            if K == 1:
+                cache, state, nxt = one(params, cache, state, key)
+                return cache, state, nxt[None]
+
+            def body(carry, k):
+                cache, state = carry
+                cache, state, nxt = one(params, cache, state, k)
+                return (cache, state), nxt
+
+            (cache, state), toks = jax.lax.scan(
+                body, (cache, state), jax.random.split(key, K))
+            return cache, state, toks          # (K, B)
 
         return step
 
@@ -297,25 +319,32 @@ class ServingEngine:
 
     def step(self) -> List[Completion]:
         """One scheduler tick: admit queued requests, advance every active
-        slot one token, harvest completions. Returns newly finished."""
+        slot by up to `steps_per_tick` tokens, harvest completions.
+        Returns newly finished."""
         self._admit()
         if not self._slot_req:
             out, self._completions = self._completions, []
             return out
+        old_len = np.array(self.state["length"])
         self._key, k = jax.random.split(self._key)
-        self.cache, self.state, nxt = self._decode(
+        self.cache, self.state, toks = self._decode(
             self.params, self.cache, self.state, k)
         self._tick += 1
 
-        nxt_h = np.asarray(nxt)
-        done_h = np.asarray(self.state["done_now"])
-        eos_h = np.asarray(self.state["eos"])
+        toks_h = np.asarray(toks)                      # (K, B)
+        new_len = np.array(self.state["length"])
+        done_h = np.array(self.state["done_now"])
+        eos_h = np.array(self.state["eos"])
         for slot in list(self._slot_req):
-            if slot in self._slot_tokens and (
-                    np.asarray(self.state["active"])[slot] or done_h[slot]):
-                self._slot_tokens[slot].append(int(nxt_h[slot]))
+            # active inner steps are a prefix of the K; after a slot
+            # finishes, the scan repeats its last token — dropped here
+            n_new = int(new_len[slot] - old_len[slot])
+            self._slot_tokens[slot].extend(
+                int(t) for t in toks_h[:n_new, slot])
             if done_h[slot]:
-                reason = ("eos" if int(nxt_h[slot]) == int(eos_h[slot])
+                toks_slot = self._slot_tokens[slot]
+                reason = ("eos" if toks_slot
+                          and toks_slot[-1] == int(eos_h[slot])
                           else "length")
                 self._finish(slot, reason)
         out, self._completions = self._completions, []

@@ -114,6 +114,23 @@ def test_slot_reuse_after_completion(tiny):
     assert done[2].tokens == ref2
 
 
+@pytest.mark.parametrize("k", [2, 4])
+def test_steps_per_tick_matches_single_step(tiny, k):
+    """K decode steps per jitted call must reproduce K=1 results exactly,
+    including slots that finish mid-scan."""
+    cfg, params = tiny
+    prompts = [_emb(cfg, s, p) for s, p in ((30, 5), (31, 9), (32, 3))]
+    budgets = [7, 3, 10]    # 3 finishes mid-scan for k=2 and k=4
+    refs = [_ref_tokens(params, cfg, e, m) for e, m in zip(prompts, budgets)]
+    eng = ServingEngine(params, cfg, max_slots=2, max_len=64,
+                        prefill_buckets=(16,), steps_per_tick=k)
+    reqs = [ServeRequest(i, embeds=e, max_new_tokens=m)
+            for i, (e, m) in enumerate(zip(prompts, budgets))]
+    done = eng.run(reqs, max_ticks=100)
+    for i, ref in enumerate(refs):
+        assert done[i].tokens == ref, (i, done[i].tokens, ref)
+
+
 def test_token_ids_prompt_and_stacked(tiny):
     cfg, params = tiny
     stacked = decoder.stack_params(
