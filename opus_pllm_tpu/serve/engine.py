@@ -3,27 +3,35 @@
 Beyond-parity infrastructure: the reference repo has no serving layer (its
 runners are offline batch scripts), but this framework targets production
 deployment. The design is the TPU answer to vLLM-style continuous
-batching, built so that EVERYTHING the chip executes is compiled once:
+batching, built so that EVERYTHING the chip executes is compiled once and
+the host-device protocol is minimal:
 
-* A fixed pool of `max_slots` sequence slots shares one persistent KV
-  cache of capacity `max_len` per slot. Slot state (length, last token,
-  remaining budget, eos id, temperature) lives in device arrays.
-* ONE jitted `decode_step` advances every active slot by one token per
-  tick — per-slot cache writes use the decoder's (B,)-indexed scatter
-  path, per-slot positions/masks come from the length array, finished
-  slots are masked out. No recompilation ever happens during decode.
-* New requests join between ticks: prompts are bucketed to a few static
-  lengths (powers of two), prefilled as a sub-batch with a fresh
-  mini-cache, and spliced into free slots of the big cache by a jitted
-  merge (one compile per bucket x join-batch-size, both enumerable).
-* The host-side scheduler is a plain queue: admit -> prefill -> tick ->
-  harvest. A request completes on EOS or its own max_new_tokens; its slot
-  is immediately reusable — sequences of very different lengths never
-  barrier on each other, which is the whole point.
+* A fixed pool of `max_slots` sequence slots shares one persistent,
+  device-resident KV cache (donated every call — never copied). Slot
+  bookkeeping (lengths, budgets, temperatures, eos ids) lives in HOST
+  numpy: it is fully derivable from the fetched tokens, so the device
+  never has to ship state back.
+* ONE jitted decode call advances every active slot by `steps_per_tick`
+  tokens (inner lax.scan) and returns just the (K, B) token block —
+  one dispatch + one small fetch per tick, regardless of model size.
+  Per-slot cache writes use the decoder's (B,)-indexed scatter path;
+  per-slot positions/masks come from the length vector passed in.
+* New requests join between ticks. Admissions are grouped per prompt
+  bucket and handled by ONE fused prefill+merge call: prefill the group
+  as a sub-batch, scatter its cache rows into the free slots, sample
+  each request's first token — one dispatch + one tiny fetch per group.
+* The host scheduler mirrors the device transition rules exactly
+  (append -> budget decrement -> eos/budget finish), so it always knows
+  every slot's length and never asks the device.
 
-Greedy/temperature sampling is per-slot (a temperature of 0 = argmax).
-Results are token-identical to `infer.engine.generate` run per request
-(tests/test_serve.py asserts this).
+Sequences of very different lengths never barrier on each other; a slot
+frees the moment its request finishes and is backfilled on the next
+tick. Results are token-identical to `infer.engine.generate` run per
+request (tests/test_serve.py).
+
+Dispatch economics: through a remote chip tunnel (~100 ms round trip)
+raise steps_per_tick (e.g. 32) so the scan amortizes the latency; on a
+colocated host (~0.2 ms) even steps_per_tick=1 is dispatch-negligible.
 """
 
 from __future__ import annotations
@@ -31,7 +39,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 from collections import deque
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,47 +84,51 @@ class ServingEngine:
     max_slots: concurrent sequences (the compiled decode batch).
     max_len: per-slot KV capacity (prompt + generation).
     prefill_buckets: static prompt paddings (ascending).
+    steps_per_tick: decode steps per jitted call (dispatch amortization).
     """
 
     def __init__(self, params, cfg: DecoderConfig, *, max_slots: int = 8,
                  max_len: int = 512,
                  prefill_buckets: Tuple[int, ...] = (64, 128, 256),
                  quantize_cache: bool = False, seed: int = 0,
-                 steps_per_tick: int = 1):
+                 steps_per_tick: int = 1, admit_min_free: int = 1):
         self.params = params
         self.cfg = cfg
         self.max_slots = max_slots
         self.max_len = max_len
-        # steps_per_tick > 1 runs K decode steps per jitted call (an inner
-        # lax.scan): admission/harvest happen every K tokens, but host
-        # dispatch latency amortizes K-fold — the lever for remote-hosted
-        # chips and high-throughput serving. Slots finishing mid-scan
-        # burn at most K-1 wasted steps; their surplus tokens are dropped.
         self.steps_per_tick = int(steps_per_tick)
+        # admit only once this many slots are free (or the queue would
+        # starve): batches admissions into fewer prefill calls — like
+        # steps_per_tick, a dispatch-amortization knob for remote-hosted
+        # chips; keep 1 for lowest time-to-first-token when colocated
+        self.admit_min_free = int(admit_min_free)
         self.buckets = tuple(sorted(b for b in prefill_buckets
                                     if b <= max_len))
         if not self.buckets:
             raise ValueError("no prefill bucket fits max_len")
         self.stacked = "layers_stacked" in params
+        self._quantized = quantize_cache
 
-        cache = decoder.init_cache(cfg, max_slots, max_len,
+        # one extra TRASH row (index max_slots): admission groups are
+        # padded to power-of-two sizes so each (bucket, n) prefill
+        # compiles once — the padding rows scatter their garbage there
+        nrows = max_slots + 1
+        cache = decoder.init_cache(cfg, nrows, max_len,
                                    stacked=self.stacked,
                                    quantize=quantize_cache)
-        # per-slot write indices instead of the scalar batch-uniform index;
-        # cache["mask"] stays (decoder.forward threads it through) but
-        # serving derives its real masks from the length array
-        cache["index"] = jnp.zeros((max_slots,), jnp.int32)
+        # per-slot write indices (the decode call overwrites this from the
+        # host length vector each tick); cache["mask"] is unused by serving
+        cache["index"] = jnp.zeros((nrows,), jnp.int32)
         self.cache = cache
 
-        z = functools.partial(jnp.zeros, (max_slots,))
+        z = functools.partial(np.zeros, (nrows,))
         self.state = {
             "active": z(bool),
-            "length": z(jnp.int32),        # valid cache slots per row
-            "last_token": z(jnp.int32),
-            "remaining": z(jnp.int32),     # new-token budget left
-            "eos": jnp.full((max_slots,), -1, jnp.int32),
-            "temperature": z(jnp.float32),
-            "done_now": z(bool),
+            "length": z(np.int32),         # valid cache slots per row
+            "last_token": z(np.int32),
+            "remaining": z(np.int32),      # new-token budget left
+            "eos": np.full((nrows,), -1, np.int32),
+            "temperature": z(np.float32),
         }
         self._key = jax.random.PRNGKey(seed)
         self._tick = 0
@@ -126,7 +138,7 @@ class ServingEngine:
         self._slot_tokens: Dict[int, List[int]] = {}
         self._completions: List[Completion] = []
         self._decode = self._build_decode_step()
-        self._prefills: Dict[int, Callable] = {}
+        self._prefills: Dict[int, Any] = {}
 
     # ------------------------------------------------------------------
     # compiled pieces
@@ -137,107 +149,97 @@ class ServingEngine:
         L = self.max_len
         K = self.steps_per_tick
 
-        def one(params, cache, state, key):
-            ids = state["last_token"]
-            emb = decoder.embed_tokens(params, jnp.maximum(ids, 0)
+        def one(params, carry, key):
+            cache, active, length, last_token, remaining, eos, temp = carry
+            emb = decoder.embed_tokens(params, jnp.maximum(last_token, 0)
                                        ).astype(cfg.jnp_dtype)[:, None]
-            pos = state["length"][:, None]
+            pos = length[:, None]
             # row i attends to its own slots [0, length_i] (incl. the one
             # being written this step)
-            valid = (jnp.arange(L)[None, :] <= state["length"][:, None])
+            valid = (jnp.arange(L)[None, :] <= length[:, None])
             mask4 = valid[:, None, None, :]
-            logits, new_cache = decoder.forward(
+            logits, cache = decoder.forward(
                 params, cfg, emb, pos, mask4, cache=cache)
             lg = logits[:, -1].astype(jnp.float32)
             greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-            t = state["temperature"]
             sampled = jax.random.categorical(
-                key, lg / jnp.maximum(t, 1e-6)[:, None]).astype(jnp.int32)
-            nxt = jnp.where(t > 0, sampled, greedy)
-            # inactive slots keep state; active ones advance
-            act = state["active"]
-            nxt = jnp.where(act, nxt, state["last_token"])
-            remaining = state["remaining"] - act.astype(jnp.int32)
-            hit_eos = act & (nxt == state["eos"])
-            out_of_budget = act & (remaining <= 0)
-            done_now = hit_eos | out_of_budget
-            new_state = dict(
-                state,
-                last_token=nxt,
-                length=state["length"] + act.astype(jnp.int32),
-                remaining=remaining,
-                active=act & ~done_now,
-                done_now=state["done_now"] | done_now,
-            )
-            # rows that were inactive must not corrupt their cache slot:
-            # their write landed at length_i which stays their next free
-            # slot (length unchanged), and will be overwritten on reuse.
-            # forward() bumped every row's index by 1; the true next write
-            # slot is each row's (new) length
-            new_cache = dict(new_cache, index=new_state["length"])
-            return new_cache, new_state, nxt
+                key, lg / jnp.maximum(temp, 1e-6)[:, None]).astype(jnp.int32)
+            nxt = jnp.where(temp > 0, sampled, greedy)
+            nxt = jnp.where(active, nxt, last_token)
+            remaining = remaining - active.astype(jnp.int32)
+            done = active & ((nxt == eos) | (remaining <= 0))
+            length = length + active.astype(jnp.int32)
+            active = active & ~done
+            # keep the cache's write pointer at each row's next free slot
+            cache = dict(cache, index=length)
+            return (cache, active, length, nxt, remaining, eos, temp), nxt
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def step(params, cache, state, key):
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(params, cache, packed, key):
+            # packed (6, B) fp32 — ONE host->device transfer per tick
+            # (int slot state round-trips exactly through fp32 < 2^24)
+            active = packed[0] > 0
+            length = packed[1].astype(jnp.int32)
+            last_token = packed[2].astype(jnp.int32)
+            remaining = packed[3].astype(jnp.int32)
+            eos = packed[4].astype(jnp.int32)
+            temp = packed[5]
+            # the host owns the slot state: trust ITS length vector, not
+            # whatever the cache carried from the previous tick
+            cache = dict(cache, index=length)
+            carry = (cache, active, length, last_token, remaining, eos, temp)
             if K == 1:
-                cache, state, nxt = one(params, cache, state, key)
-                return cache, state, nxt[None]
-
-            def body(carry, k):
-                cache, state = carry
-                cache, state, nxt = one(params, cache, state, k)
-                return (cache, state), nxt
-
-            (cache, state), toks = jax.lax.scan(
-                body, (cache, state), jax.random.split(key, K))
-            return cache, state, toks          # (K, B)
+                carry, nxt = one(params, carry, key)
+                return carry[0], nxt[None]
+            carry, toks = jax.lax.scan(
+                lambda c, k: one(params, c, k), carry,
+                jax.random.split(key, K))
+            return carry[0], toks                      # (K, B)
 
         return step
 
-    def _prefill_fn(self, bucket: int):
-        """Compile-once prefill for one bucket: returns (cache_rows,
-        last_logits) for a 1-request sub-batch, then a jitted merge
-        scatters the rows into the big cache."""
+    def _prefill_merge_fn(self, bucket: int, n: int):
+        """One fused call: prefill an n-request group, scatter its cache
+        rows into the big cache at `slots`, sample each first token."""
         cfg = self.cfg
 
-        @jax.jit
-        def prefill(params, emb, mask, pos):
-            cache = decoder.init_cache(cfg, 1, bucket, stacked=self.stacked,
-                                       quantize=self._cache_quantized())
-            # causal within the prompt, padding beyond it
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill_merge(params, big, embs, meta, key):
+            # meta (3, n) fp32: [prompt_len, temperature, slot] — one
+            # small transfer; masks/positions derive in-graph
+            n_valid = meta[0].astype(jnp.int32)
+            temps = meta[1]
+            slots = meta[2].astype(jnp.int32)
+            ar = jnp.arange(bucket)
+            mask = ar[None, :] < n_valid[:, None]
+            pos = ar[None, :] * mask
+            cache = decoder.init_cache(cfg, n, bucket, stacked=self.stacked,
+                                       quantize=self._quantized)
             mask4 = (mask[:, None, None, :]
-                     & (jnp.arange(bucket)[None, None, None, :]
-                        <= pos[:, None, :, None]))
-            logits, new_cache = decoder.forward(
-                params, cfg, emb, pos, mask4, cache=cache)
-            # the last VALID row's logits (prompts shorter than the bucket)
-            n_valid = jnp.sum(mask, axis=-1)
+                     & (ar[None, None, None, :] <= pos[:, None, :, None]))
+            logits, rows = decoder.forward(
+                params, cfg, embs, pos, mask4, cache=cache)
             last = jnp.take_along_axis(
                 logits, (n_valid - 1)[:, None, None], axis=1
             )[:, 0].astype(jnp.float32)
-            return new_cache, last
+            greedy = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            sampled = jax.random.categorical(
+                key, last / jnp.maximum(temps, 1e-6)[:, None]
+            ).astype(jnp.int32)
+            first = jnp.where(temps > 0, sampled, greedy)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def merge(big, rows, slot):
             def put(b, r):
                 if b.ndim == 5:      # stacked: (Layers, B, L, H, D|1)
-                    start = (0, slot) + (0,) * 3
-                else:                # per-layer: (B, L, H, D|1)
-                    start = (slot,) + (0,) * 3
-                return jax.lax.dynamic_update_slice(
-                    b, r.astype(b.dtype), start)
+                    return b.at[:, slots, :bucket].set(r.astype(b.dtype))
+                return b.at[slots, :bucket].set(r.astype(b.dtype))
 
             big_layers = jax.tree.map(put, big["layers"], rows["layers"])
-            return dict(big, layers=big_layers)
+            return dict(big, layers=big_layers), first
 
-        return prefill, merge
-
-    def _cache_quantized(self) -> bool:
-        leaf = jax.tree.leaves(self.cache["layers"])[0]
-        return leaf.dtype == jnp.int8
+        return prefill_merge
 
     # ------------------------------------------------------------------
-    # scheduler
+    # scheduler (host-side mirror of the device transition rules)
     # ------------------------------------------------------------------
 
     def submit(self, req: ServeRequest) -> None:
@@ -246,65 +248,78 @@ class ServingEngine:
         self._queue.append(req)
 
     def _free_slots(self) -> List[int]:
-        active = np.asarray(self.state["active"])
         return [i for i in range(self.max_slots)
-                if not active[i] and i not in self._slot_req]
+                if not self.state["active"][i] and i not in self._slot_req]
+
+    def _embed(self, req: ServeRequest) -> np.ndarray:
+        if req.embeds is not None:
+            return np.asarray(req.embeds)
+        return np.asarray(decoder.embed_tokens(
+            self.params, jnp.asarray(req.token_ids)[None])[0])
 
     def _admit(self) -> None:
+        """Group queued requests by prompt bucket and admit each group
+        with one fused prefill+merge call."""
         free = self._free_slots()
+        want = min(self.admit_min_free, len(self._queue), self.max_slots)
+        if len(free) < want:
+            return                      # wait for a fuller admission batch
+        batch: List[Tuple[int, ServeRequest, np.ndarray, int]] = []
         while free and self._queue:
-            slot = free.pop(0)
             req = self._queue.popleft()
-            self._start(slot, req)
+            emb = self._embed(req)
+            if emb.shape[0] > self.max_len:
+                raise ValueError(
+                    f"prompt ({emb.shape[0]}) exceeds max_len {self.max_len}")
+            batch.append((free.pop(0), req, emb,
+                          _bucket(emb.shape[0], self.buckets)))
+        for bucket in sorted({b for *_, b in batch}):
+            group = [x for x in batch if x[3] == bucket]
+            self._admit_group(bucket, group)
 
-    def _start(self, slot: int, req: ServeRequest) -> None:
-        if req.embeds is not None:
-            emb = np.asarray(req.embeds)
-        else:
-            emb = np.asarray(decoder.embed_tokens(
-                self.params, jnp.asarray(req.token_ids)[None])[0])
-        p = emb.shape[0]
-        if p > self.max_len:
-            raise ValueError(f"prompt ({p}) exceeds max_len {self.max_len}")
-        bucket = _bucket(p, self.buckets)
-        if bucket not in self._prefills:
-            self._prefills[bucket] = self._prefill_fn(bucket)
-        prefill, merge = self._prefills[bucket]
+    @staticmethod
+    def _pad_group(n: int) -> int:
+        p = 1
+        while p < n:
+            p *= 2
+        return p
 
-        pe = np.zeros((1, bucket, emb.shape[-1]), emb.dtype)
-        pe[0, :p] = emb
-        pm = np.zeros((1, bucket), bool)
-        pm[0, :p] = True
-        pos = np.zeros((1, bucket), np.int32)
-        pos[0, :p] = np.arange(p)
-        rows, last = prefill(self.params, jnp.asarray(
-            pe, self.cfg.jnp_dtype), jnp.asarray(pm), jnp.asarray(pos))
-        self.cache = merge(self.cache, rows, jnp.int32(slot))
+    def _admit_group(self, bucket, group) -> None:
+        # pad to a power-of-two group size so each (bucket, n) prefill
+        # compiles at most once; padding rows prefill a 1-token dummy and
+        # scatter into the trash row (index max_slots)
+        n = self._pad_group(len(group))
+        embs = np.zeros((n, bucket, self.cfg.hidden_size), np.float32)
+        meta = np.zeros((3, n), np.float32)
+        meta[0, :] = 1.0                    # dummy rows: length 1
+        meta[2, :] = self.max_slots         # dummy rows: trash slot
+        for r, (slot, req, emb, _) in enumerate(group):
+            embs[r, :emb.shape[0]] = emb
+            meta[:, r] = (emb.shape[0], req.temperature, slot)
+        key = (bucket, n)
+        if key not in self._prefills:
+            self._prefills[key] = self._prefill_merge_fn(bucket, n)
+        self._key, k = jax.random.split(self._key)
+        self.cache, first = self._prefills[key](
+            self.params, self.cache, jnp.asarray(embs, self.cfg.jnp_dtype),
+            jnp.asarray(meta), k)
+        first_h = np.asarray(first)
 
-        first = int(np.argmax(np.asarray(last[0])))
-        if req.temperature > 0:
-            self._key, k = jax.random.split(self._key)
-            first = int(jax.random.categorical(
-                k, last[0] / max(req.temperature, 1e-6)))
-
-        st = {k: np.array(v) for k, v in self.state.items()}
-        st["active"][slot] = True
-        st["length"][slot] = p
-        st["last_token"][slot] = first
-        st["remaining"][slot] = req.max_new_tokens - 1
-        st["eos"][slot] = req.eos_token_id
-        st["temperature"][slot] = req.temperature
-        st["done_now"][slot] = False
-        self.state = {k: jnp.asarray(v) for k, v in st.items()}
-        self.cache["index"] = self.cache["index"].at[slot].set(p)
-
-        self._slot_req[slot] = req
-        self._slot_tokens[slot] = [first]
-        # a 1-token budget (or an immediate EOS) finishes without a tick
-        if first == req.eos_token_id:
-            self._finish(slot, "eos")
-        elif req.max_new_tokens <= 1:
-            self._finish(slot, "length")
+        st = self.state
+        for r, (slot, req, emb, _) in enumerate(group):
+            tok = int(first_h[r])
+            st["active"][slot] = True
+            st["length"][slot] = emb.shape[0]
+            st["last_token"][slot] = tok
+            st["remaining"][slot] = req.max_new_tokens - 1
+            st["eos"][slot] = req.eos_token_id
+            st["temperature"][slot] = req.temperature
+            self._slot_req[slot] = req
+            self._slot_tokens[slot] = [tok]
+            if tok == req.eos_token_id:
+                self._finish(slot, "eos")
+            elif req.max_new_tokens <= 1:
+                self._finish(slot, "length")
 
     def _finish(self, slot: int, reason: str) -> None:
         req = self._slot_req.pop(slot)
@@ -312,41 +327,40 @@ class ServingEngine:
         if reason == "eos" and toks and toks[-1] == req.eos_token_id:
             toks = toks[:-1]
         self._completions.append(Completion(req.request_id, toks, reason))
-        st = {k: np.array(v) for k, v in self.state.items()}
-        st["active"][slot] = False
-        st["done_now"][slot] = False
-        self.state = {k: jnp.asarray(v) for k, v in st.items()}
+        self.state["active"][slot] = False
 
     def step(self) -> List[Completion]:
         """One scheduler tick: admit queued requests, advance every active
         slot by up to `steps_per_tick` tokens, harvest completions.
-        Returns newly finished."""
+        Returns newly finished completions."""
         self._admit()
         if not self._slot_req:
             out, self._completions = self._completions, []
             return out
-        old_len = np.array(self.state["length"])
+        st = self.state
+        packed = np.stack([st["active"], st["length"], st["last_token"],
+                           st["remaining"], st["eos"],
+                           st["temperature"]]).astype(np.float32)
         self._key, k = jax.random.split(self._key)
-        self.cache, self.state, toks = self._decode(
-            self.params, self.cache, self.state, k)
+        self.cache, toks = self._decode(
+            self.params, self.cache, jnp.asarray(packed), k)
+        toks_h = np.asarray(toks)                      # the ONE fetch
         self._tick += 1
 
-        toks_h = np.asarray(toks)                      # (K, B)
-        new_len = np.array(self.state["length"])
-        done_h = np.array(self.state["done_now"])
-        eos_h = np.array(self.state["eos"])
-        for slot in list(self._slot_req):
-            # active inner steps are a prefix of the K; after a slot
-            # finishes, the scan repeats its last token — dropped here
-            n_new = int(new_len[slot] - old_len[slot])
-            self._slot_tokens[slot].extend(
-                int(t) for t in toks_h[:n_new, slot])
-            if done_h[slot]:
-                toks_slot = self._slot_tokens[slot]
-                reason = ("eos" if toks_slot
-                          and toks_slot[-1] == int(eos_h[slot])
-                          else "length")
-                self._finish(slot, reason)
+        # mirror the device transitions exactly
+        for kstep in range(toks_h.shape[0]):
+            for slot in list(self._slot_req):
+                if not st["active"][slot]:
+                    continue
+                tok = int(toks_h[kstep, slot])
+                self._slot_tokens[slot].append(tok)
+                st["last_token"][slot] = tok
+                st["remaining"][slot] -= 1
+                st["length"][slot] += 1
+                if tok == int(st["eos"][slot]):
+                    self._finish(slot, "eos")
+                elif st["remaining"][slot] <= 0:
+                    self._finish(slot, "length")
         out, self._completions = self._completions, []
         return out
 
