@@ -278,7 +278,8 @@ def _train_multimodal(args, *, lora: bool) -> None:
 
     cfg, params, tok = _build(args)
     tcfg = TrainConfig(learning_rate=args.lr, weight_decay=args.wd,
-                       batch_size=args.batch_size, num_epochs=args.epochs)
+                       batch_size=args.batch_size, num_epochs=args.epochs,
+                       ce_chunk=args.ce_chunk)
     lcfg = LoRAConfig(rank=args.lora_rank) if lora else None
     ds = InstructionDataset(args.train_json)
     state, tx = mmt.create_state(jax.random.PRNGKey(args.seed), cfg, tcfg,
@@ -459,6 +460,11 @@ def build_parser() -> argparse.ArgumentParser:
         t.add_argument("--max-len", type=int, default=512)
         t.add_argument("--lora-rank", type=int, default=16)
         t.add_argument("--train-switch", action="store_true")
+        t.add_argument("--ce-chunk", type=int, default=0,
+                       help="sequence-chunked cross-entropy: bounds live "
+                            "fp32 logits to (B, chunk, V) — use 64 for "
+                            "single-chip training of 128k-vocab 8B models "
+                            "(BENCH_NOTES.md round 2)")
         t.add_argument("--export-reference-format", action="store_true",
                        help="also write the reference checkpoint layout "
                             "(modality_refinement_projector/, lora_adapter/)")
