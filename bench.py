@@ -43,7 +43,10 @@ _RESULTS = []
 def emit(metric: str, value: float, unit: str, on_tpu: bool) -> None:
     base = ROUND1_TPU.get(metric) if on_tpu else None
     vs = round(value / base, 4) if base else 1.0
-    _RESULTS.append(vs)
+    if base:
+        # only metrics with a real recorded baseline enter the geomean —
+        # a missing/renamed baseline must not fabricate a neutral 1.0
+        _RESULTS.append(vs)
     print(json.dumps({"metric": metric, "value": round(value, 2),
                       "unit": unit, "vs_baseline": vs}), flush=True)
 
@@ -322,7 +325,10 @@ def main() -> None:
                               "vs_baseline": 0.0}), flush=True)
             _RESULTS.append(0.0)
     ok = [r for r in _RESULTS if r > 0]
-    geo = math.exp(sum(math.log(r) for r in ok) / len(ok)) if ok else 0.0
+    failed = any(r == 0.0 for r in _RESULTS)
+    # no baselined metrics (CPU smoke) and no failures -> neutral 1.0
+    geo = (math.exp(sum(math.log(r) for r in ok) / len(ok)) if ok
+           else (0.0 if failed else 1.0))
     print(json.dumps({
         "metric": "north_star_geomean_vs_baseline",
         "value": round(geo, 4),

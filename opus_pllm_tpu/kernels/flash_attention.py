@@ -180,6 +180,13 @@ def _flash_impl(q, k, v, mask, causal: bool, block_q: int, block_k: int,
                 want_lse: bool = False):
     b, sq, hq, d_orig = q.shape
     skv, hkv = k.shape[1], k.shape[2]
+    if mask is not None and mask.shape[1] != 1:
+        # impl="flash" bypasses supports(); fail loudly instead of a
+        # shape error deep inside the mask reshape
+        raise ValueError(
+            f"flash_attention takes a broadcast (B, 1, Sq, Skv) mask; got "
+            f"head dim {mask.shape[1]} — use attention(impl='xla') for "
+            f"per-head masks")
     groups = hq // hkv
     scale = 1.0 / math.sqrt(d_orig)
     d = d_orig

@@ -337,9 +337,21 @@ def fused_ffn(x, w1, b1, w2, b2, ln_sb, *, eps: float = 1e-5,
 
 
 def pack_qkv_params(p_layer):
-    """Stack a layer's q/k/v projections into the (3, E, E) / (3, E)
-    layout the fused kernel consumes (transform once at load time to
-    avoid a 9.8 MB concat per call)."""
+    """A layer's q/k/v projections in the (3, E, E) / (3, E) layout the
+    fused kernel consumes. Handles all three layouts: separate
+    q/k/v_proj, esm2.fuse_qkv's single (E, 3E) 'qkv_proj', and the
+    pre-packed 'qkv_fused' written by fuse_encoder_params (use that
+    transform at load time to avoid the ~9.8 MB restack per call)."""
+    if "qkv_fused" in p_layer:
+        return p_layer["qkv_fused"]["kernel"], p_layer["qkv_fused"]["bias"]
+    if "qkv_proj" in p_layer:
+        k = p_layer["qkv_proj"]["kernel"]          # (E, 3E), [q|k|v] cols
+        e = k.shape[0]
+        w = k.reshape(e, 3, e).transpose(1, 0, 2)  # (3, E, E)
+        b = p_layer["qkv_proj"].get("bias")
+        bias = (b.reshape(3, e) if b is not None
+                else jnp.zeros((3, e), k.dtype))
+        return w, bias
     w = jnp.stack([p_layer[n]["kernel"] for n in
                    ("q_proj", "k_proj", "v_proj")])
     bias = jnp.stack([p_layer[n].get("bias",
@@ -348,14 +360,48 @@ def pack_qkv_params(p_layer):
     return w, bias
 
 
+def fuse_encoder_params(params):
+    """Load-time transform: add a pre-packed 'qkv_fused' {(3,E,E) kernel,
+    (3,E) bias} to every encoder layer so encoder_attention skips the
+    per-call restack (~9.8 MB x layers per forward). q/k/v_proj leaves
+    are kept so the XLA fallback path still works."""
+    def fuse_layer(lp):
+        if "qkv_fused" in lp:
+            return lp
+        w, b = pack_qkv_params(lp)
+        return dict(lp, qkv_fused={"kernel": w, "bias": b})
+
+    if "layers_stacked" in params:
+        lp = params["layers_stacked"]
+        if "qkv_fused" in lp:
+            return params
+        if "qkv_proj" in lp:              # esm2.fuse_qkv layout, stacked
+            k = lp["qkv_proj"]["kernel"]             # (L, E, 3E)
+            nl, e = k.shape[0], k.shape[1]
+            w = k.reshape(nl, e, 3, e).transpose(0, 2, 1, 3)
+            bb = lp["qkv_proj"].get("bias")
+            b = (bb.reshape(nl, 3, e) if bb is not None
+                 else jnp.zeros((nl, 3, e), k.dtype))
+        else:
+            # stacked leaves carry a leading layer axis
+            w = jnp.stack([lp[n]["kernel"] for n in
+                           ("q_proj", "k_proj", "v_proj")], axis=1)
+            b = jnp.stack([lp[n].get("bias",
+                                     jnp.zeros(w.shape[-1], w.dtype))
+                           for n in ("q_proj", "k_proj", "v_proj")], axis=1)
+        out = {k: v for k, v in params.items() if k != "layers_stacked"}
+        out["layers_stacked"] = dict(lp, qkv_fused={"kernel": w, "bias": b})
+        return out
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = [fuse_layer(lp) for lp in params["layers"]]
+    return out
+
+
 def encoder_attention(p_layer, x, mask, cos, sin, *, eps: float = 1e-5):
     """Full fused attention block: LN -> QKV -> rope -> flash -> (B, S, E)
     ready for the output projection. mask: (B, 1, S, S) bool or None."""
     b, s, e = x.shape
-    if "qkv_fused" in p_layer:
-        w, bias = p_layer["qkv_fused"]["kernel"], p_layer["qkv_fused"]["bias"]
-    else:
-        w, bias = pack_qkv_params(p_layer)
+    w, bias = pack_qkv_params(p_layer)
     ln = p_layer["attn_norm"]
     ln_sb = jnp.stack([ln["scale"], ln["bias"]])
     qkv = fused_ln_qkv_rope(x, w, bias, ln_sb, cos, sin, eps=eps)

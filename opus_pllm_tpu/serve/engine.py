@@ -243,8 +243,22 @@ class ServingEngine:
     # ------------------------------------------------------------------
 
     def submit(self, req: ServeRequest) -> None:
+        """Validate eagerly — a request that cannot be served must fail
+        HERE, not mid-admission where it would take already-dequeued
+        requests down with it."""
         if req.embeds is None and req.token_ids is None:
             raise ValueError("request needs embeds or token_ids")
+        p = (req.embeds.shape[0] if req.embeds is not None
+             else len(req.token_ids))
+        if p > self.buckets[-1]:
+            raise ValueError(
+                f"prompt length {p} exceeds the largest prefill bucket "
+                f"{self.buckets[-1]}")
+        if p + req.max_new_tokens > self.max_len:
+            raise ValueError(
+                f"prompt ({p}) + max_new_tokens ({req.max_new_tokens}) "
+                f"exceeds per-slot KV capacity max_len={self.max_len}; "
+                f"writes past capacity would be silently dropped")
         self._queue.append(req)
 
     def _free_slots(self) -> List[int]:
@@ -266,11 +280,8 @@ class ServingEngine:
             return                      # wait for a fuller admission batch
         batch: List[Tuple[int, ServeRequest, np.ndarray, int]] = []
         while free and self._queue:
-            req = self._queue.popleft()
+            req = self._queue.popleft()   # submit() validated capacity
             emb = self._embed(req)
-            if emb.shape[0] > self.max_len:
-                raise ValueError(
-                    f"prompt ({emb.shape[0]}) exceeds max_len {self.max_len}")
             batch.append((free.pop(0), req, emb,
                           _bucket(emb.shape[0], self.buckets)))
         for bucket in sorted({b for *_, b in batch}):

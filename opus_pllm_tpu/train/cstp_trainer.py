@@ -52,8 +52,12 @@ def loss_and_metrics(params, cfg: CSTPConfig, seq_emb, text_emb, step):
                                  al["targets"], cfg)
     w = getattr(cfg, "warmup_info_nce_steps", 0)
     if w:   # dead-gradient protection (CSTPConfig.warmup_info_nce_steps)
+        # warm-up temperature tracks cfg.temperature at the reference's own
+        # InfoNCE_h : TrustEvidence ratio (0.007 : 0.0007) so the fallback
+        # optimizes the same logit scale whose saturation it escapes
         l_nce = losses.info_nce_sym(al["protein2text"], al["text2protein"],
-                                    al["targets"])
+                                    al["targets"],
+                                    temperature=10.0 * cfg.temperature)
         use_nce = (step < w) if w > 0 else losses.evidence_is_dead(
             al["protein2text"], al["text2protein"], cfg)
         loss = jnp.where(use_nce, l_nce, loss)

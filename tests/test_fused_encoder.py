@@ -119,6 +119,52 @@ def test_pair_packing_preserves_head_order():
     np.testing.assert_array_equal(unpacked, ref)
 
 
+def test_fused_path_handles_all_qkv_layouts():
+    """separate q/k/v_proj, esm2.fuse_qkv's 'qkv_proj', and the
+    pre-packed 'qkv_fused' must produce identical fused-block outputs
+    (auto-dispatch on TPU sees all three; review finding round 2)."""
+    cfg = _cfg()
+    s = 16
+    params = esm2.init(jax.random.PRNGKey(4), cfg)
+    p = params["layers"][0]
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, s, cfg.embed_dim)), jnp.float32)
+    mask = padding_mask(jnp.ones((2, s), bool))
+    cos, sin = rope_cos_sin(jnp.arange(s), cfg.head_dim)
+
+    with pltpu.force_tpu_interpret_mode():
+        ref = fused_encoder.encoder_attention(p, x, mask, cos, sin)
+        fused_params = fused_encoder.fuse_encoder_params(
+            {"layers": [p], "x": None})
+        got_packed = fused_encoder.encoder_attention(
+            fused_params["layers"][0], x, mask, cos, sin)
+        qkv_layer = esm2.fuse_qkv({"layers": [dict(p)]})["layers"][0]
+        got_qkvproj = fused_encoder.encoder_attention(
+            qkv_layer, x, mask, cos, sin)
+    np.testing.assert_allclose(np.asarray(got_packed), np.asarray(ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_qkvproj), np.asarray(ref),
+                               atol=1e-6)
+
+
+def test_fuse_encoder_params_stacked_layout():
+    from opus_pllm_tpu.models import decoder as dec
+
+    cfg = _cfg()
+    params = esm2.init(jax.random.PRNGKey(6), cfg)
+    stacked = fused_encoder.fuse_encoder_params(
+        dec.stack_params({"layers": params["layers"]}))
+    lp = stacked["layers_stacked"]
+    assert lp["qkv_fused"]["kernel"].shape == (
+        cfg.num_layers, 3, cfg.embed_dim, cfg.embed_dim)
+    # per-layer slice equals the per-layer pack
+    w0, b0 = fused_encoder.pack_qkv_params(params["layers"][0])
+    np.testing.assert_array_equal(np.asarray(lp["qkv_fused"]["kernel"][0]),
+                                  np.asarray(w0))
+    np.testing.assert_array_equal(np.asarray(lp["qkv_fused"]["bias"][0]),
+                                  np.asarray(b0))
+
+
 def test_flash_pairs_rejects_bad_seq():
     qkv = jnp.zeros((3, 1, 2, 12, 128))
     with pytest.raises(ValueError):

@@ -131,6 +131,24 @@ def test_steps_per_tick_matches_single_step(tiny, k):
         assert done[i].tokens == ref, (i, done[i].tokens, ref)
 
 
+def test_submit_validates_capacity_eagerly(tiny):
+    """Capacity violations fail at submit(), never mid-admission where
+    they would drop already-dequeued requests (review finding round 2)."""
+    cfg, params = tiny
+    eng = ServingEngine(params, cfg, max_slots=2, max_len=32,
+                        prefill_buckets=(16,))
+    with pytest.raises(ValueError, match="largest prefill bucket"):
+        eng.submit(ServeRequest("big", embeds=_emb(cfg, 0, 20)))
+    with pytest.raises(ValueError, match="KV capacity"):
+        eng.submit(ServeRequest("tight", embeds=_emb(cfg, 0, 16),
+                                max_new_tokens=20))
+    # a valid request still works after the rejections
+    ok = _emb(cfg, 1, 8)
+    done = eng.run([ServeRequest("ok", embeds=ok, max_new_tokens=4)],
+                   max_ticks=20)
+    assert done["ok"].tokens == _ref_tokens(params, cfg, ok, 4)
+
+
 def test_token_ids_prompt_and_stacked(tiny):
     cfg, params = tiny
     stacked = decoder.stack_params(
