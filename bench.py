@@ -66,6 +66,12 @@ def bench_encode(on_tpu: bool) -> None:
     # unrolled layers: ~12% faster than the lax.scan path for ESM2's small
     # matmuls (XLA fuses across layers); compile cost is acceptable here
     params = esm2.init(jax.random.PRNGKey(0), cfg)
+    if on_tpu:
+        # pre-pack QKV for the fused pair-packed kernel (skips the
+        # ~9.8 MB/layer per-call restack)
+        from opus_pllm_tpu.kernels.fused_encoder import fuse_encoder_params
+
+        params = fuse_encoder_params(params)
     rng = np.random.default_rng(0)
     toks = rng.integers(4, 24, (batch, seq_len)).astype(np.int32)
     toks[:, 0] = cfg.cls_idx
