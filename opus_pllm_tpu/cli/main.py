@@ -279,7 +279,8 @@ def _train_multimodal(args, *, lora: bool) -> None:
     cfg, params, tok = _build(args)
     tcfg = TrainConfig(learning_rate=args.lr, weight_decay=args.wd,
                        batch_size=args.batch_size, num_epochs=args.epochs,
-                       ce_chunk=args.ce_chunk)
+                       ce_chunk=args.ce_chunk,
+                       scan_mode=getattr(args, "scan_mode", "xs"))
     lcfg = LoRAConfig(rank=args.lora_rank) if lora else None
     ds = InstructionDataset(args.train_json)
     state, tx = mmt.create_state(jax.random.PRNGKey(args.seed), cfg, tcfg,
@@ -465,6 +466,11 @@ def build_parser() -> argparse.ArgumentParser:
                             "fp32 logits to (B, chunk, V) — use 64 for "
                             "single-chip training of 128k-vocab 8B models "
                             "(BENCH_NOTES.md round 2)")
+        t.add_argument("--scan-mode", choices=("xs", "index"), default="xs",
+                       help="decoder layer-loop layout: 'index' bounds "
+                            "XLA's stacked-weight relayout copies to one "
+                            "layer — required (with --ce-chunk) for the "
+                            "single-chip 8B training recipe")
         t.add_argument("--export-reference-format", action="store_true",
                        help="also write the reference checkpoint layout "
                             "(modality_refinement_projector/, lora_adapter/)")

@@ -207,10 +207,13 @@ class CSTPConfig:
     evidence_global_step: int = 1000  # fixed at call sites (modelling.py:325)
     # Dead-gradient protection (losses.py module docstring): cold-start
     # embeddings can saturate every elu+1 evidence to 0, flat-lining the
-    # evidential loss. 0 = reference-faithful (no warm-up); N > 0 = train
-    # the first N steps with info_nce_sym; -1 = automatic — use
-    # info_nce_sym on any step where losses.evidence_is_dead() holds.
-    warmup_info_nce_steps: int = -1
+    # evidential loss. 0 = reference-faithful (no warm-up, the DEFAULT —
+    # the warm-up is explicit opt-in so default training optimizes exactly
+    # the reference loss); N > 0 = train the first N steps with
+    # info_nce_sym; -1 = automatic — use info_nce_sym on any step where
+    # losses.evidence_is_dead() holds. When != 0 the trainer reports a
+    # `warmup_active` metric so fallback steps are visible in logs.
+    warmup_info_nce_steps: int = 0
 
     @staticmethod
     def tiny() -> "CSTPConfig":
@@ -340,6 +343,12 @@ class TrainConfig:
     # live fp32 logits to (B, chunk, V) — required for single-chip training
     # of 128k-vocab 8B models where full logits+softmax add ~4 GB
     ce_chunk: int = 0
+    # layer-loop layout for the decoder scan (models/decoder.py): "xs" scans
+    # over stacked weights as scan xs (best default), "index" indexes the
+    # stack with dynamic_slice inside the body — bounds XLA's relayout
+    # copies to one layer, which is what lets single-chip 8B training fit
+    # (the documented ce_chunk + scan_mode="index" recipe, BENCH_NOTES.md)
+    scan_mode: str = "xs"
 
 
 def to_json(cfg: Any) -> str:

@@ -26,12 +26,16 @@ from .config import BertConfig, CSTPConfig, DecoderConfig, ESM2Config, SwitchPro
 # Host-side conversion mode
 # ---------------------------------------------------------------------------
 
-_HOST_MODE = [False]
+# ContextVar (not a module global): per-thread/task scoped, so a concurrent
+# conversion on another thread cannot observe this one's host mode
+import contextvars
+
+_HOST_MODE = contextvars.ContextVar("opus_convert_host_mode", default=False)
 
 
 def _asarray(x, dtype=None):
     """jnp.asarray, or numpy passthrough inside `host_arrays()`."""
-    if _HOST_MODE[0]:
+    if _HOST_MODE.get():
         a = np.asarray(x)
         return a.astype(dtype) if dtype is not None and a.dtype != dtype else a
     return jnp.asarray(x, dtype=dtype)
@@ -51,12 +55,11 @@ class host_arrays:
     """
 
     def __enter__(self):
-        self._prev = _HOST_MODE[0]
-        _HOST_MODE[0] = True
+        self._token = _HOST_MODE.set(True)
         return self
 
     def __exit__(self, *exc):
-        _HOST_MODE[0] = self._prev
+        _HOST_MODE.reset(self._token)
         return False
 
 

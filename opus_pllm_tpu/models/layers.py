@@ -91,6 +91,11 @@ def layer_norm(params, x, eps: float = 1e-5):
     # of the definitional form — the encode profile showed fp32 LN reduces
     # at 15% of ESM2-650M device time (BENCH_NOTES.md round 2). fp32
     # accumulation keeps bf16 inputs exact to ~1e-7 of the two-pass form.
+    # Known regime limit: when |mean| >> std the E[x^2]-mu^2 subtraction
+    # cancels catastrophically (var clamps to 0, silently). Transformer
+    # activations are zero-centered enough that parity tests pass at 1e-6;
+    # if tolerances ever tighten, switch to the shifted one-pass form
+    # E[(x-c)^2] with c = a first-row estimate (still a single read of x).
     h = x.astype(jnp.float32)
     mu = jnp.mean(h, axis=-1, keepdims=True)
     musq = jnp.mean(jnp.square(h), axis=-1, keepdims=True)

@@ -63,7 +63,12 @@ def loss_and_metrics(params, cfg: CSTPConfig, seq_emb, text_emb, step):
         loss = jnp.where(use_nce, l_nce, loss)
     acc_p2t = cstp.retrieval_accuracy(al["protein2text"], al["targets"])
     acc_t2p = cstp.retrieval_accuracy(al["text2protein"], al["targets"])
-    return loss, {"loss": loss, "acc_seq2text": acc_p2t, "acc_text2seq": acc_t2p}
+    metrics = {"loss": loss, "acc_seq2text": acc_p2t, "acc_text2seq": acc_t2p}
+    if w:
+        # surface fallback steps: default config never enters this branch,
+        # but when the warm-up is opted in, the log must show which loss ran
+        metrics["warmup_active"] = use_nce.astype(jnp.float32)
+    return loss, metrics
 
 
 def make_train_step(cfg: CSTPConfig, tx):

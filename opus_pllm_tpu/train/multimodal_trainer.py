@@ -132,7 +132,8 @@ def make_eval_step(cfg: OpusConfig, *, lora_cfg: Optional[LoRAConfig] = None,
 def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
         batches, *, lora_cfg: Optional[LoRAConfig] = None, log_fn=print):
     step_fn = make_train_step(cfg, tx, lora_cfg=lora_cfg,
-                              ce_chunk=getattr(tcfg, "ce_chunk", 0))
+                              ce_chunk=getattr(tcfg, "ce_chunk", 0),
+                              scan_mode=getattr(tcfg, "scan_mode", "xs"))
     for i, batch in enumerate(batches):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, frozen, batch)
