@@ -20,6 +20,49 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None,
+                           local_device_ids=None) -> bool:
+    """Multi-host bootstrap: the `jax.distributed.initialize` entry point
+    (SURVEY §5's NCCL-init replacement — the role `accelerate launch` +
+    dist.init_process_group play for run_opus_ddp.py:77-79 / eval.sh:20-26).
+
+    Explicit args win; otherwise the standard env vars are read
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID). With
+    neither, this is a single-process run and the call is a no-op. Must run
+    before any other JAX device use. Idempotent. Returns True when the
+    distributed runtime is live after the call."""
+    import os
+
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return True                      # already initialized
+    coord = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = (num_processes if num_processes is not None
+             else os.environ.get("JAX_NUM_PROCESSES"))
+    pid = (process_id if process_id is not None
+           else os.environ.get("JAX_PROCESS_ID"))
+    if coord is None and nproc is None and pid is None:
+        return False                     # single process, nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(nproc) if nproc is not None else None,
+        process_id=int(pid) if pid is not None else None,
+        local_device_ids=local_device_ids)
+    return True
+
+
+def parse_mesh_flag(flag: str) -> MeshConfig:
+    """'D,M' (or 'D' for pure DP) -> MeshConfig — the CLI --mesh surface."""
+    parts = [int(p) for p in flag.split(",") if p.strip()]
+    if len(parts) == 1:
+        return MeshConfig(data=parts[0], model=1)
+    if len(parts) == 2:
+        return MeshConfig(data=parts[0], model=parts[1])
+    raise ValueError(f"--mesh expects 'DATA,MODEL', got {flag!r}")
+
+
 def make_mesh(cfg: Optional[MeshConfig] = None,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build a 2-D ("data", "model") mesh over the available devices.

@@ -58,19 +58,29 @@ def max_new_tokens_for(file_path: str) -> int:
 
 
 def instruction_for(example: AnnotationExample, file_path: str) -> str:
-    """Prepend the `<seq>` placeholder line and the task-specific suffix
-    (run_opus_ddp.py:92-107 prompt assembly)."""
+    """Prepend the `<seq>` placeholder line and the task-specific suffix —
+    byte-exact run_opus_ddp.py:91-101: instructions that already carry
+    `<seq>` pass through untouched; otherwise '<seq>\\n' is prefixed and,
+    for localization sets only, the one-word suffix is concatenated
+    directly (no separating space — the reference glues it on)."""
     instr = example.instruction
-    if "localization" in file_path.lower() and LOCALIZATION_SUFFIX not in instr:
-        instr = instr.rstrip() + " " + LOCALIZATION_SUFFIX
+    if "<seq>" in instr:
+        return instr
+    if "localization" in file_path.lower():
+        return "<seq>\n" + instr + LOCALIZATION_SUFFIX
     return "<seq>\n" + instr
 
 
 def mcq_prompt(question: str, options: List[str]) -> str:
-    """MCQ instruction block (eval_run_multichoice.py:76-83 semantics)."""
+    """MCQ instruction block, byte-exact eval_run_multichoice.py:76-83.
+
+    The reference builds this with an indented triple-quoted f-string, so
+    every line after the first carries 8 literal leading spaces (only the
+    first option line — `options` is '\\n'.join(...) — is indented). The
+    prompt text is the model interface; preserve it exactly."""
     opts = "\n".join(options)
-    return (f"Question: {question}\n\nOptions:\n{opts}\n\n"
-            "Please carefully read the question and select the single "
-            "correct answer from A-D. You can only output one option from "
-            "A), B), C), D) with format 'The correct answer is' without "
-            "explanation.")
+    return (f"Question: {question}\n\n        Options:\n        {opts}\n\n"
+            "        Please carefully read the question and select the "
+            "single correct answer from A-D.\n"
+            "        You can only output one option from A), B), C), D) "
+            "with format 'The correct answer is' without explanation.")

@@ -106,6 +106,30 @@ class Conversation:
         return "".join(parts)
 
 
+# The exact fallback chat template the reference MCQ runner assigns to
+# template-less tokenizers (eval_run_multichoice.py:62-74 — an indented
+# triple-quoted string, so the rendered prompt carries the literal
+# indentation/newline quirks; HF renders jinja with trim_blocks +
+# lstrip_blocks, which strips the whitespace around {% %} tags but keeps
+# the 12-space indent before each <|im_start|> and the double newline
+# after each <|im_end|>). Byte parity matters: the prompt is the model
+# interface.
+REFERENCE_CHATML_TEMPLATE = (
+    "\n"
+    "    {% for message in messages %}\n"
+    "        {% if message['role'] == 'system' %}\n"
+    "            <|im_start|>system\n{{ message['content'] }}<|im_end|>\n\n"
+    "        {% elif message['role'] == 'user' %}\n"
+    "            <|im_start|>user\n{{ message['content'] }}<|im_end|>\n\n"
+    "        {% elif message['role'] == 'assistant' %}\n"
+    "            <|im_start|>assistant\n{{ message['content'] }}<|im_end|>\n\n"
+    "        {% endif %}\n"
+    "    {% endfor %}\n"
+    "    {% if add_generation_prompt %}<|im_start|>assistant\n{% endif %}\n"
+    "    "
+)
+
+
 VICUNA_V0 = Conversation(
     system="A chat between a curious student and a biological professor who "
            "is familiar with protein properties. The biological professor "

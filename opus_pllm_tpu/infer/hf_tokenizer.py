@@ -37,7 +37,18 @@ class HFTokenizer:
                                  if self.tk.pad_token_id is not None
                                  else self.tk.eos_token_id)
             self.eos_token_id = self.tk.eos_token_id
-        self.bos_token_id = self.tk.bos_token_id
+        # BOS parity with tokenizer_seq_token (mm_utils.py:12-32): the
+        # reference tokenizes prompt chunks WITH special tokens and keeps a
+        # single leading BOS — so a BOS appears in the prompt only when the
+        # underlying tokenizer itself emits one (Llama-3 does; byte-level
+        # GPT2-style tokenizers don't). Probe once and expose bos_token_id
+        # only in that case, so tokenize_with_seq matches either way.
+        bos = self.tk.bos_token_id
+        if bos is not None:
+            probe = self.tk.encode("a", add_special_tokens=True)
+            if not probe or probe[0] != bos:
+                bos = None
+        self.bos_token_id = bos
         self.vocab_size = len(self.tk)
 
     def encode(self, text: str) -> List[int]:
@@ -47,15 +58,12 @@ class HFTokenizer:
         return self.tk.decode(list(ids), skip_special_tokens=True)
 
     def apply_chat_template(self, messages, add_generation_prompt=True) -> str:
-        if getattr(self.tk, "chat_template", None):
-            return self.tk.apply_chat_template(
-                messages, tokenize=False,
-                add_generation_prompt=add_generation_prompt)
-        from .conversation import Conversation
-        conv = Conversation(system="", roles=["user", "assistant"])
-        for m in messages:
-            if m["role"] == "system":
-                conv.system = m["content"]
-            else:
-                conv.append(m["role"], m["content"])
-        return conv.get_prompt_chatml(add_generation_prompt)
+        if not getattr(self.tk, "chat_template", None):
+            # mirror eval_run_multichoice.py:75: template-less tokenizers
+            # get the reference's exact fallback template (incl. its
+            # whitespace quirks) so rendered prompts are byte-identical
+            from .conversation import REFERENCE_CHATML_TEMPLATE
+            self.tk.chat_template = REFERENCE_CHATML_TEMPLATE
+        return self.tk.apply_chat_template(
+            messages, tokenize=False,
+            add_generation_prompt=add_generation_prompt)

@@ -167,26 +167,12 @@ def load_reference_model(model_base: str, weights_dir: str | None,
     modality_refinement_projector/); `cstp_ckpt` is the Lightning CSTP path
     (reference passes it as `cstp_path`).
     """
-    install(esm_model_dir)
-    from multi_modality_model.multi_modality_v1.model import (  # noqa: E501
-        builder as ref_builder)
-    from multi_modality_model.multi_modality_v1.model.protein_projector import (  # noqa: E501
-        builder as ref_pp_builder)
-
     # The reference's mutable class-level configs (its designed config
     # surface, builder.py:24-28 / protein_projector/builder.py:5-13):
     # point them at the tiny fixture dims + CPU.
-    ref_builder.model_args.device = "cpu"
-    ref_builder.model_args.esm_ckpt = None
-    if cstp_ckpt is not None:
-        import torch
-        hp = torch.load(cstp_ckpt, map_location="cpu",
-                        weights_only=False)["hyper_parameters"]
-        PA = ref_pp_builder.Protein_Arguments
-        PA.protein_projection_input_dim = hp["protein_projection_input_dim"]
-        PA.protein_projection_output_dim = hp["protein_projection_output_dim"]
-        PA.text_projection_input_dim = hp["text_projection_input_dim"]
-        PA.text_projection_output_dim = hp["text_projection_output_dim"]
+    configure_reference_for_fixtures(esm_model_dir, cstp_ckpt)
+    from multi_modality_model.multi_modality_v1.model import (  # noqa: E501
+        builder as ref_builder)
     if weights_dir is None:
         # reference leaves this dangling when adapter_path is None
         ref_builder.model_args.pretrain_switch_projector_ckpt = None
@@ -208,3 +194,260 @@ def reference_tokenize(prompt: str, tokenizer):
     from multi_modality_model.multi_modality_v1.mm_utils import (
         tokenizer_seq_token)
     return tokenizer_seq_token(prompt, tokenizer, return_tensors=None)
+
+
+# ---------------------------------------------------------------------------
+# Whole-eval-loop drivers: run the reference's OWN eval_model bodies
+# (run_opus_ddp.py:47-148, eval_run_multichoice.py:52-236) single-process.
+# ---------------------------------------------------------------------------
+
+EVAL_DIR = os.path.join(REFERENCE_ROOT, "multi_modality_model",
+                        "multi_modality_v1", "eval")
+
+
+def install_evaluate_stub() -> None:
+    """Minimal `evaluate` so the reference's vendored metric modules
+    (eval/metrics/{bleu,rouge,...}) import and run without the HF
+    `evaluate` package: load(path) imports `<path>/<name>.py` as a package
+    submodule (the vendored files use relative imports) and returns an
+    instance whose .compute(**kw) is the module's own _compute(**kw) —
+    the vendored _compute bodies accept the same str-list inputs the
+    reference passes, so no feature-schema preprocessing is needed."""
+    if "evaluate" in sys.modules and getattr(sys.modules["evaluate"],
+                                             "_opus_stub", False):
+        return
+    import importlib.util
+    import platform
+
+    from packaging import version as _version
+
+    ev = types.ModuleType("evaluate")
+    ev._opus_stub = True                                         # type: ignore
+
+    class EvaluationModuleInfo:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    class Metric:
+        def __init__(self, *a, **kw):
+            pass
+
+        def compute(self, **kw):
+            return self._compute(**kw)
+
+    def load(path, *a, **k):
+        name = os.path.basename(os.path.normpath(path))
+        dirpath = os.path.abspath(path)
+        pkg_name = f"_opus_refmetric_{name}"
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = [dirpath]                                 # type: ignore
+        sys.modules[pkg_name] = pkg
+        spec = importlib.util.spec_from_file_location(
+            f"{pkg_name}.{name}", os.path.join(dirpath, f"{name}.py"))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[spec.name] = mod
+        spec.loader.exec_module(mod)
+        for obj in vars(mod).values():
+            if (isinstance(obj, type) and issubclass(obj, Metric)
+                    and obj is not Metric):
+                inst = obj()
+                try:
+                    inst._download_and_prepare(None)
+                except Exception:
+                    pass            # offline: nltk.download etc. may fail
+                return inst
+        raise RuntimeError(f"no Metric subclass in {path}")
+
+    utils_mod = types.ModuleType("evaluate.utils")
+    fu_mod = types.ModuleType("evaluate.utils.file_utils")
+    fu_mod.add_start_docstrings = (                              # type: ignore
+        lambda *a, **k: (lambda cls: cls))
+    utils_mod.file_utils = fu_mod                                # type: ignore
+    cfg_mod = types.ModuleType("evaluate.config")
+    cfg_mod.PY_VERSION = _version.parse(platform.python_version())  # type: ignore
+
+    ev.load = load                                               # type: ignore
+    ev.Metric = Metric                                           # type: ignore
+    ev.MetricInfo = EvaluationModuleInfo                         # type: ignore
+    ev.EvaluationModuleInfo = EvaluationModuleInfo               # type: ignore
+    ev.utils = utils_mod                                         # type: ignore
+    ev.config = cfg_mod                                          # type: ignore
+    sys.modules["evaluate"] = ev
+    sys.modules["evaluate.utils"] = utils_mod
+    sys.modules["evaluate.utils.file_utils"] = fu_mod
+    sys.modules["evaluate.config"] = cfg_mod
+
+
+class _SingleProcessAccelerator:
+    """accelerate.Accelerator fake for a single CPU process: the scatter
+    (split_between_processes) is identity and `process_index` is 'cpu' so
+    builder.py:41's device_map targets the CPU. This fakes only the
+    process launcher; everything measured by the differential (prompt
+    assembly, batching, generate, truncation, metrics) is reference code."""
+
+    is_main_process = True
+    process_index = "cpu"
+
+    def wait_for_everyone(self):
+        pass
+
+    def split_between_processes(self, obj):
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            yield obj
+        return cm()
+
+
+def configure_reference_for_fixtures(esm_model_dir: str,
+                                     cstp_ckpt: str | None) -> None:
+    """Point the reference's mutable class-level configs (its designed
+    config surface) at the tiny fixtures + CPU."""
+    install(esm_model_dir)
+    from multi_modality_model.multi_modality_v1.model import (
+        builder as ref_builder)
+    from multi_modality_model.multi_modality_v1.model.protein_projector import (  # noqa: E501
+        builder as ref_pp_builder)
+
+    ref_builder.model_args.device = "cpu"
+    ref_builder.model_args.esm_ckpt = None
+    if cstp_ckpt is not None:
+        import torch
+        hp = torch.load(cstp_ckpt, map_location="cpu",
+                        weights_only=False)["hyper_parameters"]
+        PA = ref_pp_builder.Protein_Arguments
+        PA.protein_projection_input_dim = hp["protein_projection_input_dim"]
+        PA.protein_projection_output_dim = hp["protein_projection_output_dim"]
+        PA.text_projection_input_dim = hp["text_projection_input_dim"]
+        PA.text_projection_output_dim = hp["text_projection_output_dim"]
+
+
+class _chdir:
+    def __init__(self, path):
+        self.path = path
+
+    def __enter__(self):
+        self.prev = os.getcwd()
+        os.chdir(self.path)
+
+    def __exit__(self, *exc):
+        os.chdir(self.prev)
+        return False
+
+
+def _import_eval_module(name: str):
+    """Import a reference eval runner script (they live outside the package
+    and import siblings by bare name, so EVAL_DIR must be on sys.path and
+    `evaluate` stubbed first)."""
+    install()
+    install_evaluate_stub()
+    if EVAL_DIR not in sys.path:
+        sys.path.insert(0, EVAL_DIR)
+    with _chdir(EVAL_DIR):
+        import importlib
+        return importlib.import_module(name)
+
+
+def _patch_runner(mod):
+    """Single-process + CPU patches on an imported reference runner module:
+    fake Accelerator, identity gather, and an fp32 upcast after its own
+    load_pretrained_model (fp16 CPU inference is painfully slow and the
+    fixtures are fp16-representable, so values are unchanged)."""
+    mod.Accelerator = _SingleProcessAccelerator
+    mod.gather_object = lambda x: x
+    orig_load = mod.load_pretrained_model
+
+    def load_fp32(*a, **k):
+        tok, model, ctx = orig_load(*a, **k)
+        return tok, model.float().eval(), ctx
+    mod.load_pretrained_model = load_fp32
+    return mod
+
+
+def run_reference_annotation_eval(llm_dir: str, weights_dir: str,
+                                  esm_model_dir: str, cstp_ckpt: str,
+                                  input_path: str, save_path: str, *,
+                                  temperature: float = 0.0,
+                                  top_p: float = 1.0, num_beams: int = 1):
+    """Drive run_opus_ddp.eval_model (the reference's primary entry point,
+    :47-148) end-to-end and return (results, metrics) — results from the
+    JSON it saved, metrics captured from its own process_data call.
+
+    Environment limits (documented, not behavioral): METEOR needs the nltk
+    wordnet corpus and BERTScore the bert_score package + a downloaded
+    BioBERT — neither exists in this zero-egress image, so those two
+    are patched to None on the reference side; the differential for
+    'function' sets compares ROUGE/BLEU."""
+    import argparse
+    import json as _json
+
+    configure_reference_for_fixtures(esm_model_dir, cstp_ckpt)
+    mod = _patch_runner(_import_eval_module("run_opus_ddp"))
+    import metrics_computing_opi as mco
+    captured = {}
+    orig_pd = mco.process_data
+    orig_meteor, orig_bert = mco.calculate_meteor, mco.calculate_bertscore
+
+    def record(data, fp):
+        out = orig_pd(data, fp)
+        captured["metrics"] = out
+        return out
+
+    args = argparse.Namespace(
+        model_base_path=llm_dir, opus_pllm_weights_path=weights_dir,
+        is_json=True, input_path=input_path, save_path=save_path,
+        temperature=temperature, top_p=top_p, num_beams=num_beams,
+        max_new_tokens=32, switch_projector_type="mlp2x_gelu",
+        load_4bit=False, load_8bit=False)
+    try:
+        mco.process_data = record
+        mco.calculate_meteor = lambda o, t: None
+        mco.calculate_bertscore = lambda o, t: None
+        with _chdir(EVAL_DIR):
+            mod.eval_model(args)
+    finally:
+        mco.process_data = orig_pd
+        mco.calculate_meteor, mco.calculate_bertscore = orig_meteor, orig_bert
+    with open(save_path) as f:
+        results = _json.load(f)
+    return results, captured.get("metrics", {})
+
+
+def run_reference_mcq_eval(llm_dir: str, weights_dir: str,
+                           esm_model_dir: str, cstp_ckpt: str,
+                           input_path: str, save_path: str, *,
+                           temperature: float = 0.0, top_p: float = 1.0,
+                           num_beams: int = 1, max_new_tokens: int = 50):
+    """Drive eval_run_multichoice.eval_model (:52-236) end-to-end; returns
+    (results, accuracy, option_counts) with accuracy/histogram parsed from
+    the runner's own printed report (it only prints them)."""
+    import argparse
+    import ast
+    import contextlib
+    import io
+    import json as _json
+    import re
+
+    configure_reference_for_fixtures(esm_model_dir, cstp_ckpt)
+    mod = _patch_runner(_import_eval_module("eval_run_multichoice"))
+    args = argparse.Namespace(
+        model_base_path=llm_dir, opus_pllm_weights_path=weights_dir,
+        is_json=True, input_path=input_path, save_path=save_path,
+        temperature=temperature, top_p=top_p, num_beams=num_beams,
+        max_new_tokens=max_new_tokens, switch_projector_type="mlp2x_gelu",
+        load_4bit=False, load_8bit=False)
+    buf = io.StringIO()
+    with _chdir(EVAL_DIR), contextlib.redirect_stdout(buf):
+        mod.eval_model(args)
+    out = buf.getvalue()
+    m_acc = re.search(r"(\d+)/(\d+):Accuracy: ([\d.]+)%", out)
+    assert m_acc, f"no accuracy line in reference output:\n{out[-2000:]}"
+    accuracy = int(m_acc.group(1)) / int(m_acc.group(2))
+    m_hist = re.search(r"\{'A': \d+, 'B': \d+, 'C': \d+, 'D': \d+, "
+                       r"'None': \d+\}", out)
+    assert m_hist, f"no option histogram in reference output:\n{out[-2000:]}"
+    counts = ast.literal_eval(m_hist.group(0))
+    with open(save_path) as f:
+        results = _json.load(f)
+    return results, accuracy, counts

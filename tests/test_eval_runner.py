@@ -166,7 +166,7 @@ def test_hf_tokenizer_chat_template_matches_hf(tmp_path):
     for a Llama-3-style template (and ChatML fallback when absent)."""
     transformers = pytest.importorskip("transformers")
     import reference_harness  # noqa: F401  (same toy-tokenizer recipe)
-    from test_reference_differential import _make_toy_tokenizer
+    from reference_fixtures import _make_toy_tokenizer
 
     from opus_pllm_tpu.infer.hf_tokenizer import HFTokenizer
 
