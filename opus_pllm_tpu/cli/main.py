@@ -46,6 +46,16 @@ def _model_args(p: argparse.ArgumentParser) -> None:
                         "stacked lax.scan: 12-19%% faster decode at "
                         "8B-class models, at the cost of ~30x longer "
                         "first compile (BENCH_NOTES.md round 2)")
+    p.add_argument("--mesh", default=None, metavar="DATA[,MODEL]",
+                   help="SPMD device mesh, e.g. '4,2': params shard "
+                        "TP+FSDP over it and batches shard over the data "
+                        "axis (≙ the reference's 4-GPU accelerate launch, "
+                        "eval.sh:20-26)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize "
+                        "before any device use (reads "
+                        "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                        "JAX_PROCESS_ID unless set by the TPU runtime)")
 
 
 def _gen_args(p: argparse.ArgumentParser) -> None:
@@ -62,17 +72,25 @@ def _gen_args(p: argparse.ArgumentParser) -> None:
 
 def _build(args):
     from ..core import builder
-    from ..core.config import (CSTPConfig, ESM2Config, OpusConfig,
-                               SwitchProjectorConfig)
+    from ..core.config import OpusConfig, SwitchProjectorConfig
+
+    # multi-host bootstrap must precede any other JAX device use
+    if getattr(args, "distributed", False):
+        from ..core.mesh import initialize_distributed
+        initialize_distributed()
 
     llm_cfg = (builder.decoder_config_for(args.model_base)
                if args.model_base else None)
     if llm_cfg is None:
         raise SystemExit("--model-base is required for model commands")
-    cstp = None if args.no_cstp else CSTPConfig()
-    switch_in = 1280 if args.no_cstp else 5120
+    # dims inferred from the checkpoint artifacts themselves (ESM config,
+    # CSTP Lightning hyper_parameters) — the published sizes are only the
+    # fallback, so the same CLI drives any scale
+    esm_cfg = builder.esm_config_for(args.esm)
+    cstp = None if args.no_cstp else builder.cstp_config_for(args.weights)
+    switch_in = esm_cfg.embed_dim if args.no_cstp else cstp.proj_dim
     cfg = OpusConfig(
-        esm=ESM2Config.t33_650M(), cstp=cstp,
+        esm=esm_cfg, cstp=cstp,
         switch=SwitchProjectorConfig(input_dim=switch_in,
                                      llm_hidden_size=llm_cfg.hidden_size),
         llm=llm_cfg)
@@ -93,12 +111,22 @@ def _build(args):
     if not getattr(args, "unroll_layers", False):
         params["llm"] = _dec.stack_params(params["llm"], donate=True)
         params["esm"] = _esm.stack_params(params["esm"], donate=True)
-    params = jax.device_put(params)
+    mesh = None
+    if getattr(args, "mesh", None):
+        from ..core.mesh import make_mesh, parse_mesh_flag
+        from ..parallel import partition
+        mesh = make_mesh(parse_mesh_flag(args.mesh))
+        # sharded host->device transfer: each device receives only its
+        # 1/(data*model) shard of every leaf (big loads never materialize
+        # replicated on one chip)
+        params = partition.shard_params(mesh, params)
+    else:
+        params = jax.device_put(params)
     jax.block_until_ready(jax.tree.leaves(params)[0])
     from ..infer.hf_tokenizer import HFTokenizer
     tok = HFTokenizer(args.tokenizer or args.model_base,
                       family=llm_cfg.family)
-    return cfg, params, tok
+    return cfg, params, tok, mesh
 
 
 def _bert_embed_fn(biobert_dir: Optional[str]):
@@ -126,7 +154,7 @@ def cmd_annotate(args) -> None:
     from ..core.config import GenerationConfig
     from ..evals import runner
 
-    cfg, params, tok = _build(args)
+    cfg, params, tok, mesh = _build(args)
     from ..evals.datasets import max_new_tokens_for
     gen = GenerationConfig(
         max_new_tokens=args.max_new_tokens or max_new_tokens_for(args.test_json),
@@ -138,7 +166,8 @@ def cmd_annotate(args) -> None:
     rep = runner.run_annotation_eval(
         params, cfg, tok, args.test_json, gen=gen,
         batch_size=args.batch_size, save_path=args.save_path,
-        bert_embed_fn=_bert_embed_fn(getattr(args, "biobert", None)))
+        bert_embed_fn=_bert_embed_fn(getattr(args, "biobert", None)),
+        mesh=mesh)
     print(json.dumps(rep.metrics))
 
 
@@ -151,7 +180,7 @@ def cmd_annotate_all(args) -> None:
     from ..evals import runner
     from ..evals.datasets import max_new_tokens_for
 
-    cfg, params, tok = _build(args)
+    cfg, params, tok, mesh = _build(args)
     all_metrics = {}
     for test_json in args.test_jsons:
         runs = []
@@ -171,7 +200,7 @@ def cmd_annotate_all(args) -> None:
                 save = os.path.join(args.save_dir, f"{base}_rep{rep}.json")
             rep_out = runner.run_annotation_eval(
                 params, cfg, tok, test_json, gen=gen,
-                batch_size=args.batch_size, save_path=save)
+                batch_size=args.batch_size, save_path=save, mesh=mesh)
             runs.append(rep_out.metrics)
         all_metrics[test_json] = runs
     print(json.dumps(all_metrics, indent=1))
@@ -181,7 +210,7 @@ def cmd_mcq(args) -> None:
     from ..core.config import GenerationConfig
     from ..evals import runner
 
-    cfg, params, tok = _build(args)
+    cfg, params, tok, mesh = _build(args)
     gen = GenerationConfig(
         max_new_tokens=args.max_new_tokens or 50,
         temperature=args.temperature, top_p=args.top_p,
@@ -191,7 +220,7 @@ def cmd_mcq(args) -> None:
         length_penalty=getattr(args, "length_penalty", 1.0))
     rep = runner.run_mcq_eval(params, cfg, tok, args.test_json, gen=gen,
                               batch_size=args.batch_size,
-                              save_path=args.save_path)
+                              save_path=args.save_path, mesh=mesh)
     print(json.dumps(rep.metrics))
 
 
@@ -201,7 +230,7 @@ def cmd_chat(args) -> None:
     from ..core.config import GenerationConfig
     from ..evals import runner as runner_mod
 
-    cfg, params, tok = _build(args)
+    cfg, params, tok, mesh = _build(args)
     gen = GenerationConfig(
         max_new_tokens=args.max_new_tokens or 256,
         temperature=args.temperature, top_p=args.top_p,
@@ -234,7 +263,8 @@ def cmd_chat(args) -> None:
             prompt = annotation_prompt("<seq>\n" + instr, VICUNA_V0)
         texts = runner_mod._generate_batch(
             params, cfg, tok, [prompt], [seq], gen,
-            prompt_bucket=64, esm_bucket=128, impl="auto", batch_index=turn)
+            prompt_bucket=64, esm_bucket=128, impl="auto", batch_index=turn,
+            mesh=mesh)
         turn += 1
         print(texts[0])
 
@@ -242,6 +272,10 @@ def cmd_chat(args) -> None:
 def cmd_train_cstp(args) -> None:
     import jax
     import numpy as np
+
+    if getattr(args, "distributed", False):
+        from ..core.mesh import initialize_distributed
+        initialize_distributed()
 
     from ..core.checkpoint import CheckpointManager
     from ..core.config import CSTPConfig, TrainConfig
@@ -255,6 +289,10 @@ def cmd_train_cstp(args) -> None:
     se, te = ds.arrays()
     state, tx = cstp_trainer.create_state(jax.random.PRNGKey(args.seed), cfg,
                                           tcfg)
+    mesh = None
+    if getattr(args, "mesh", None):
+        from ..core.mesh import make_mesh, parse_mesh_flag
+        mesh = make_mesh(parse_mesh_flag(args.mesh))
     mgr = CheckpointManager(args.out, max_to_keep=2)
 
     def batches():
@@ -262,7 +300,7 @@ def cmd_train_cstp(args) -> None:
                                   epochs=tcfg.num_epochs):
             yield se[idx], te[idx]
 
-    state = cstp_trainer.fit(state, tx, cfg, tcfg, batches())
+    state = cstp_trainer.fit(state, tx, cfg, tcfg, batches(), mesh=mesh)
     mgr.save(int(state.step), state.params)
     print(f"saved CSTP adapter at step {int(state.step)} -> {args.out}")
 
@@ -276,7 +314,7 @@ def _train_multimodal(args, *, lora: bool) -> None:
     from ..data.datasets import InstructionDataset
     from ..train import multimodal_trainer as mmt
 
-    cfg, params, tok = _build(args)
+    cfg, params, tok, mesh = _build(args)
     tcfg = TrainConfig(learning_rate=args.lr, weight_decay=args.wd,
                        batch_size=args.batch_size, num_epochs=args.epochs,
                        ce_chunk=args.ce_chunk,
@@ -286,11 +324,14 @@ def _train_multimodal(args, *, lora: bool) -> None:
     state, tx = mmt.create_state(jax.random.PRNGKey(args.seed), cfg, tcfg,
                                  params, train_switch=not lora or args.train_switch,
                                  lora_cfg=lcfg)
+    if mesh is not None:
+        state = mmt.shard_state(mesh, state)
     mgr = CheckpointManager(args.out, max_to_keep=2)
     batches = instruction_batches(ds, tok, tcfg.batch_size, seed=args.seed,
                                   epochs=tcfg.num_epochs,
                                   max_len=args.max_len)
-    state = mmt.fit(state, tx, cfg, tcfg, params, batches, lora_cfg=lcfg)
+    state = mmt.fit(state, tx, cfg, tcfg, params, batches, lora_cfg=lcfg,
+                    mesh=mesh)
     mgr.save(int(state.step), state.trainable)
     print(f"saved trainable tree at step {int(state.step)} -> {args.out}")
     if args.export_reference_format:
@@ -332,10 +373,9 @@ def cmd_precompute(args) -> None:
     import jax
 
     from ..core import builder
-    from ..core.config import ESM2Config
     from ..data import precompute
 
-    cfg = ESM2Config.t33_650M()
+    cfg = builder.esm_config_for(args.esm)
     params = builder.load_esm(args.esm, cfg)
     if args.mode == "jsonl":
         n = precompute.precompute_instruction_embeddings(
@@ -349,11 +389,10 @@ def cmd_precompute(args) -> None:
 def cmd_precompute_pairs(args) -> None:
     """UniProtQA pickle -> stage-(a) (seq, text) embedding pairs."""
     from ..core import builder
-    from ..core.config import ESM2Config
     from ..data import precompute
     from ..infer.hf_tokenizer import HFTokenizer
 
-    esm_cfg = ESM2Config.t33_650M()
+    esm_cfg = builder.esm_config_for(args.esm)
     esm_params = builder.load_esm(args.esm, esm_cfg)
     llm_cfg = builder.decoder_config_for(args.model_base)
     from ..core import convert as cv
@@ -373,18 +412,18 @@ def cmd_precompute_pairs(args) -> None:
 def cmd_convert(args) -> None:
     """Convert reference-format checkpoints to the native Orbax layout."""
     from ..core import builder
-    from ..core.config import (CSTPConfig, ESM2Config, OpusConfig,
-                               SwitchProjectorConfig)
+    from ..core.config import OpusConfig, SwitchProjectorConfig
 
     llm_cfg = builder.decoder_config_for(args.model_base) if args.model_base \
         else None
     if llm_cfg is None:
         raise SystemExit("--model-base required")
+    esm_cfg = builder.esm_config_for(args.esm)
+    cstp = None if args.no_cstp else builder.cstp_config_for(args.weights)
     cfg = OpusConfig(
-        esm=ESM2Config.t33_650M(),
-        cstp=None if args.no_cstp else CSTPConfig(),
+        esm=esm_cfg, cstp=cstp,
         switch=SwitchProjectorConfig(
-            input_dim=1280 if args.no_cstp else 5120,
+            input_dim=esm_cfg.embed_dim if args.no_cstp else cstp.proj_dim,
             llm_hidden_size=llm_cfg.hidden_size),
         llm=llm_cfg)
     params, _ = builder.load_pretrained(args.model_base, args.weights, cfg,
@@ -446,6 +485,11 @@ def build_parser() -> argparse.ArgumentParser:
     tc.add_argument("--batch-size", type=int, default=128)
     tc.add_argument("--epochs", type=int, default=1)
     tc.add_argument("--seed", type=int, default=0)
+    tc.add_argument("--mesh", default=None, metavar="DATA[,MODEL]",
+                    help="DP mesh for stage (a): embedding batches shard "
+                         "over the data axis (Lightning DDP's role)")
+    tc.add_argument("--distributed", action="store_true",
+                    help="multi-host: jax.distributed.initialize first")
     tc.set_defaults(fn=cmd_train_cstp)
 
     for name, is_lora in (("train-projector", False), ("train-lora", True)):

@@ -92,6 +92,58 @@ def decoder_config_for(model_base: str) -> DecoderConfig:
         tie_word_embeddings=hf.get("tie_word_embeddings", False))
 
 
+def esm_config_for(esm_path: Optional[str]) -> ESM2Config:
+    """ESM2Config inferred from the checkpoint artifact: HF-ESM dir
+    config.json, or a fair-esm .pt's embedded args. Falls back to the
+    reference's esm2_t33_650M (cstp_v3/modelling.py:21)."""
+    import json
+
+    if esm_path is None:
+        return ESM2Config.t33_650M()
+    if os.path.isdir(esm_path):
+        cfg_path = os.path.join(esm_path, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                hf = json.load(f)
+            return ESM2Config(num_layers=hf["num_hidden_layers"],
+                              embed_dim=hf["hidden_size"],
+                              num_heads=hf["num_attention_heads"],
+                              token_dropout=hf.get("token_dropout", True))
+        return ESM2Config.t33_650M()
+    try:
+        ckpt = convert.load_torch_file(esm_path)
+        a = ckpt.get("args") if isinstance(ckpt, dict) else None
+        if a is not None:      # fair-esm .pt carries its hyperparams
+            get = (a.get if isinstance(a, dict)
+                   else lambda k, d=None: getattr(a, k, d))
+            return ESM2Config(num_layers=get("encoder_layers", 33),
+                              embed_dim=get("encoder_embed_dim", 1280),
+                              num_heads=get("encoder_attention_heads", 20))
+    except Exception:
+        pass
+    return ESM2Config.t33_650M()
+
+
+def cstp_config_for(weights_dir: Optional[str]) -> CSTPConfig:
+    """CSTPConfig from the Lightning ckpt's hyper_parameters (the dims the
+    reference reads into Protein_Arguments, protein_projector/builder.py:
+    5-13). Defaults to the published 1280->5120 adapter."""
+    if weights_dir:
+        ckpt_path = os.path.join(weights_dir, "modality_encoder",
+                                 "modality_encoding_adapter.ckpt")
+        if os.path.exists(ckpt_path):
+            try:
+                hp = convert.load_torch_file(ckpt_path).get(
+                    "hyper_parameters", {})
+                return CSTPConfig(
+                    protein_dim=hp["protein_projection_input_dim"],
+                    text_dim=hp["text_projection_input_dim"],
+                    proj_dim=hp["protein_projection_output_dim"])
+            except (KeyError, TypeError):
+                pass
+    return CSTPConfig()
+
+
 def load_esm(esm_path: Optional[str], cfg: ESM2Config,
              overlay_sd: Optional[Dict] = None, dtype=jnp.bfloat16):
     """ESM2 weights from a fair-esm .pt, a HF-ESM dir, or random init;

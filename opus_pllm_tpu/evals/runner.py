@@ -48,11 +48,14 @@ class EvalReport:
 
 def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
                     gen: GenerationConfig, *, prompt_bucket: int,
-                    esm_bucket: int, impl: str, batch_index: int = 0):
+                    esm_bucket: int, impl: str, batch_index: int = 0,
+                    mesh=None):
     """One padded batch through splice -> generate -> decode.
 
     `batch_index` folds into the sampling key — otherwise every batch would
-    reuse identical randomness and correlate its samples.
+    reuse identical randomness and correlate its samples. With `mesh`, the
+    batch shards over the "data" axis (params are already mesh-sharded by
+    the caller) so the whole pipeline runs SPMD.
     """
     tok_ids = [tokenize_with_seq(p, tokenizer.encode,
                                  getattr(tokenizer, "bos_token_id", None))
@@ -64,8 +67,29 @@ def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
     aa_len = max(len(s) for s in sequences) + 2
     esm_toks, _ = esm2.tokenize(list(sequences),
                                 max_len=round_up(aa_len, esm_bucket))
-    sp = opus.splice_prompt(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
-                            jnp.asarray(esm_toks)[:, None], left_pad=True,
+    ids, mask, esm_toks = (jnp.asarray(ids), jnp.asarray(mask),
+                           jnp.asarray(esm_toks)[:, None])
+    import contextlib
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..core.mesh import DATA_AXIS, shard_batch
+        if ids.shape[0] % mesh.shape[DATA_AXIS] == 0:
+            ids, mask, esm_toks = shard_batch(mesh, (ids, mask, esm_toks))
+        else:
+            # interactive/undersized batches replicate (chat with B=1)
+            rep = NamedSharding(mesh, P())
+            ids, mask, esm_toks = (jax.device_put(x, rep)
+                                   for x in (ids, mask, esm_toks))
+    with ctx:
+        return _generate_spliced(params, cfg, tokenizer, ids, mask, esm_toks,
+                                 gen, impl=impl, batch_index=batch_index)
+
+
+def _generate_spliced(params, cfg, tokenizer, ids, mask, esm_toks, gen,
+                      *, impl, batch_index):
+    sp = opus.splice_prompt(params, cfg, ids, mask, esm_toks, left_pad=True,
                             impl=impl)
     pos = decoder.positions_from_mask(sp.mask)
     rng = jax.random.fold_in(jax.random.PRNGKey(gen.seed),
@@ -99,9 +123,11 @@ def run_annotation_eval(params, cfg: OpusConfig, tokenizer, file_path: str,
                         esm_bucket: int = 128, impl: str = "auto",
                         save_path: Optional[str] = None,
                         examples=None, bert_embed_fn=None,
-                        log_fn=print) -> EvalReport:
+                        mesh=None, log_fn=print) -> EvalReport:
     """Batch annotation eval over one benchmark JSON (≙ run_opus_ddp
-    eval_model). `examples` overrides file loading for tests."""
+    eval_model). `examples` overrides file loading for tests. With `mesh`,
+    params must already be mesh-sharded (partition.shard_params) and each
+    batch shards over the "data" axis."""
     if examples is None:
         examples = ds.load_annotation_json(file_path)
     examples = examples[local_slice(len(examples))]
@@ -113,16 +139,16 @@ def run_annotation_eval(params, cfg: OpusConfig, tokenizer, file_path: str,
     results = []
     t0 = time.perf_counter()
     for s in range(0, len(examples), batch_size):
-        chunk = examples[s:s + batch_size]
+        chunk, n_real = _pad_chunk(examples[s:s + batch_size], batch_size)
         prompts = [annotation_prompt(ds.instruction_for(e, file_path),
                                      VICUNA_V0) for e in chunk]
         texts = _generate_batch(params, cfg, tokenizer, prompts,
                                 [e.sequence for e in chunk], gen,
                                 prompt_bucket=prompt_bucket,
                                 esm_bucket=esm_bucket, impl=impl,
-                                batch_index=s // batch_size)
+                                batch_index=s // batch_size, mesh=mesh)
         results.extend({"ground_truth": e.output, "generated": t}
-                       for e, t in zip(chunk, texts))
+                       for e, t in zip(chunk[:n_real], texts[:n_real]))
     dt = time.perf_counter() - t0
 
     results = _allgather_results(results)
@@ -139,12 +165,24 @@ def run_annotation_eval(params, cfg: OpusConfig, tokenizer, file_path: str,
     return EvalReport(results, metrics, eps, dt)
 
 
+def _pad_chunk(chunk, batch_size: int):
+    """Pad the final partial batch to `batch_size` by repeating the last
+    example: every batch then has the same leading dim, so the jitted
+    pipeline compiles once per (bucketed) prompt length instead of once
+    more for the leftover batch — and the batch always divides over a
+    "data" mesh axis. Padded rows are dropped from the results."""
+    n_real = len(chunk)
+    if n_real < batch_size and n_real > 0:
+        chunk = list(chunk) + [chunk[-1]] * (batch_size - n_real)
+    return chunk, n_real
+
+
 def run_mcq_eval(params, cfg: OpusConfig, tokenizer, file_path: str, *,
                  gen: Optional[GenerationConfig] = None, batch_size: int = 8,
                  prompt_bucket: int = 64, esm_bucket: int = 128,
                  impl: str = "auto", render_prompt: Optional[Callable] = None,
                  examples=None, save_path: Optional[str] = None,
-                 log_fn=print) -> EvalReport:
+                 mesh=None, log_fn=print) -> EvalReport:
     """MCQ eval (≙ eval_run_multichoice eval_model): chat-template prompt,
     max_new_tokens=50, option-letter accuracy + histogram.
 
@@ -177,15 +215,15 @@ def run_mcq_eval(params, cfg: OpusConfig, tokenizer, file_path: str, *,
     results = []
     t0 = time.perf_counter()
     for s in range(0, len(examples), batch_size):
-        chunk = examples[s:s + batch_size]
+        chunk, n_real = _pad_chunk(examples[s:s + batch_size], batch_size)
         prompts = [render(ds.mcq_prompt(e.question, e.options)) for e in chunk]
         texts = _generate_batch(params, cfg, tokenizer, prompts,
                                 [e.sequence for e in chunk], gen,
                                 prompt_bucket=prompt_bucket,
                                 esm_bucket=esm_bucket, impl=impl,
-                                batch_index=s // batch_size)
+                                batch_index=s // batch_size, mesh=mesh)
         results.extend({"ground_truth": e.answer, "generated": t}
-                       for e, t in zip(chunk, texts))
+                       for e, t in zip(chunk[:n_real], texts[:n_real]))
     dt = time.perf_counter() - t0
     results = _allgather_results(results)
     acc, counts = mcq_mod.score(results)

@@ -181,7 +181,13 @@ def beam_generate(params, cfg: DecoderConfig, input_embeds, attn_mask,
     k2 = 2 * k
     b, l, h = input_embeds.shape
     v = cfg.vocab_size
+    # same capacity rounding as generate(): prefill takes the Pallas flash
+    # path when the prompt shape qualifies (beam/MCQ prefill previously
+    # always fell back to the XLA path)
+    from ..kernels.flash_attention import DEFAULT_BLOCK_K
     cap = l + max_new_tokens
+    if cfg.head_dim % 128 == 0 and l % 8 == 0:
+        cap = -(-cap // DEFAULT_BLOCK_K) * DEFAULT_BLOCK_K
 
     # prefill once on B rows, then tile everything to B*K beam rows
     cache = decoder.init_cache(cfg, b, cap, dtype=cfg.jnp_dtype,

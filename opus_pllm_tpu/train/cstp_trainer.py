@@ -108,23 +108,43 @@ def evaluate(params, cfg: CSTPConfig, batches) -> dict:
 
 def fit(state: CSTPTrainState, tx, cfg: CSTPConfig, tcfg: TrainConfig,
         batches: Iterator[Tuple[np.ndarray, np.ndarray]],
-        val_batches_fn=None, log_fn=print) -> CSTPTrainState:
+        val_batches_fn=None, mesh=None, log_fn=print) -> CSTPTrainState:
     """Minimal epoch loop: batches yield (seq_emb, text_emb) of equal B.
 
     Replaces pl.Trainer.fit for the fully-specified Lightning module the
     reference ships without a launcher (SURVEY.md intro). `val_batches_fn`
     (callable -> iterator) triggers a validation pass every `log_every`
-    logging step.
+    logging step. With `mesh`, this is the stage-(a) DP path (Lightning
+    DDP's role): params/opt replicate, embedding batches shard over
+    "data", XLA inserts the gradient all-reduce. NOTE the contrastive
+    in-batch similarity matrix spans the GLOBAL batch, so the sharded loss
+    equals the single-device loss only through XLA's all-gather of the
+    projected embeddings — which the jitted matmul p @ t.T induces.
     """
+    import contextlib
+
     step_fn = make_train_step(cfg, tx)
-    for i, (se, te) in enumerate(batches):
-        state, metrics = step_fn(state, jnp.asarray(se), jnp.asarray(te))
-        if tcfg.log_every and i % tcfg.log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            log_fn(f"step {int(state.step)}: " +
-                   " ".join(f"{k}={v:.4f}" for k, v in m.items()))
-            if val_batches_fn is not None:
-                vm = evaluate(state.params, cfg, val_batches_fn())
-                log_fn("  val: " + " ".join(f"{k}={v:.4f}"
-                                            for k, v in vm.items()))
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        state = CSTPTrainState(
+            jax.device_put(state.params, rep),
+            jax.device_put(state.opt_state, rep),
+            jax.device_put(state.step, rep))
+    with ctx:
+        for i, (se, te) in enumerate(batches):
+            se, te = jnp.asarray(se), jnp.asarray(te)
+            if mesh is not None:
+                from ..core.mesh import shard_batch
+                se, te = shard_batch(mesh, (se, te))
+            state, metrics = step_fn(state, se, te)
+            if tcfg.log_every and i % tcfg.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                log_fn(f"step {int(state.step)}: " +
+                       " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                if val_batches_fn is not None:
+                    vm = evaluate(state.params, cfg, val_batches_fn())
+                    log_fn("  val: " + " ".join(f"{k}={v:.4f}"
+                                                for k, v in vm.items()))
     return state

@@ -129,14 +129,41 @@ def make_eval_step(cfg: OpusConfig, *, lora_cfg: Optional[LoRAConfig] = None,
     return eval_step
 
 
+def shard_state(mesh, state: MMTrainState) -> MMTrainState:
+    """Place a train state on the mesh: trainable under the partition
+    rules; optimizer moments under the SAME rules (ZeRO-style — optax's
+    mu/nu mirror the trainable tree, so the name-based rules see the same
+    paths through the chain); anything the rules can't name replicates."""
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import partition
+    trainable = partition.shard_params(mesh, state.trainable)
+    opt_state = partition.shard_params(mesh, state.opt_state)
+    step = _jax.device_put(state.step, NamedSharding(mesh, P()))
+    return MMTrainState(trainable, opt_state, step)
+
+
 def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
-        batches, *, lora_cfg: Optional[LoRAConfig] = None, log_fn=print):
+        batches, *, lora_cfg: Optional[LoRAConfig] = None, mesh=None,
+        log_fn=print):
+    """Train loop. With `mesh`, `frozen`/`state` must already be
+    mesh-sharded (parallel/partition + shard_state); each batch shards over
+    the "data" axis and XLA inserts the gradient all-reduce."""
+    import contextlib
+
     step_fn = make_train_step(cfg, tx, lora_cfg=lora_cfg,
                               ce_chunk=getattr(tcfg, "ce_chunk", 0),
                               scan_mode=getattr(tcfg, "scan_mode", "xs"))
-    for i, batch in enumerate(batches):
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        state, metrics = step_fn(state, frozen, batch)
-        if tcfg.log_every and i % tcfg.log_every == 0:
-            log_fn(f"step {int(state.step)}: loss={float(metrics['loss']):.4f}")
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
+    with ctx:
+        for i, batch in enumerate(batches):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if mesh is not None:
+                from ..core.mesh import shard_batch
+                batch = shard_batch(mesh, batch)
+            state, metrics = step_fn(state, frozen, batch)
+            if tcfg.log_every and i % tcfg.log_every == 0:
+                log_fn(f"step {int(state.step)}: "
+                       f"loss={float(metrics['loss']):.4f}")
     return state
