@@ -43,7 +43,10 @@ def init_trainable(key, cfg: OpusConfig, *, train_switch: bool,
     """Build the trainable tree; switch params move OUT of the frozen tree."""
     t: Dict[str, Any] = {}
     if train_switch:
-        t["switch"] = frozen_params["switch"]
+        # independent buffers, NOT aliases: the train step donates the
+        # state, and aliased buffers would delete the frozen tree's switch
+        # leaves out from under step 2 / eval / generate
+        t["switch"] = jax.tree.map(jnp.copy, frozen_params["switch"])
     if lora_cfg is not None:
         t["lora"] = lora_mod.init(key, cfg.llm, lora_cfg)
     return t

@@ -80,6 +80,11 @@ def test_multimodal_step_trains_only_trainable():
     # LoRA B leaves get gradient (B starts 0 but dL/dB = A^T x^T g != 0)
     assert not np.allclose(
         before_b, np.asarray(state.trainable["lora"]["layers"][0]["q_proj"]["B"]))
+    # regression: a SECOND donated step must not hit deleted frozen leaves
+    # (trainable switch used to alias frozen["switch"]; donation then
+    # deleted the frozen buffers after step 1)
+    state, metrics = step(state, frozen, batch)
+    assert np.isfinite(float(metrics["loss"]))
 
 
 def test_chunked_ce_matches_full_loss_and_grads():
