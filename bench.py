@@ -243,17 +243,28 @@ def bench_train(on_tpu: bool) -> None:
     state, m = step(state, params, batch_d)      # compile
     float(m["loss"])      # host fetch = full sync (block_until_ready lies
                           # through the remote relay, BENCH_NOTES.md)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, m = step(state, params, batch_d)
-    # each step consumes the previous state, so fetching the last loss
-    # forces the whole chain
-    loss = float(m["loss"])
-    dt = time.perf_counter() - t0
-    assert np.isfinite(loss)
+
+    # Two-point measurement: time an N-step chain and a 3N-step chain and
+    # take (t_3N - t_N) / 2N. The per-run constant (dispatch ramp, tunnel
+    # round trip, final host fetch) cancels, so the number tracks device
+    # step time instead of tunnel phase — wall-clock through the relay
+    # swings 0.83-1.05x on identical binaries (BENCH_NOTES.md round 2 /
+    # round-2 verdict weak #1).
+    def run_chain(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, mm = step(state, params, batch_d)
+        loss = float(mm["loss"])     # forces the chain
+        assert np.isfinite(loss)
+        return time.perf_counter() - t0
+
+    t_a = run_chain(steps)
+    t_b = run_chain(3 * steps)
+    step_time = max((t_b - t_a) / (2 * steps), 1e-9)
     emit("stage_cd_train_1b_tok_per_sec_per_chip" if on_tpu
          else "stage_cd_train_tok_per_sec_cpu_smoke",
-         batch * seq * steps / dt, "tokens/sec", on_tpu)
+         batch * seq / step_time, "tokens/sec", on_tpu)
 
 
 def bench_train_8b(on_tpu: bool) -> None:
@@ -305,18 +316,91 @@ def bench_train_8b(on_tpu: bool) -> None:
 
     lora, opt, loss = step(lora, opt, params, ids)
     l0 = float(loss)                              # warmup + sync
+    # finiteness is the only invariant here; loss monotonicity over a few
+    # steps is not guaranteed and a spurious failure would drop a real
+    # throughput number from the geomean
+    assert np.isfinite(l0)
+
+    def run_chain(n):
+        nonlocal lora, opt
+        t0 = time.perf_counter()
+        for _ in range(n):
+            lora, opt, loss = step(lora, opt, params, ids)
+        lN = float(loss)                          # forces the chain
+        assert np.isfinite(lN)
+        return time.perf_counter() - t0
+
+    # two-point: per-run constants (tunnel round trip, fetch) cancel
     steps = 3
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        lora, opt, loss = step(lora, opt, params, ids)
-    lN = float(loss)                              # forces the chain
-    dt = time.perf_counter() - t0
-    # finiteness is the only invariant here; 3-step loss monotonicity is
-    # not guaranteed and a spurious lN >= l0 would drop a real throughput
-    # number from the geomean
-    assert np.isfinite(lN) and np.isfinite(l0)
+    t_a = run_chain(steps)
+    t_b = run_chain(3 * steps)
+    step_time = max((t_b - t_a) / (2 * steps), 1e-9)
     emit("llama3_8b_int8_lora_train_tok_per_sec_per_chip",
-         B * S * steps / dt, "tokens/sec", on_tpu)
+         B * S / step_time, "tokens/sec", on_tpu)
+
+
+# ---------------------------------------------------------------------------
+# 4. Continuous-batching serving vs static-batch generate (round-2 verdict
+#    weak #2: the serving throughput claim was a projection — measure it)
+# ---------------------------------------------------------------------------
+
+def bench_serve(on_tpu: bool) -> None:
+    from opus_pllm_tpu.core.config import DecoderConfig
+    from opus_pllm_tpu.infer import engine as gen_engine
+    from opus_pllm_tpu.models import decoder as dec
+    from opus_pllm_tpu.serve.engine import ServeRequest, ServingEngine
+
+    if on_tpu:
+        cfg = DecoderConfig(family="llama", vocab_size=32000,
+                            hidden_size=2048, intermediate_size=5632,
+                            num_layers=22, num_heads=16, num_kv_heads=4,
+                            head_dim=128, dtype="bfloat16")   # ~1.1B
+        n_req, p, new, slots, spt = 32, 64, 128, 8, 32
+    else:
+        cfg = DecoderConfig(family="llama", vocab_size=256, hidden_size=64,
+                            intermediate_size=128, num_layers=2, num_heads=4,
+                            num_kv_heads=2, head_dim=16, dtype="float32")
+        n_req, p, new, slots, spt = 4, 8, 8, 2, 4
+    params = dec.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+
+    # static-batch baseline on the SAME params/shapes: full batch of
+    # `slots`, every row generating `new` tokens
+    emb = jnp.asarray(rng.standard_normal((slots, p, cfg.hidden_size)) * 0.3,
+                      cfg.jnp_dtype)
+    mask = jnp.ones((slots, p), bool)
+    pos = jnp.broadcast_to(jnp.arange(p), (slots, p))
+    kw = dict(max_new_tokens=new, temperature=0.0, eos_token_id=-1,
+              pad_token_id=0)
+    out = gen_engine.generate(params, cfg, emb, mask, pos,
+                              jax.random.PRNGKey(1), **kw)
+    np.asarray(out.tokens)                       # compile + sync
+    t0 = time.perf_counter()
+    out = gen_engine.generate(params, cfg, emb, mask, pos,
+                              jax.random.PRNGKey(1), **kw)
+    np.asarray(out.tokens)
+    static_tps = slots * new / (time.perf_counter() - t0)
+
+    eng = ServingEngine(params, cfg, max_slots=slots,
+                        max_len=((p + new + 127) // 128) * 128,
+                        prefill_buckets=(p,), steps_per_tick=spt,
+                        admit_min_free=slots // 2 or 1)
+    eng.warmup()                                 # all shapes compile here
+    reqs = [ServeRequest(i, embeds=(rng.standard_normal(
+        (p, cfg.hidden_size)) * 0.3).astype(np.float32),
+        max_new_tokens=new, eos_token_id=-1) for i in range(n_req)]
+    t0 = time.perf_counter()
+    done = eng.run(reqs)
+    dt = time.perf_counter() - t0
+    total = sum(len(c.tokens) for c in done.values())
+    assert len(done) == n_req
+    serving_tps = total / dt
+    emit("serving_1b_tok_per_sec" if on_tpu
+         else "serving_tiny_tok_per_sec_cpu_smoke",
+         serving_tps, "tokens/sec", on_tpu)
+    emit("serving_vs_static_generate", serving_tps / static_tps,
+         "ratio (same params/shapes; continuous batching amortizes "
+         "admissions)", False)   # ratio: informational, outside geomean
 
 
 def main() -> None:
@@ -325,7 +409,8 @@ def main() -> None:
     enable_persistent_compilation_cache()
     on_tpu = jax.default_backend() == "tpu"
     for name, fn in (("encode", bench_encode), ("decode", bench_decode),
-                     ("train", bench_train), ("train_8b", bench_train_8b)):
+                     ("train", bench_train), ("serve", bench_serve),
+                     ("train_8b", bench_train_8b)):
         try:
             fn(on_tpu)
         except Exception as e:  # noqa: BLE001 — report, keep benching

@@ -187,11 +187,21 @@ def _block(cfg: DecoderConfig, p, x, mask4, cos, sin, layer_cache, index, impl,
     if cos is not None:
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-    new_cache = None
+    new_cache, a = None, None
     if layer_cache is not None:
         new_cache = _write_cache(layer_cache, k, v, index)
-        k, v = _read_cache(new_cache, x.dtype)
-    a = attention(q, k, v, mask4, impl=impl).reshape(b, s, hq * d)
+        if s == 1 and isinstance(new_cache["k"], dict) and impl != "xla":
+            # fused decode attention over the int8 cache: dequantized K/V
+            # never materialize in HBM (kernels/decode_attention.py)
+            from ..kernels import decode_attention as da
+            if da.supports(q, new_cache["k"], mask4):
+                a = da.decode_attention_int8(
+                    q, new_cache["k"], new_cache["v"], mask4)
+        if a is None:
+            k, v = _read_cache(new_cache, x.dtype)
+    if a is None:
+        a = attention(q, k, v, mask4, impl=impl)
+    a = a.reshape(b, s, hq * d)
     x = x + g("o_proj", a)
     r = _norm(cfg, p["ffn_norm"], x)
     return x + _mlp(cfg, p, r, la, ls), new_cache

@@ -140,6 +140,48 @@ class ServingEngine:
         self._decode = self._build_decode_step()
         self._prefills: Dict[int, Any] = {}
 
+    def warmup(self, group_sizes: Optional[List[int]] = None) -> None:
+        """Pre-compile every admission shape and the decode step BEFORE
+        traffic arrives (round-2 verdict: the per-(bucket, group) jit
+        compiles otherwise land mid-serving and stall the queue).
+
+        Runs the REAL compiled functions on all-dummy inputs: a dummy
+        admission group scatters every row into the trash slot
+        (index max_slots) and the decode warmup runs with every slot
+        inactive, so no live state is touched — which also makes warmup
+        safe to call again later (e.g. after hot-swapping params)."""
+        sizes = group_sizes or [2 ** i for i in range(
+            self.max_slots.bit_length()) if 2 ** i <= self.max_slots]
+        if self._pad_group(self.max_slots) not in sizes:
+            sizes.append(self._pad_group(self.max_slots))
+        for bucket in self.buckets:
+            for n in sizes:
+                self._run_prefill(bucket, n,
+                                  np.zeros((n, bucket, self.cfg.hidden_size),
+                                           np.float32),
+                                  self._dummy_meta(n))
+        packed = np.zeros((6, self.max_slots + 1), np.float32)
+        packed[4] = -1.0
+        self._key, k = jax.random.split(self._key)
+        self.cache, _ = self._decode(self.params, self.cache,
+                                     jnp.asarray(packed), k)
+
+    def _dummy_meta(self, n: int) -> np.ndarray:
+        meta = np.zeros((3, n), np.float32)
+        meta[0, :] = 1.0                    # dummy rows: length 1
+        meta[2, :] = self.max_slots         # dummy rows: trash slot
+        return meta
+
+    def _run_prefill(self, bucket: int, n: int, embs, meta):
+        key = (bucket, n)
+        if key not in self._prefills:
+            self._prefills[key] = self._prefill_merge_fn(bucket, n)
+        self._key, k = jax.random.split(self._key)
+        self.cache, first = self._prefills[key](
+            self.params, self.cache, jnp.asarray(embs, self.cfg.jnp_dtype),
+            jnp.asarray(meta), k)
+        return np.asarray(first)
+
     # ------------------------------------------------------------------
     # compiled pieces
     # ------------------------------------------------------------------
@@ -301,20 +343,11 @@ class ServingEngine:
         # scatter into the trash row (index max_slots)
         n = self._pad_group(len(group))
         embs = np.zeros((n, bucket, self.cfg.hidden_size), np.float32)
-        meta = np.zeros((3, n), np.float32)
-        meta[0, :] = 1.0                    # dummy rows: length 1
-        meta[2, :] = self.max_slots         # dummy rows: trash slot
+        meta = self._dummy_meta(n)
         for r, (slot, req, emb, _) in enumerate(group):
             embs[r, :emb.shape[0]] = emb
             meta[:, r] = (emb.shape[0], req.temperature, slot)
-        key = (bucket, n)
-        if key not in self._prefills:
-            self._prefills[key] = self._prefill_merge_fn(bucket, n)
-        self._key, k = jax.random.split(self._key)
-        self.cache, first = self._prefills[key](
-            self.params, self.cache, jnp.asarray(embs, self.cfg.jnp_dtype),
-            jnp.asarray(meta), k)
-        first_h = np.asarray(first)
+        first_h = self._run_prefill(bucket, n, embs, meta)
 
         st = self.state
         for r, (slot, req, emb, _) in enumerate(group):
@@ -358,20 +391,32 @@ class ServingEngine:
         toks_h = np.asarray(toks)                      # the ONE fetch
         self._tick += 1
 
-        # mirror the device transitions exactly
-        for kstep in range(toks_h.shape[0]):
-            for slot in list(self._slot_req):
-                if not st["active"][slot]:
-                    continue
-                tok = int(toks_h[kstep, slot])
-                self._slot_tokens[slot].append(tok)
-                st["last_token"][slot] = tok
-                st["remaining"][slot] -= 1
-                st["length"][slot] += 1
-                if tok == int(st["eos"][slot]):
-                    self._finish(slot, "eos")
-                elif st["remaining"][slot] <= 0:
-                    self._finish(slot, "length")
+        # mirror the device transitions, vectorized over slots: per slot,
+        # tokens are consumed until the first finish condition (eos hit or
+        # budget exhausted) — identical to the device's per-step rule
+        # (one(): remaining -= 1; done = (nxt == eos) | (remaining <= 0))
+        K, B = toks_h.shape[0], self.max_slots
+        T = toks_h[:, :B]                              # (K, B)
+        act0 = st["active"][:B].copy()
+        eos_hit = T == st["eos"][None, :B]
+        budget_out = (st["remaining"][None, :B]
+                      - np.arange(1, K + 1)[:, None]) <= 0
+        finish = eos_hit | budget_out                  # (K, B)
+        any_fin = finish.any(axis=0)
+        first_fin = np.where(any_fin, finish.argmax(axis=0), K)
+        consumed = np.where(act0, np.minimum(first_fin + 1, K), 0)
+
+        idx = np.flatnonzero(consumed > 0)
+        st["remaining"][idx] -= consumed[idx]
+        st["length"][idx] += consumed[idx]
+        st["last_token"][idx] = T[consumed[idx] - 1, idx]
+        for slot in idx:
+            c = int(consumed[slot])
+            self._slot_tokens[slot].extend(T[:c, slot].tolist())
+            if any_fin[slot] and first_fin[slot] < K:
+                self._finish(int(slot),
+                             "eos" if eos_hit[first_fin[slot], slot]
+                             else "length")
         out, self._completions = self._completions, []
         return out
 

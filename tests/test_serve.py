@@ -161,3 +161,32 @@ def test_token_ids_prompt_and_stacked(tiny):
     done = eng.run([ServeRequest("t", token_ids=ids, max_new_tokens=6)],
                    max_ticks=50)
     assert done["t"].tokens == ref
+
+
+def test_warmup_precompiles_all_admission_shapes(tiny):
+    """warmup() compiles every (bucket, group) prefill and the decode step
+    up front on dummy traffic (trash-slot scatters, all-inactive decode),
+    and real traffic afterwards triggers NO new compilations and produces
+    the same tokens as a cold engine."""
+    cfg, params = tiny
+    prompts = [_emb(cfg, s, p) for s, p in ((7, 5), (8, 11))]
+    reqs = lambda: [ServeRequest(i, embeds=e, max_new_tokens=4)
+                    for i, e in enumerate(prompts)]
+
+    cold = ServingEngine(params, cfg, max_slots=4, max_len=64,
+                         prefill_buckets=(16, 32))
+    cold_out = cold.run(reqs())
+
+    warm = ServingEngine(params, cfg, max_slots=4, max_len=64,
+                         prefill_buckets=(16, 32))
+    warm.warmup()
+    n_prefills = len(warm._prefills)
+    sizes = {k: f._cache_size() for k, f in warm._prefills.items()}
+    dec_size = warm._decode._cache_size()
+    warm_out = warm.run(reqs())
+
+    assert len(warm._prefills) == n_prefills          # no new shapes
+    assert {k: f._cache_size() for k, f in warm._prefills.items()} == sizes
+    assert warm._decode._cache_size() == dec_size     # no decode recompile
+    for i in range(len(prompts)):
+        assert warm_out[i].tokens == cold_out[i].tokens
