@@ -1,0 +1,169 @@
+"""Mini end-to-end quality benchmark -> QUALITY_r{N}.json.
+
+Round-2 verdict item 8: a fixed-seed, tiny-model run of the FULL eval
+harness over 18 mini test sets mirroring the reference's benchmark families
+(eval_total_ablation.sh:27-45 + the MCQ set), producing one machine-
+checkable metrics table per round. Real weights don't exist in this image,
+so the metric VALUES are arbitrary — what matters is that they are
+deterministic: any unintended change to prompt assembly, tokenization,
+splicing, generation, truncation, or metric computation shifts them, and a
+diff of QUALITY_r{N}.json vs the previous round catches it.
+
+    python scripts/quality_eval.py [--out QUALITY_r03.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+AA = "ACDEFGHIKLMNPQRSTVWY"
+
+# 18 benchmark files (SURVEY.md §6): localization x3, GO x4, keywords x4,
+# function x4, EC x2, MCQ x1
+SETS = [
+    "OPI_localization_test.json", "test_localization.json",
+    "uniprot2024_localization_test_less2500.json",
+    "OPI_CASPSimilarGO_test.json", "OPI_IDFilterGO_test.json",
+    "OPI_UniProtGO_test.json", "uniprot2024_go_test.json",
+    "OPI_CASPSimilarSeq_keywords_test.json",
+    "OPI_IDFilterSeq_keywords_test.json",
+    "OPI_UniProtSeq_keywords_test.json", "uniprot2024_keywords_test.json",
+    "OPI_CASPSimilarSeq_function_test.json",
+    "OPI_IDFilterSeq_function_test.json",
+    "OPI_UniProtSeq_function_test.json", "uniprot2024_function_test.json",
+    "EC_number_New392_with_Name.json", "EC_number_Price149_with_Name.json",
+    "protein_mcq_benchmark.json",
+]
+
+OPI_LOC = ["membrane", "Cytoplasm", "reticulum", "apparatus",
+           "Lysosome/Vacuole", "Mitochondrion", "Nucleus", "Peroxisome",
+           "Plastid", "Extracellular"]
+GO_POOL = ["go:0005524", "go:0016887", "go:0046872", "go:0003677",
+           "go:0006355", "go:0016020", "go:0005737"]
+KW_POOL = ["atp-binding", "hydrolase", "metal-binding", "dna-binding",
+           "membrane", "kinase", "transferase", "ribosome"]
+EC_POOL = ["2.7.11.1", "3.6.4.12", "1.1.1.1", "4.2.1.11", "3.1.3.16"]
+FN_POOL = [
+    "Catalyzes the hydrolysis of ATP to drive transport across membranes.",
+    "Binds double-stranded DNA and represses transcription.",
+    "Transfers a phosphate group from ATP to serine residues.",
+    "Forms a channel that conducts potassium ions across the membrane.",
+    "Acts as a chaperone assisting the folding of nascent polypeptides.",
+]
+
+
+def _seq(rng) -> str:
+    return "".join(rng.choice(list(AA), size=int(rng.integers(12, 40))))
+
+
+def _make_set(name: str, rng, n: int = 6):
+    low = name.lower()
+    if "mcq" in low:
+        return [{"question": f"Property {i} of this protein?",
+                 "options": [f"{L}) option {L.lower()}{i}"
+                             for L in "ABCD"],
+                 "input": _seq(rng),
+                 "answer": f"{'ABCD'[int(rng.integers(4))]}) x"}
+                for i in range(n)]
+    if "localization" in low:
+        gt = lambda i: OPI_LOC[int(rng.integers(len(OPI_LOC)))]
+        instr = "What is the subcellular localization of this protein?"
+    elif "go" in low:
+        gt = lambda i: "; ".join(sorted(rng.choice(
+            GO_POOL, size=int(rng.integers(1, 4)), replace=False)))
+        instr = "What are the GO terms of this protein?"
+    elif "keywords" in low:
+        gt = lambda i: "; ".join(sorted(rng.choice(
+            KW_POOL, size=int(rng.integers(1, 4)), replace=False)))
+        instr = "What are the UniProt keywords of this protein?"
+    elif "function" in low:
+        gt = lambda i: FN_POOL[int(rng.integers(len(FN_POOL)))]
+        instr = "Describe the function of this protein."
+    else:   # EC
+        gt = lambda i: EC_POOL[int(rng.integers(len(EC_POOL)))]
+        instr = "What is the EC number of this protein?"
+    return [{"instruction": instr, "input": _seq(rng), "output": gt(i)}
+            for i in range(n)]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="QUALITY_r03.json")
+    ap.add_argument("--items-per-set", type=int, default=6)
+    args = ap.parse_args()
+
+    # pin CPU (deterministic; the quality table must not depend on which
+    # backend happens to be attached)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from opus_pllm_tpu.core.config import GenerationConfig, OpusConfig
+    from opus_pllm_tpu.evals import datasets as ds
+    from opus_pllm_tpu.evals import runner
+    from opus_pllm_tpu.infer.tokenization import ByteTokenizer
+    from opus_pllm_tpu.models import opus
+
+    cfg = OpusConfig.tiny("llama")
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+
+    table = {}
+    for name in SETS:
+        rng = np.random.default_rng(
+            int.from_bytes(name.encode()[:8].ljust(8, b"x"), "little")
+            % (2 ** 31))          # hash() is salted per process; don't use it
+        items = _make_set(name, rng, args.items_per_set)
+        # cap generation so the tiny-model run stays minutes, while keeping
+        # the per-task policy ORDERING (32 < 50 < 64)
+        max_new = min(ds.max_new_tokens_for(name), 64)
+        gen = GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                               eos_token_id=tok.eos_token_id,
+                               pad_token_id=tok.pad_token_id)
+        if "mcq" in name.lower():
+            ex = [ds.MCQExample(d["question"], d["options"], d["input"],
+                                d["answer"]) for d in items]
+            rep = runner.run_mcq_eval(params, cfg, tok, name, gen=gen,
+                                      batch_size=args.items_per_set,
+                                      prompt_bucket=64, esm_bucket=64,
+                                      examples=ex, log_fn=lambda *a: None)
+        else:
+            ex = [ds.AnnotationExample(d["instruction"], d["input"],
+                                       d["output"]) for d in items]
+            rep = runner.run_annotation_eval(params, cfg, tok, name, gen=gen,
+                                             batch_size=args.items_per_set,
+                                             prompt_bucket=64, esm_bucket=64,
+                                             examples=ex,
+                                             log_fn=lambda *a: None)
+        import hashlib
+        gen_blob = "\x1f".join(r["generated"] for r in rep.results)
+        table[name] = {
+            "metrics": rep.metrics,
+            # a random tiny model scores ~0 on every task, so the metric
+            # values alone under-detect regressions; the hash of the raw
+            # generations shifts on ANY behavioral change in tokenize /
+            # splice / generate / truncate
+            "generated_sha256": hashlib.sha256(gen_blob.encode()).hexdigest(),
+            "sample_generated": rep.results[0]["generated"][:80],
+        }
+        print(f"{name}: {rep.metrics} "
+              f"hash={table[name]['generated_sha256'][:12]}", flush=True)
+
+    out = {"config": "OpusConfig.tiny('llama') PRNGKey(0), ByteTokenizer, "
+                     "temperature 0, fixed per-set data seeds",
+           "items_per_set": args.items_per_set,
+           "sets": table}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
