@@ -1,0 +1,279 @@
+"""Native metric registry — the `evaluate.load(name)` surface, TPU-repo style.
+
+The reference vendors 54 HuggingFace `evaluate` modules so that
+`evaluate.load("./metrics/<name>")` works offline
+(multi_modality_v1/eval/metrics/*); its harness actually loads only
+bleu / rouge / bertscore / meteor (metrics_computing_opi.py:39-76). Those
+four are natively reimplemented and golden-tested in evals/metrics.py.
+This registry restores the *generic metric surface* for the rest of the
+commonly used set with self-contained numpy implementations — no
+`evaluate`, `datasets`, `nltk` or network:
+
+    m = metric_registry.load("f1")
+    m.compute(predictions=[0, 1, 1], references=[0, 1, 0])  # {"f1": ...}
+
+Covered: accuracy, precision, recall, f1, exact_match, mae, mse,
+matthews_correlation, pearsonr, spearmanr, wer, cer, chrf, plus the four
+text-generation metrics re-exported from evals/metrics.py. The remaining
+vendored modules are either gradio demo wrappers (`app.py`), near-duplicate
+variants, or require external models/data unavailable offline
+(bleurt/comet/perplexity-on-HF-models); they are intentionally out of
+scope — see COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence
+
+import numpy as np
+
+from . import metrics as _m
+
+
+class _Metric:
+    def __init__(self, name: str, fn: Callable):
+        self.name = name
+        self._fn = fn
+
+    def compute(self, *, predictions, references, **kw) -> Dict:
+        return self._fn(predictions, references, **kw)
+
+
+# ---------------------------------------------------------------------------
+# classification / regression (label inputs)
+# ---------------------------------------------------------------------------
+
+def _binary_counts(p, r, pos=1):
+    p = np.asarray(p)
+    r = np.asarray(r)
+    tp = int(np.sum((p == pos) & (r == pos)))
+    fp = int(np.sum((p == pos) & (r != pos)))
+    fn = int(np.sum((p != pos) & (r == pos)))
+    return tp, fp, fn
+
+
+def _accuracy(p, r):
+    p, r = np.asarray(p), np.asarray(r)
+    return {"accuracy": float(np.mean(p == r)) if p.size else 0.0}
+
+
+def _prf_one(tp, fp, fn_):
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn_) if tp + fn_ else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return prec, rec, f1
+
+
+def _prf(kind: str):
+    idx = {"precision": 0, "recall": 1, "f1": 2}[kind]
+
+    def fn(p, r, average: str = "binary", pos_label=1):
+        labels = sorted(set(np.asarray(r).tolist())
+                        | set(np.asarray(p).tolist()))
+        if average == "binary":
+            out = _prf_one(*_binary_counts(p, r, pos_label))
+        elif average == "micro":
+            stats = [_binary_counts(p, r, lb) for lb in labels]
+            out = _prf_one(sum(s[0] for s in stats),
+                           sum(s[1] for s in stats),
+                           sum(s[2] for s in stats))
+        else:   # macro: average the per-label scores THEMSELVES
+            per = [_prf_one(*_binary_counts(p, r, lb)) for lb in labels]
+            out = tuple(float(np.mean([x[i] for x in per])) if per else 0.0
+                        for i in range(3))
+        return {kind: out[idx]}
+    return fn
+
+
+def _exact_match(p, r, ignore_case: bool = False,
+                 ignore_punctuation: bool = False):
+    import re
+    out = []
+    for a, b in zip(p, r):
+        a, b = str(a), str(b)
+        if ignore_case:
+            a, b = a.lower(), b.lower()
+        if ignore_punctuation:
+            a = re.sub(r"[^\w\s]", "", a)
+            b = re.sub(r"[^\w\s]", "", b)
+        out.append(float(a == b))
+    return {"exact_match": float(np.mean(out)) if out else 0.0}
+
+
+def _mae(p, r):
+    return {"mae": float(np.mean(np.abs(np.asarray(p, float)
+                                        - np.asarray(r, float))))}
+
+
+def _mse(p, r, squared: bool = True):
+    e = float(np.mean((np.asarray(p, float) - np.asarray(r, float)) ** 2))
+    return {"mse": e if squared else float(np.sqrt(e))}
+
+
+def _matthews(p, r):
+    p, r = np.asarray(p), np.asarray(r)
+    labels = sorted(set(r.tolist()) | set(p.tolist()))
+    k = len(labels)
+    idx = {lb: i for i, lb in enumerate(labels)}
+    c = np.zeros((k, k), np.float64)
+    for a, b in zip(p, r):
+        c[idx[b], idx[a]] += 1          # rows: true, cols: pred
+    t = c.sum(axis=1)
+    q = c.sum(axis=0)
+    n = c.sum()
+    cov_xy = c.trace() * n - float(t @ q)
+    cov_xx = n * n - float(q @ q)
+    cov_yy = n * n - float(t @ t)
+    denom = np.sqrt(cov_xx * cov_yy)
+    return {"matthews_correlation": float(cov_xy / denom) if denom else 0.0}
+
+
+def _pearson(p, r):
+    p, r = np.asarray(p, float), np.asarray(r, float)
+    if p.std() == 0 or r.std() == 0:
+        return {"pearsonr": 0.0}
+    return {"pearsonr": float(np.corrcoef(p, r)[0, 1])}
+
+
+def _rank(x):
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), float)
+    ranks[order] = np.arange(1, len(x) + 1)
+    # average ties
+    xs = np.asarray(x, float)
+    for v in np.unique(xs):
+        m = xs == v
+        ranks[m] = ranks[m].mean()
+    return ranks
+
+
+def _spearman(p, r):
+    return {"spearmanr": _pearson(_rank(np.asarray(p, float)),
+                                  _rank(np.asarray(r, float)))["pearsonr"]}
+
+
+# ---------------------------------------------------------------------------
+# edit-distance rates (speech/ocr family: wer/cer)
+# ---------------------------------------------------------------------------
+
+def _levenshtein(a: Sequence, b: Sequence) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _wer(p, r):
+    edits = total = 0
+    for a, b in zip(p, r):
+        ra = str(b).split()
+        edits += _levenshtein(str(a).split(), ra)
+        total += len(ra)
+    return {"wer": edits / total if total else 0.0}
+
+
+def _cer(p, r):
+    edits = total = 0
+    for a, b in zip(p, r):
+        edits += _levenshtein(list(str(a)), list(str(b)))
+        total += len(str(b))
+    return {"cer": edits / total if total else 0.0}
+
+
+# ---------------------------------------------------------------------------
+# chrF (character n-gram F-score, Popovic 2015; chrF with beta=2, n<=6)
+# ---------------------------------------------------------------------------
+
+def _char_ngrams(text: str, n: int):
+    from collections import Counter
+    t = "".join(text.split())
+    return Counter(t[i:i + n] for i in range(len(t) - n + 1))
+
+
+def _chrf(p, r, char_order: int = 6, beta: float = 2.0):
+    precs, recs = [], []
+    for n in range(1, char_order + 1):
+        tp = pn = rn = 0
+        for a, b in zip(p, r):
+            ga, gb = _char_ngrams(str(a), n), _char_ngrams(str(b), n)
+            tp += sum((ga & gb).values())
+            pn += sum(ga.values())
+            rn += sum(gb.values())
+        precs.append(tp / pn if pn else 0.0)
+        recs.append(tp / rn if rn else 0.0)
+    prec = float(np.mean(precs))
+    rec = float(np.mean(recs))
+    b2 = beta * beta
+    denom = b2 * prec + rec
+    score = (1 + b2) * prec * rec / denom if denom else 0.0
+    return {"score": 100.0 * score}
+
+
+# ---------------------------------------------------------------------------
+# text-generation metrics re-exported from evals/metrics.py
+# ---------------------------------------------------------------------------
+
+def _bleu(p, r):
+    refs = [x[0] if isinstance(x, list) else x for x in r]
+    return {"bleu": _m.bleu_corpus(list(p), refs)}
+
+
+def _rouge(p, r):
+    refs = [x[0] if isinstance(x, list) else x for x in r]
+    return dict(_m.rouge_corpus(list(p), refs))
+
+
+def _meteor(p, r):
+    refs = [x[0] if isinstance(x, list) else x for x in r]
+    return {"meteor": _m.meteor_corpus(list(p), refs)}
+
+
+def _bertscore(p, r, embed_fn=None):
+    if embed_fn is None:
+        raise ValueError(
+            "bertscore needs embed_fn= (models/bert.make_embed_fn over a "
+            "local BioBERT dir) — no network model downloads in this image")
+    refs = [x[0] if isinstance(x, list) else x for x in r]
+    pe, pm = embed_fn(list(p))
+    re_, rm = embed_fn(refs)
+    return _m.bertscore_from_embeddings(np.asarray(pe), np.asarray(pm),
+                                        np.asarray(re_), np.asarray(rm))
+
+
+_REGISTRY: Dict[str, Callable] = {
+    "accuracy": _accuracy,
+    "precision": _prf("precision"),
+    "recall": _prf("recall"),
+    "f1": _prf("f1"),
+    "exact_match": _exact_match,
+    "mae": _mae,
+    "mse": _mse,
+    "matthews_correlation": _matthews,
+    "pearsonr": _pearson,
+    "spearmanr": _spearman,
+    "wer": _wer,
+    "cer": _cer,
+    "chrf": _chrf,
+    "bleu": _bleu,
+    "rouge": _rouge,
+    "meteor": _meteor,
+    "bertscore": _bertscore,
+}
+
+
+def available() -> List[str]:
+    return sorted(_REGISTRY)
+
+
+def load(name: str) -> _Metric:
+    """evaluate.load()-shaped accessor; accepts bare names or the
+    reference's './metrics/<name>' paths."""
+    import os
+    key = os.path.basename(os.path.normpath(name)).lower()
+    if key not in _REGISTRY:
+        raise KeyError(f"unknown metric {name!r}; available: {available()}")
+    return _Metric(key, _REGISTRY[key])
