@@ -44,7 +44,7 @@ def supports(q, k_leaf, mask4) -> bool:
     if not isinstance(k_leaf, dict):
         return False
     b, sq, hq, d = q.shape
-    cap, hkv = k_leaf["q"].shape[1], k_leaf["q"].shape[2]
+    hkv, cap = k_leaf["q"].shape[1], k_leaf["q"].shape[2]
     if sq != 1 or d % 128 != 0 or cap % BLOCK_K != 0:
         return False
     if hq % hkv != 0 or hq // hkv > 8:
@@ -66,7 +66,7 @@ def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, m_ref, o_ref,
         acc_s[...] = jnp.zeros_like(acc_s)
 
     q = q_ref[0, 0]                                       # (G, D) bf16
-    k8 = k_ref[0].astype(q.dtype)                         # (BK, D)
+    k8 = k_ref[0, 0].astype(q.dtype)                      # (BK, D)
     # logits in fp32; per-token k scales fold into the logit columns
     s = jax.lax.dot_general(q, k8, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -86,7 +86,7 @@ def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, m_ref, o_ref,
     # per-token v scales fold into the softmax weights; the int8 v block
     # feeds the MXU directly (ints to 127 are exact in bf16)
     pw = (p * vs_ref[0]).astype(jnp.bfloat16)
-    v8 = v_ref[0].astype(jnp.bfloat16)                    # (BK, D)
+    v8 = v_ref[0, 0].astype(jnp.bfloat16)                 # (BK, D)
     acc_s[:g, :] = acc_s[:g, :] * alpha + jax.lax.dot_general(
         pw, v8, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -100,37 +100,32 @@ def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, m_ref, o_ref,
 
 @jax.jit
 def decode_attention_int8(q, k_leaf, v_leaf, mask4):
-    """q: (B, 1, Hq, D); k_leaf/v_leaf: int8 cache leaves
-    {"q": (B, Skv, Hkv, D) int8, "s": (B, Skv, Hkv, 1) fp32};
+    """q: (B, 1, Hq, D); k_leaf/v_leaf: head-major int8 cache leaves
+    {"q": (B, Hkv, Skv, D) int8, "s": (B, Hkv, Skv, 1) fp32};
     mask4: (B, 1, 1, Skv) bool. Returns (B, 1, Hq, D) in q.dtype."""
     b, _, hq, d = q.shape
-    cap, hkv = k_leaf["q"].shape[1], k_leaf["q"].shape[2]
+    hkv, cap = k_leaf["q"].shape[1], k_leaf["q"].shape[2]
     g = hq // hkv
     scale = 1.0 / math.sqrt(d)
 
-    # (B, Hkv, G, D): the G query heads of one KV head share a tile. int8
-    # values stay in their native (B, S, H, D) layout viewed as
-    # (B, S, H*D) — a free bitcast, no cache copy; the per-head (BK, D)
-    # block slices the last dim (Mosaic requires the last two block dims
-    # 8/128-aligned, which a singleton head-dim block is not). Only the
-    # tiny fp32 scale planes transpose to a lane-major (B, Hkv, Skv).
+    # (B, Hkv, G, D): the G query heads of one KV head share a tile. The
+    # head-major cache layout makes each (BK, D) int8 block a CONTIGUOUS
+    # 32 KB DMA (the original (B, S, H, D) layout produced 128-byte
+    # strided rows, which lost to dequantize-then-attend end to end).
+    # Scale planes reshape (free) to (B*Hkv, 1, Skv): the singleton middle
+    # dim spans its full axis, satisfying Mosaic's last-two-block-dims rule.
     qt = q.reshape(b, hkv, g, d).astype(jnp.bfloat16)
-    k8 = k_leaf["q"].reshape(b, cap, hkv * d)
-    v8 = v_leaf["q"].reshape(b, cap, hkv * d)
-    # (B*Hkv, 1, Skv): a singleton middle dim spans its full axis, which
-    # Mosaic's last-two-block-dims rule accepts (an (1, BK) scale block in
-    # a (B, Hkv, Skv) layout would not be)
-    ks = k_leaf["s"][..., 0].transpose(0, 2, 1).reshape(b * hkv, 1, cap)
-    vs = v_leaf["s"][..., 0].transpose(0, 2, 1).reshape(b * hkv, 1, cap)
+    ks = k_leaf["s"].reshape(b * hkv, 1, cap)
+    vs = v_leaf["s"].reshape(b * hkv, 1, cap)
     mask2 = mask4[:, 0, :, :].astype(jnp.int8)            # (B, 1, Skv)
 
     grid = (b, hkv, cap // BLOCK_K)
     in_specs = [
         pl.BlockSpec((1, 1, g, d), lambda ib, ih, ik: (ib, ih, 0, 0)),
-        pl.BlockSpec((1, BLOCK_K, d), lambda ib, ih, ik: (ib, ik, ih)),
+        pl.BlockSpec((1, 1, BLOCK_K, d), lambda ib, ih, ik: (ib, ih, ik, 0)),
         pl.BlockSpec((1, 1, BLOCK_K),
                      lambda ib, ih, ik, _h=hkv: (ib * _h + ih, 0, ik)),
-        pl.BlockSpec((1, BLOCK_K, d), lambda ib, ih, ik: (ib, ik, ih)),
+        pl.BlockSpec((1, 1, BLOCK_K, d), lambda ib, ih, ik: (ib, ih, ik, 0)),
         pl.BlockSpec((1, 1, BLOCK_K),
                      lambda ib, ih, ik, _h=hkv: (ib * _h + ih, 0, ik)),
         pl.BlockSpec((1, 1, BLOCK_K), lambda ib, ih, ik: (ib, 0, ik)),
@@ -155,7 +150,7 @@ def decode_attention_int8(q, k_leaf, v_leaf, mask4):
             bytes_accessed=(k_leaf["q"].size * 2 + ks.size * 8 + q.size * 2),
             transcendentals=b * hq * cap,
         ),
-    )(qt, k8, ks, v8, vs, mask2)
+    )(qt, k_leaf["q"], ks, v_leaf["q"], vs, mask2)
     return out.reshape(b, 1, hq, d)
 
 

@@ -96,8 +96,14 @@ def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None,
 
     def leaf(shape):
         if quantize:
-            return {"q": jnp.zeros(shape, jnp.int8),
-                    "s": jnp.zeros((*shape[:-1], 1), jnp.float32)}
+            # int8 leaves store HEAD-major (..., H, S, D): the fused decode
+            # kernel (kernels/decode_attention.py) then reads contiguous
+            # (BK, D) tiles per head instead of 128-byte strided rows —
+            # strided int8 DMA was the difference between the kernel losing
+            # and winning vs dequantize-then-attend (BENCH_NOTES round 3)
+            *lead, s, h, d = shape
+            return {"q": jnp.zeros((*lead, h, s, d), jnp.int8),
+                    "s": jnp.zeros((*lead, h, s, 1), jnp.float32)}
         return jnp.zeros(shape, dtype)
 
     if stacked:
@@ -113,16 +119,20 @@ def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None,
 
 
 def _quantize_kv(x):
-    """(B, S, H, D) -> int8 values + per-(token, head) scales."""
+    """(B, S, H, D) -> head-major int8 leaf: {"q": (B, H, S, D) int8,
+    "s": (B, H, S, 1) fp32 per-(token, head) scales}."""
     xf = x.astype(jnp.float32)
     s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
                     1e-8)
-    return {"q": jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8),
-            "s": s}
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return {"q": q.transpose(0, 2, 1, 3), "s": s.transpose(0, 2, 1, 3)}
 
 
 def _dequantize_kv(leaf, dtype):
-    return (leaf["q"].astype(jnp.float32) * leaf["s"]).astype(dtype)
+    """Head-major int8 leaf -> (B, S, H, D) in `dtype` (the XLA attention
+    layout)."""
+    deq = (leaf["q"].astype(jnp.float32) * leaf["s"]).astype(dtype)
+    return deq.transpose(0, 2, 1, 3)
 
 
 def _write_cache(layer_cache, k_new, v_new, index):
@@ -133,16 +143,24 @@ def _write_cache(layer_cache, k_new, v_new, index):
     per_row = getattr(index, "ndim", 0) == 1
 
     def upd_one(buf, new):
+        # bf16 leaf: (B, S, H, D), slot dim 1
         if per_row:
             rows = jnp.arange(buf.shape[0])
             return buf.at[rows, index].set(new[:, 0])
         return jax.lax.dynamic_update_slice(buf, new, (0, index, 0, 0))
 
+    def upd_one_q(buf, new):
+        # head-major int8 leaf: (B, H, S, D|1), slot dim 2
+        if per_row:
+            rows = jnp.arange(buf.shape[0])
+            return buf.at[rows, :, index].set(new[:, :, 0])
+        return jax.lax.dynamic_update_slice(buf, new, (0, 0, index, 0))
+
     def upd(buf, new):
         if isinstance(buf, dict):   # int8-quantized cache leaf
             qn = _quantize_kv(new)
-            return {"q": upd_one(buf["q"], qn["q"]),
-                    "s": upd_one(buf["s"], qn["s"])}
+            return {"q": upd_one_q(buf["q"], qn["q"]),
+                    "s": upd_one_q(buf["s"], qn["s"])}
         return upd_one(buf, new)
 
     if per_row and k_new.shape[1] != 1:

@@ -270,8 +270,16 @@ class ServingEngine:
             ).astype(jnp.int32)
             first = jnp.where(temps > 0, sampled, greedy)
 
+            quantized = self._quantized
+
             def put(b, r):
-                if b.ndim == 5:      # stacked: (Layers, B, L, H, D|1)
+                stacked = b.ndim == 5            # leading Layers dim
+                if quantized:   # head-major int8 leaves: slot dim after H
+                    if stacked:                  # (L, B, H, S, D|1)
+                        return b.at[:, slots, :, :bucket].set(
+                            r.astype(b.dtype))
+                    return b.at[slots, :, :bucket].set(r.astype(b.dtype))
+                if stacked:                      # (L, B, S, H, D)
                     return b.at[:, slots, :bucket].set(r.astype(b.dtype))
                 return b.at[slots, :bucket].set(r.astype(b.dtype))
 
