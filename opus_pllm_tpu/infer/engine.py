@@ -99,10 +99,14 @@ def generate(params, cfg: DecoderConfig, input_embeds, attn_mask, positions,
     rows = jnp.arange(l)[None, None, :, None]
     cols = jnp.arange(cap)[None, None, None, :]
     pre_mask4 = cache["mask"][:, None, None, :] & (cols <= rows)
-    logits, cache = decoder.forward(
+    # prefill returns HIDDEN states; the vocab head runs only on the last
+    # position — a full-prompt head is B*L*V fp (7.8 GB at B=32, L=1024,
+    # V=128k: the long-context prefill OOM) and all but one row is discarded
+    hid, cache = decoder.forward(
         params, cfg, input_embeds.astype(cfg.jnp_dtype), positions,
-        pre_mask4, cache, impl=impl)
-    last_logits = logits[:, -1].astype(jnp.float32)  # left-pad: last is real
+        pre_mask4, cache, impl=impl, return_hidden=True)
+    last_logits = decoder.head_logits(
+        params, cfg, hid[:, -1:])[:, 0].astype(jnp.float32)  # left-pad: last is real
 
     last_pos = positions[:, -1]
 
@@ -197,11 +201,15 @@ def beam_generate(params, cfg: DecoderConfig, input_embeds, attn_mask,
     rows = jnp.arange(l)[None, None, :, None]
     cols = jnp.arange(cap)[None, None, None, :]
     pre_mask4 = cache["mask"][:, None, None, :] & (cols <= rows)
-    logits, cache = decoder.forward(
+    # head on the last position only (see generate(): full-prompt logits
+    # are B*L*V and get discarded)
+    hid, cache = decoder.forward(
         params, cfg, input_embeds.astype(cfg.jnp_dtype), positions,
-        pre_mask4, cache, impl=impl)
+        pre_mask4, cache, impl=impl, return_hidden=True)
+    last_logits = decoder.head_logits(params, cfg,
+                                      hid[:, -1:])[:, 0].astype(jnp.float32)
     cache = decoder.tile_cache(cache, k)
-    cur_logits = jnp.repeat(logits[:, -1].astype(jnp.float32), k, axis=0)
+    cur_logits = jnp.repeat(last_logits, k, axis=0)
     last_pos = jnp.repeat(positions[:, -1], k, axis=0)        # (B*K,)
 
     top_mask = jnp.arange(k2) < k                             # (2K,) ranks

@@ -259,11 +259,15 @@ class ServingEngine:
                                        quantize=self._quantized)
             mask4 = (mask[:, None, None, :]
                      & (ar[None, None, None, :] <= pos[:, None, :, None]))
-            logits, rows = decoder.forward(
-                params, cfg, embs, pos, mask4, cache=cache)
-            last = jnp.take_along_axis(
-                logits, (n_valid - 1)[:, None, None], axis=1
-            )[:, 0].astype(jnp.float32)
+            # gather each row's last-valid HIDDEN state, then head once:
+            # a full-bucket vocab head is n*bucket*V fp32 of garbage
+            hid, rows = decoder.forward(
+                params, cfg, embs, pos, mask4, cache=cache,
+                return_hidden=True)
+            last_h = jnp.take_along_axis(
+                hid, (n_valid - 1)[:, None, None], axis=1)
+            last = decoder.head_logits(
+                params, cfg, last_h)[:, 0].astype(jnp.float32)
             greedy = jnp.argmax(last, axis=-1).astype(jnp.int32)
             sampled = jax.random.categorical(
                 key, last / jnp.maximum(temps, 1e-6)[:, None]
