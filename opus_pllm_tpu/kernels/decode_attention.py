@@ -1,23 +1,34 @@
 """Pallas TPU fused decode attention over the int8-quantized KV cache.
 
 Replaces the reference's xformers+bitsandbytes pairing at the decode step
-(README.md:20-24; builder.py:44-57) in the one regime where KV reads
-co-dominate the roofline (batch >= 32 / long contexts, BENCH_NOTES.md):
-the previous path dequantized the whole cache to bf16 in HBM every token
-(read int8 + write bf16 + read bf16 = ~2.5x the bf16 cache traffic), this
-kernel reads the int8 values + fp32 scales straight into VMEM and applies
-the scales to the logits/weights instead of the tensors:
+(README.md:20-24; builder.py:44-57) in the regime where KV reads co-dominate
+the roofline (batch >= 32 / long contexts, BENCH_NOTES.md): the XLA path
+dequantizes the whole cache to bf16 in HBM every token (read int8 + write
+bf16 + read bf16 = ~2.5x the bf16 cache traffic); this kernel reads the
+int8 values + fp32 scales straight into VMEM and applies the scales to the
+logits/weights instead of the tensors:
 
     logits[g, t] = (q[g, :] . k_int8[t, :]) * k_scale[t] * 1/sqrt(d)
     out[g, :]    = sum_t (softmax(logits)[g, t] * v_scale[t]) * v_int8[t, :]
 
 so the dequantized cache never exists anywhere, and HBM sees 0.5x the
-bf16-cache bytes. One query token per row (Sq == 1): the online-softmax
-sweep runs over KV blocks in the sequential last grid dimension with the
-(m, l, acc) state in VMEM scratch, same layout discipline as
-flash_attention.py. GQA: the G = Hq/Hkv query heads of one KV head are the
-sublane rows of a single (G, D) tile, so each int8 block is read ONCE for
-all its query heads.
+bf16-cache bytes.
+
+Grid design (round-3 lesson): ONE program per (batch row, KV head), whole
+per-head cache row in VMEM, single-pass softmax over the full (G, Skv)
+logit row. The first cut blocked Skv into 256-token chunks with an
+online-softmax sweep (flash-style) — at B=32, cap=1152 that is 40960 grid
+programs per token-step across 32 layers, and per-program overhead made it
+3x SLOWER than the XLA dequant path (373 tok/s). A (G, Skv) fp32 logit row
+is at most a few hundred KB, so flash-style blocking buys nothing here;
+the coarse grid cuts program count 5x and removes all scratch-state
+traffic. GQA: the G = Hq/Hkv query heads of one KV head are the sublane
+rows of a single (G, D) tile, so each int8 row is read ONCE.
+
+The head-major cache layout ((B, H, S, D), models/decoder.init_cache)
+makes each program's (Skv, D) int8 block one contiguous DMA — the
+value-native (B, S, H, D) layout produced 128-byte strided rows, which
+also lost to dequantize-then-attend end to end.
 """
 
 from __future__ import annotations
@@ -32,20 +43,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_LARGE = -1e30
 
-BLOCK_K = 256      # int8 min tile is (32, 128); cap rounds to 256 upstream
+CAP_ALIGN = 256            # engine rounds cache capacity to the flash block
+MAX_VMEM_CAP = 8192        # per-program K/V int8 bytes = 2*cap*d; 8k*128*2
+                           # = 2 MB + pipelining headroom: well under VMEM
 
 
 def supports(q, k_leaf, mask4) -> bool:
     """Dispatchable shapes: TPU backend, one query token, int8 cache dict
-    leaves, 128-multiple head dim, capacity divisible by the KV block, a
-    broadcast (B, 1, 1, Skv) mask, and G = Hq/Hkv <= 8 (one sublane tile)."""
+    leaves, 128-multiple head dim, aligned capacity small enough that a
+    whole per-head cache row fits VMEM, a broadcast (B, 1, 1, Skv) mask,
+    and G = Hq/Hkv <= 8 (one sublane tile)."""
     if jax.default_backend() != "tpu":
         return False
     if not isinstance(k_leaf, dict):
         return False
     b, sq, hq, d = q.shape
     hkv, cap = k_leaf["q"].shape[1], k_leaf["q"].shape[2]
-    if sq != 1 or d % 128 != 0 or cap % BLOCK_K != 0:
+    if sq != 1 or d % 128 != 0 or cap % CAP_ALIGN != 0 or cap > MAX_VMEM_CAP:
         return False
     if hq % hkv != 0 or hq // hkv > 8:
         return False
@@ -55,47 +69,24 @@ def supports(q, k_leaf, mask4) -> bool:
 
 
 def _kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, m_ref, o_ref,
-            m_s, l_s, acc_s, *, scale: float, g: int):
-    ik = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(ik == 0)
-    def _init():
-        m_s[...] = jnp.full_like(m_s, NEG_LARGE)
-        l_s[...] = jnp.zeros_like(l_s)
-        acc_s[...] = jnp.zeros_like(acc_s)
-
+            *, scale: float):
     q = q_ref[0, 0]                                       # (G, D) bf16
-    k8 = k_ref[0, 0].astype(q.dtype)                      # (BK, D)
-    # logits in fp32; per-token k scales fold into the logit columns
+    k8 = k_ref[0, 0].astype(q.dtype)                      # (CAP, D)
+    # fp32 logits; per-token k scales fold into the logit columns
     s = jax.lax.dot_general(q, k8, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s * (ks_ref[0] * scale)                           # (G, BK) * (1, BK)
+                            preferred_element_type=jnp.float32)   # (G, CAP)
+    s = s * (ks_ref[0] * scale)                           # * (1, CAP)
     s = jnp.where(m_ref[0] != 0, s, NEG_LARGE)
-
-    # scratch rows :g carry the live state (scratch sublane dim padded to 8)
-    m_prev = m_s[:g, :1]
-    l_prev = l_s[:g, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)                                # (G, BK) fp32
-    alpha = jnp.exp(m_prev - m_new)
-    l_s[:g, :] = jnp.broadcast_to(alpha * l_prev
-                                  + jnp.sum(p, axis=-1, keepdims=True),
-                                  (g, l_s.shape[1]))
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
     # per-token v scales fold into the softmax weights; the int8 v block
     # feeds the MXU directly (ints to 127 are exact in bf16)
     pw = (p * vs_ref[0]).astype(jnp.bfloat16)
-    v8 = v_ref[0, 0].astype(jnp.bfloat16)                 # (BK, D)
-    acc_s[:g, :] = acc_s[:g, :] * alpha + jax.lax.dot_general(
-        pw, v8, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    m_s[:g, :] = jnp.broadcast_to(m_new, (g, m_s.shape[1]))
-
-    @pl.when(ik == nk - 1)
-    def _finalize():
-        o_ref[0, 0] = (acc_s[:g, :]
-                       / jnp.maximum(l_s[:g, :1], 1e-30)).astype(o_ref.dtype)
+    v8 = v_ref[0, 0].astype(jnp.bfloat16)                 # (CAP, D)
+    o = jax.lax.dot_general(pw, v8, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 @jax.jit
@@ -108,10 +99,7 @@ def decode_attention_int8(q, k_leaf, v_leaf, mask4):
     g = hq // hkv
     scale = 1.0 / math.sqrt(d)
 
-    # (B, Hkv, G, D): the G query heads of one KV head share a tile. The
-    # head-major cache layout makes each (BK, D) int8 block a CONTIGUOUS
-    # 32 KB DMA (the original (B, S, H, D) layout produced 128-byte
-    # strided rows, which lost to dequantize-then-attend end to end).
+    # (B, Hkv, G, D): the G query heads of one KV head share a tile.
     # Scale planes reshape (free) to (B*Hkv, 1, Skv): the singleton middle
     # dim spans its full axis, satisfying Mosaic's last-two-block-dims rule.
     qt = q.reshape(b, hkv, g, d).astype(jnp.bfloat16)
@@ -119,31 +107,25 @@ def decode_attention_int8(q, k_leaf, v_leaf, mask4):
     vs = v_leaf["s"].reshape(b * hkv, 1, cap)
     mask2 = mask4[:, 0, :, :].astype(jnp.int8)            # (B, 1, Skv)
 
-    grid = (b, hkv, cap // BLOCK_K)
+    grid = (b, hkv)
     in_specs = [
-        pl.BlockSpec((1, 1, g, d), lambda ib, ih, ik: (ib, ih, 0, 0)),
-        pl.BlockSpec((1, 1, BLOCK_K, d), lambda ib, ih, ik: (ib, ih, ik, 0)),
-        pl.BlockSpec((1, 1, BLOCK_K),
-                     lambda ib, ih, ik, _h=hkv: (ib * _h + ih, 0, ik)),
-        pl.BlockSpec((1, 1, BLOCK_K, d), lambda ib, ih, ik: (ib, ih, ik, 0)),
-        pl.BlockSpec((1, 1, BLOCK_K),
-                     lambda ib, ih, ik, _h=hkv: (ib * _h + ih, 0, ik)),
-        pl.BlockSpec((1, 1, BLOCK_K), lambda ib, ih, ik: (ib, 0, ik)),
+        pl.BlockSpec((1, 1, g, d), lambda ib, ih: (ib, ih, 0, 0)),
+        pl.BlockSpec((1, 1, cap, d), lambda ib, ih: (ib, ih, 0, 0)),
+        pl.BlockSpec((1, 1, cap),
+                     lambda ib, ih, _h=hkv: (ib * _h + ih, 0, 0)),
+        pl.BlockSpec((1, 1, cap, d), lambda ib, ih: (ib, ih, 0, 0)),
+        pl.BlockSpec((1, 1, cap),
+                     lambda ib, ih, _h=hkv: (ib * _h + ih, 0, 0)),
+        pl.BlockSpec((1, 1, cap), lambda ib, ih: (ib, 0, 0)),
     ]
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, g=g),
+        functools.partial(_kernel, scale=scale),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, g, d),
-                               lambda ib, ih, ik: (ib, ih, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda ib, ih: (ib, ih, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((8, 128), jnp.float32),    # running max (rows :G)
-            pltpu.VMEM((8, 128), jnp.float32),    # running denom
-            pltpu.VMEM((8, d), jnp.float32),      # output accumulator
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * cap * d,

@@ -214,14 +214,55 @@ def fused_decode_attention():
     emb = jnp.asarray(rng.standard_normal((2, 8, 512)) * 0.1, jnp.bfloat16)
     msk = jnp.ones((2, 8), bool)
     pos = jnp.broadcast_to(jnp.arange(8), (2, 8))
-    kw = dict(max_new_tokens=8, temperature=0.0, eos_token_id=-1,
-              pad_token_id=0, quantize_cache=True)
-    t_fused = engine.generate(params, cfg, emb, msk, pos,
-                              jax.random.PRNGKey(2), **kw).tokens
-    t_xla = engine.generate(params, cfg, emb, msk, pos,
-                            jax.random.PRNGKey(2), impl="xla", **kw).tokens
-    assert (np.asarray(t_fused) == np.asarray(t_xla)).all(), \
-        (np.asarray(t_fused), np.asarray(t_xla))
+
+    # (1) the fused kernel must actually be DISPATCHED inside the jitted
+    # engine (trace-time counter), and generations must be valid ids.
+    # Exact token equality vs impl="xla" is flaky by construction: the two
+    # paths also differ at PREFILL (flash vs XLA attention) and random tiny
+    # weights put the top-2 logits within one bf16 ulp (measured gap 0.013
+    # at |logit| 1.6), so the argmax chain forks on benign rounding.
+    calls = []
+    orig = da.decode_attention_int8
+    da.decode_attention_int8 = lambda *a: (calls.append(1), orig(*a))[1]
+    try:
+        kw = dict(max_new_tokens=8, temperature=0.0, eos_token_id=-1,
+                  pad_token_id=0, quantize_cache=True)
+        t_fused = np.asarray(engine.generate(
+            params, cfg, emb, msk, pos, jax.random.PRNGKey(2), **kw).tokens)
+    finally:
+        da.decode_attention_int8 = orig
+    assert len(calls) == cfg.num_layers, len(calls)
+    assert ((t_fused >= 0) & (t_fused < cfg.vocab_size)).all()
+
+    # (2) teacher-forced per-step logit parity: step the decoder over the
+    # SAME token stream through both decode-attention paths; only the
+    # decode step differs, so tolerance checks the kernel alone.
+    l, cap = 8, 256
+    logits = {}
+    for impl in ("auto", "xla"):
+        cache = decoder.init_cache(cfg, 2, cap, dtype=cfg.jnp_dtype,
+                                   stacked="layers_stacked" in params,
+                                   quantize=True)
+        cache["mask"] = cache["mask"].at[:, :l].set(msk)
+        rows_i = jnp.arange(l)[None, None, :, None]
+        cols_i = jnp.arange(cap)[None, None, None, :]
+        pre4 = cache["mask"][:, None, None, :] & (cols_i <= rows_i)
+        _, cache = decoder.forward(params, cfg, emb.astype(cfg.jnp_dtype),
+                                   pos, pre4, cache, impl="xla",
+                                   return_hidden=True)
+        steps = []
+        for t in range(4):
+            nxt = jnp.asarray(t_fused[:, t])
+            e = decoder.embed_tokens(params, nxt)[:, None].astype(cfg.jnp_dtype)
+            p = jnp.full((2, 1), l + t, jnp.int32)
+            cache["mask"] = cache["mask"].at[:, l + t].set(True)
+            lg, cache = decoder.forward(params, cfg, e, p,
+                                        cache["mask"][:, None, None, :],
+                                        cache, impl=impl)
+            steps.append(np.asarray(lg[:, 0], np.float32))
+        logits[impl] = np.stack(steps)
+    diff = np.abs(logits["auto"] - logits["xla"]).max()
+    assert diff < 0.05, diff
 
 
 def main():
