@@ -12,13 +12,18 @@ commonly used set with self-contained numpy implementations — no
     m = metric_registry.load("f1")
     m.compute(predictions=[0, 1, 1], references=[0, 1, 0])  # {"f1": ...}
 
-Covered: accuracy, precision, recall, f1, exact_match, mae, mse,
+Covered here: accuracy, precision, recall, f1, exact_match, mae, mse,
 matthews_correlation, pearsonr, spearmanr, wer, cer, chrf, plus the four
-text-generation metrics re-exported from evals/metrics.py. The remaining
-vendored modules are either gradio demo wrappers (`app.py`), near-duplicate
-variants, or require external models/data unavailable offline
-(bleurt/comet/perplexity-on-HF-models); they are intentionally out of
-scope — see COVERAGE.md.
+text-generation metrics re-exported from evals/metrics.py. A further 28
+(sacrebleu, google_bleu, nist_mt, ter, character, squad, squad_v2,
+seqeval, poseval, sari, wiki_split, mape, smape, mase, r_squared,
+brier_score, confusion_matrix, roc_auc, mean_iou, mahalanobis, trec_eval,
+competition_math, code_eval, glue, super_glue, xnli, indic_glue,
+xtreme_s) register from metric_extra.py — 45 of the 54 vendored names.
+The rest require external model downloads or tooling unavailable in this
+zero-egress image (bleurt, comet, mauve, frugalscore,
+perplexity-on-HF-models, charcut_mt, coval, cuad, rl_reliability) and the
+reference harness never loads them; see COVERAGE.md.
 """
 
 from __future__ import annotations
@@ -35,7 +40,7 @@ class _Metric:
         self.name = name
         self._fn = fn
 
-    def compute(self, *, predictions, references, **kw) -> Dict:
+    def compute(self, *, predictions, references=None, **kw) -> Dict:
         return self._fn(predictions, references, **kw)
 
 
@@ -263,6 +268,12 @@ _REGISTRY: Dict[str, Callable] = {
     "meteor": _meteor,
     "bertscore": _bertscore,
 }
+
+# the remaining self-contained vendored metrics (MT, QA, labeling,
+# forecasting, IR, math, code, suite dispatchers) live in metric_extra
+from .metric_extra import EXTRA as _EXTRA  # noqa: E402
+
+_REGISTRY.update(_EXTRA)
 
 
 def available() -> List[str]:
