@@ -86,6 +86,9 @@ def decoder_config_for(model_base: str) -> DecoderConfig:
         num_kv_heads=hf.get("num_key_value_heads", nh),
         head_dim=hf.get("head_dim", hf["hidden_size"] // nh),
         rope_theta=hf.get("rope_theta", 10000.0),
+        # the reference enables dynamic NTK when the config supports it
+        # (builder.py:93-94); qwen configs carry the flag explicitly
+        use_dynamic_ntk=bool(hf.get("use_dynamic_ntk", fam == "qwen2")),
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
         max_position_embeddings=hf.get("max_position_embeddings", 8192),
         attention_bias=(fam == "qwen2"),
@@ -248,6 +251,11 @@ def load_pretrained(model_base: Optional[str], weights_dir: Optional[str],
         if not already:   # random-init or post-LoRA-merge path
             from ..kernels.quant import quantize_decoder
             params["llm"] = quantize_decoder(params["llm"])
+    elif quantize == "int4":
+        already = "kernel_p" in params["llm"]["layers"][0].get("q_proj", {})
+        if not already:
+            from ..kernels.quant4 import quantize_decoder4
+            params["llm"] = quantize_decoder4(params["llm"])
     elif quantize is not None:
         raise ValueError(f"unknown quantize mode: {quantize}")
     return params, unmerged

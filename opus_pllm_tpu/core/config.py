@@ -106,6 +106,11 @@ class DecoderConfig:
     num_kv_heads: int = 8
     head_dim: int = 128
     rope_theta: float = 500000.0
+    # Dynamic NTK-aware RoPE scaling for contexts past the trained length
+    # (the Qwen config flag the reference's builder.py:93-94 sets — inside
+    # its commented-out Qwen branch — restored here as a real feature);
+    # see models/layers.ntk_scaled_theta for the formula.
+    use_dynamic_ntk: bool = False
     rms_norm_eps: float = 1e-5
     max_position_embeddings: int = 8192
     tie_word_embeddings: bool = False

@@ -185,7 +185,8 @@ def qdense(p: Dict, x, *, impl: str = "auto"):
 
 
 _QUANT_TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
-                  "up_proj", "down_proj", "fc1", "fc2", "lm_head")
+                  "up_proj", "down_proj", "fc1", "fc2", "lm_head",
+                  "qkv_proj", "gateup_proj")   # fused (fuse_projections)
 
 
 def quantize_decoder(params: Dict) -> Dict:

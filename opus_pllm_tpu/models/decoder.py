@@ -190,7 +190,39 @@ def _mlp(cfg, p, x, la, ls):
     g = lambda name, h: lora_dense(p[name], (la or {}).get(name), h, ls)
     if cfg.family == "opt":
         return g("fc2", ACTIVATIONS[cfg.activation](g("fc1", x)))
+    if "gateup_proj" in p:
+        gate, up = _fused_gateup(cfg, p, x, la, ls)
+        return g("down_proj", ACTIVATIONS["silu"](gate) * up)
     return g("down_proj", ACTIVATIONS["silu"](g("gate_proj", x)) * g("up_proj", x))
+
+
+def _fused_qkv(cfg, p, r, la, ls):
+    """One matmul over the concatenated [q|k|v] kernel (fuse_projections);
+    per-projection LoRA deltas land on the output slices."""
+    from .layers import lora_delta
+    nq = cfg.num_heads * cfg.head_dim
+    nkv = cfg.num_kv_heads * cfg.head_dim
+    qkv = dense(p["qkv_proj"], r).astype(jnp.float32)
+    parts = []
+    for name, lo, hi in (("q_proj", 0, nq), ("k_proj", nq, nq + nkv),
+                         ("v_proj", nq + nkv, nq + 2 * nkv)):
+        y = qkv[..., lo:hi]
+        if la and name in la:
+            y = y + lora_delta(la[name], r, ls)
+        parts.append(y.astype(r.dtype))
+    return parts
+
+
+def _fused_gateup(cfg, p, r, la, ls):
+    from .layers import lora_delta
+    i = cfg.intermediate_size
+    gu = dense(p["gateup_proj"], r).astype(jnp.float32)
+    gate, up = gu[..., :i], gu[..., i:]
+    if la and "gate_proj" in la:
+        gate = gate + lora_delta(la["gate_proj"], r, ls)
+    if la and "up_proj" in la:
+        up = up + lora_delta(la["up_proj"], r, ls)
+    return gate.astype(r.dtype), up.astype(r.dtype)
 
 
 def _block(cfg: DecoderConfig, p, x, mask4, cos, sin, layer_cache, index, impl,
@@ -199,9 +231,14 @@ def _block(cfg: DecoderConfig, p, x, mask4, cos, sin, layer_cache, index, impl,
     hq, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     g = lambda name, h: lora_dense(p[name], (la or {}).get(name), h, ls)
     r = _norm(cfg, p["attn_norm"], x)
-    q = g("q_proj", r).reshape(b, s, hq, d)
-    k = g("k_proj", r).reshape(b, s, hkv, d)
-    v = g("v_proj", r).reshape(b, s, hkv, d)
+    if "qkv_proj" in p:
+        q, k, v = _fused_qkv(cfg, p, r, la, ls)
+        q, k, v = (q.reshape(b, s, hq, d), k.reshape(b, s, hkv, d),
+                   v.reshape(b, s, hkv, d))
+    else:
+        q = g("q_proj", r).reshape(b, s, hq, d)
+        k = g("k_proj", r).reshape(b, s, hkv, d)
+        v = g("v_proj", r).reshape(b, s, hkv, d)
     if cos is not None:
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -223,6 +260,51 @@ def _block(cfg: DecoderConfig, p, x, mask4, cos, sin, layer_cache, index, impl,
     x = x + g("o_proj", a)
     r = _norm(cfg, p["ffn_norm"], x)
     return x + _mlp(cfg, p, r, la, ls), new_cache
+
+
+def fuse_projections(params: Dict, cfg: DecoderConfig) -> Dict:
+    """Concatenate q/k/v -> qkv_proj and gate/up -> gateup_proj per layer.
+
+    Decode at 8B issues ~57 quantized-matmul kernels per token step; each
+    Pallas custom call pays a scheduling boundary XLA fusions don't, so at
+    M=batch the launch overhead rivals the weight DMA (profiled round 3).
+    Fusing the same-input projections cuts the calls per layer from 7 to 4
+    and makes each remaining kernel's N dim wider — strictly better
+    streaming. Works on bf16 ("kernel"), int8 ("kernel_q" + per-channel
+    "scale"), and int4 ("kernel_p" + "gscale") trees — all concatenate
+    exactly along the output dim. Unmerged LoRA adapters keep their
+    per-projection names; _block applies their deltas onto the fused
+    output's slices. Per-layer (unstacked) trees only — fuse BEFORE
+    stack_params. Note for tensor parallelism: the fused output dim
+    interleaves q|k|v, so TP shards no longer align with head boundaries —
+    keep projections unfused when sharding over the "model" axis.
+    """
+    def cat(ps):
+        leaf = next(k for k in ("kernel", "kernel_q", "kernel_p")
+                    if k in ps[0])
+        xp = np if isinstance(ps[0][leaf], np.ndarray) else jnp
+        out = {leaf: xp.concatenate([p[leaf] for p in ps], axis=1)}
+        for sk, ax in (("scale", 0), ("gscale", 1)):
+            if sk in ps[0]:
+                out[sk] = xp.concatenate([p[sk] for p in ps], axis=ax)
+        if "bias" in ps[0]:
+            out["bias"] = xp.concatenate([p["bias"] for p in ps], axis=0)
+        return out
+
+    out = dict(params)
+    out["layers"] = []
+    for lp in params["layers"]:
+        nlp = dict(lp)
+        if all(k in lp for k in ("q_proj", "k_proj", "v_proj")):
+            nlp["qkv_proj"] = cat([lp["q_proj"], lp["k_proj"],
+                                   lp["v_proj"]])
+            for k in ("q_proj", "k_proj", "v_proj"):
+                del nlp[k]
+        if "gate_proj" in lp and "up_proj" in lp:
+            nlp["gateup_proj"] = cat([lp["gate_proj"], lp["up_proj"]])
+            del nlp["gate_proj"], nlp["up_proj"]
+        out["layers"].append(nlp)
+    return out
 
 
 def embed_tokens(params, ids):
@@ -392,7 +474,15 @@ def forward(params, cfg: DecoderConfig, input_embeds, positions, mask4,
         cos = sin = None
         x = x + embed(params["embed_positions"], positions + OPT_POS_OFFSET)
     else:
-        cos, sin = rope_cos_sin(positions, cfg.head_dim, theta=cfg.rope_theta)
+        theta = cfg.rope_theta
+        if cfg.use_dynamic_ntk:
+            # static context bound: the cache capacity when decoding with a
+            # cache, else this call's sequence length (mask4's last dim is
+            # Skv in both regimes)
+            from .layers import ntk_scaled_theta
+            theta = ntk_scaled_theta(theta, cfg.head_dim, mask4.shape[-1],
+                                     cfg.max_position_embeddings)
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, theta=theta)
         cos, sin = cos.astype(x.dtype), sin.astype(x.dtype)
 
     if "layers_stacked" in params:
@@ -449,7 +539,7 @@ def head_logits(params, cfg: DecoderConfig, x):
     if cfg.tie_word_embeddings or "lm_head" not in params:
         return jnp.dot(x, params["embed_tokens"]["embedding"].T,
                        preferred_element_type=jnp.float32)
-    if "kernel_q" in params["lm_head"]:
+    if "kernel_q" in params["lm_head"] or "kernel_p" in params["lm_head"]:
         return dense(params["lm_head"], x).astype(jnp.float32)
     return jnp.dot(x, params["lm_head"]["kernel"],
                    preferred_element_type=jnp.float32)

@@ -49,6 +49,9 @@ def dense(params, x):
     if "kernel_q" in params:   # int8 weight-only quantized linear
         from ..kernels.quant import qdense
         return qdense(params, x)
+    if "kernel_p" in params:   # int4 grouped-quantized linear
+        from ..kernels.quant4 import qdense4
+        return qdense4(params, x)
     # fp32 activations get true-fp32 matmuls (JAX's "default" precision may
     # run fp32 dots at ~bf16 precision); bf16 stays on the fast MXU path.
     prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
@@ -73,9 +76,16 @@ def lora_dense(params, lora, x, scaling: float = 1.0):
     y = dense(params, x)
     if lora is None:
         return y
+    return (y.astype(jnp.float32)
+            + lora_delta(lora, x, scaling)).astype(y.dtype)
+
+
+def lora_delta(lora, x, scaling: float = 1.0):
+    """fp32 LoRA delta scaling * (xA)B alone — for fused-projection blocks
+    that apply per-projection adapters onto slices of one fused matmul."""
     a = jnp.dot(x, lora["A"].astype(x.dtype), preferred_element_type=jnp.float32)
     d = jnp.dot(a, lora["B"].astype(x.dtype), preferred_element_type=jnp.float32)
-    return (y.astype(jnp.float32) + scaling * d).astype(y.dtype)
+    return scaling * d
 
 
 def rms_norm(params, x, eps: float = 1e-5):
@@ -117,6 +127,23 @@ ACTIVATIONS = {
 # Rotary position embeddings (GPT-NeoX half-split convention — used by both
 # fair-esm ESM2 and Llama/Qwen)
 # ---------------------------------------------------------------------------
+
+def ntk_scaled_theta(theta: float, head_dim: int, context_len: int,
+                     max_trained: int, alpha_floor: float = 1.0) -> float:
+    """Dynamic NTK-aware RoPE base rescaling (the Qwen `use_dynamic_ntk`
+    behavior): when the static context length exceeds the trained window,
+    raise the rotary base so the lowest frequency spans the longer
+    context without re-training:
+
+        theta' = theta * s ** (d / (d - 2)),  s = context_len / max_trained
+
+    Everything here is static (shapes), so under jit this folds to a
+    compile-time constant — no data-dependent control flow."""
+    if context_len <= max_trained:
+        return theta
+    scale = max(context_len / max_trained, alpha_floor)
+    return theta * (scale ** (head_dim / (head_dim - 2)))
+
 
 def rope_cos_sin(positions, head_dim: int, theta: float = 10000.0):
     """cos/sin tables for given integer positions, shape (*pos, head_dim)."""

@@ -27,9 +27,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.mesh import DATA_AXIS, MODEL_AXIS
 
-# kernels whose OUTPUT dim is TP-sharded (column-parallel)
+# kernels whose OUTPUT dim is TP-sharded (column-parallel). The fused
+# qkv_proj/gateup_proj variants (decoder.fuse_projections) shard the same
+# way for FSDP; for real TP keep projections unfused (head alignment).
 _COL = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "fc1",
-        "query", "key", "value", "lm_head"}
+        "query", "key", "value", "lm_head", "qkv_proj", "gateup_proj"}
 # kernels whose INPUT dim is TP-sharded (row-parallel)
 _ROW = {"o_proj", "down_proj", "fc2", "out_proj"}
 
@@ -68,10 +70,16 @@ def _rule(path, leaf) -> P:
         # generic large dense (CSTP projections, switch projector): treat as
         # column-parallel so the fp32 weights also shard
         return spec(DATA_AXIS, MODEL_AXIS)
-    if last == "kernel_q":   # int8 weights: same layout as their kernel
+    if last in ("kernel_q", "kernel_p"):   # int8/int4 weights: the packed
+        # rows track the kernel's K layout (int4 packs 2 K-rows per byte,
+        # so K-sharding stays block-aligned while K/shard % 256 == 0)
         if parent in _ROW:
             return spec(MODEL_AXIS, DATA_AXIS)
         return spec(DATA_AXIS, MODEL_AXIS)
+    if last == "gscale":   # int4 group scales (K/128, N): mirror the kernel
+        if parent in _ROW:
+            return spec(MODEL_AXIS, DATA_AXIS)
+        return spec(None, MODEL_AXIS)
     if last == "bias":
         if parent in _COL:
             return spec(MODEL_AXIS)

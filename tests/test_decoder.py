@@ -115,3 +115,32 @@ def test_kv_cache_matches_full_forward(family):
         np.testing.assert_allclose(np.asarray(lg[:, 0]),
                                    np.asarray(full_logits[:, t]),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_dynamic_ntk_rope_scaling():
+    """use_dynamic_ntk rescales the rotary base only past the trained
+    window (builder.py:93-94's flag, made a real feature)."""
+    from opus_pllm_tpu.models.layers import ntk_scaled_theta
+
+    # inside the window: untouched
+    assert ntk_scaled_theta(1e6, 128, 512, 2048) == 1e6
+    # past the window: theta * s**(d/(d-2))
+    got = ntk_scaled_theta(1e6, 128, 4096, 2048)
+    assert got == pytest.approx(1e6 * 2.0 ** (128 / 126))
+
+    # e2e: identical logits inside the window, different past it
+    cfg = DecoderConfig.tiny()
+    base = decoder.init(jax.random.PRNGKey(0), cfg)
+    ntk = type(cfg)(**{**cfg.__dict__, "use_dynamic_ntk": True,
+                       "max_position_embeddings": 8})
+    s_in, s_out = 8, 16
+    for s, should_match in ((s_in, True), (s_out, False)):
+        emb = jax.random.normal(jax.random.PRNGKey(1),
+                                (1, s, cfg.hidden_size)) * 0.1
+        mask = jnp.ones((1, s), bool)
+        pos = jnp.broadcast_to(jnp.arange(s), (1, s))
+        m4 = causal_mask(mask)
+        a, _ = decoder.forward(base, cfg, emb, pos, m4)
+        b, _ = decoder.forward(base, ntk, emb, pos, m4)
+        same = bool(jnp.allclose(a, b, atol=1e-5))
+        assert same == should_match, (s, same)

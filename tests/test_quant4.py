@@ -1,0 +1,170 @@
+"""Int4 grouped quantization: packing, kernel parity, VJP, decoder e2e."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opus_pllm_tpu.kernels import quant4
+from opus_pllm_tpu.models import decoder
+from opus_pllm_tpu.models.layers import causal_mask, dense
+from opus_pllm_tpu.core.config import DecoderConfig
+
+
+def _rand_weight(rng, k, n):
+    return rng.normal(size=(k, n)).astype(np.float32)
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    q = rng.integers(-7, 8, size=(512, 128)).astype(np.int8)
+    packed = quant4.pack_int4(q)
+    assert packed.shape == (256, 128) and packed.dtype == np.int8
+    back = quant4.unpack_int4(packed)
+    np.testing.assert_array_equal(np.asarray(back), q)
+
+
+def test_quantize_grouped_error_bounded():
+    rng = np.random.default_rng(1)
+    w = _rand_weight(rng, 512, 64)
+    q, s = quant4.quantize_grouped(w)
+    assert q.shape == w.shape and s.shape == (4, 64)
+    back = (q.astype(np.float32).reshape(4, 128, 64) * s[:, None, :]
+            ).reshape(512, 64)
+    # per-(group, column) error bounded by scale/2
+    err = np.abs(back - w).reshape(4, 128, 64).max(axis=1)
+    assert (err <= s * 0.51).all()
+
+
+def _dequant(q, s):
+    k, n = q.shape
+    return (q.astype(np.float32).reshape(k // 128, 128, n)
+            * s[:, None, :]).reshape(k, n)
+
+
+def test_int4_matmul_xla_matches_dequantized():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(8, 512)).astype(np.float32))
+    w = _rand_weight(rng, 512, 128)
+    q, s = quant4.quantize_grouped(w)
+    y_q = np.asarray(quant4.int4_matmul(
+        x, jnp.asarray(quant4.pack_int4(q)), jnp.asarray(s), impl="xla"),
+        np.float32)
+    # exact vs the DEQUANTIZED weights up to bf16 rounding; the quantization
+    # error itself (vs the float weights) is int4's ~15% per-element step
+    y_ref = np.asarray(x) @ _dequant(q, s)
+    assert np.abs(y_q - y_ref).max() < 0.005 * np.abs(y_ref).max()
+    rel = np.abs(y_q - np.asarray(x) @ w) / (np.abs(np.asarray(x) @ w) + 1.0)
+    assert rel.mean() < 0.3, rel.mean()
+
+
+def test_pallas_kernel_matches_xla_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(3)
+    m, k, n = 16, 768, 256          # k % 256 == 0 but k % 512 != 0
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    q, s = quant4.quantize_grouped(_rand_weight(rng, k, n))
+    packed, s = jnp.asarray(quant4.pack_int4(q)), jnp.asarray(s)
+    with pltpu.force_tpu_interpret_mode():
+        y_p = np.asarray(quant4.int4_matmul(x, packed, s, impl="pallas"),
+                         np.float32)
+    y_ref = np.asarray(x) @ _dequant(np.asarray(q), np.asarray(s))
+    assert np.isfinite(y_p).all()
+    # both bf16 paths agree with the dequantized fp32 reference; the Pallas
+    # path is the tighter one (scales applied to fp32 partial dots)
+    assert np.abs(y_p - y_ref).max() < 0.005 * np.abs(y_ref).max()
+
+
+def test_grad_matches_dequantized_reference():
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(32, 256)), jnp.float32)
+    q, s = quant4.quantize_grouped(_rand_weight(rng, 256, 128))
+    packed = jnp.asarray(quant4.pack_int4(q))
+    s = jnp.asarray(s)
+    wd = (q.astype(np.float32).reshape(2, 128, 128)
+          * np.asarray(s)[:, None, :]).reshape(256, 128)
+    g_ref = jax.grad(lambda x: jnp.sum((x @ jnp.asarray(wd)) ** 2))(x)
+    g_xla = jax.grad(lambda x: jnp.sum(
+        quant4.int4_matmul(x, packed, s, impl="xla") ** 2))(x)
+    # bwd dequantizes in bf16 (like bitsandbytes Linear4bit): ~1% tolerance
+    rel = (np.abs(np.asarray(g_xla) - np.asarray(g_ref)).max()
+           / np.abs(np.asarray(g_ref)).max())
+    assert rel < 2e-2, rel
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(lambda x: jnp.sum(
+            quant4.int4_matmul(x, packed, s, impl="pallas") ** 2))(x)
+    rel = (np.abs(np.asarray(g_pl) - np.asarray(g_ref)).max()
+           / np.abs(np.asarray(g_ref)).max())
+    assert rel < 2e-2, rel
+
+
+def _cfg256():
+    # int4 needs in-dims that are multiples of 256
+    return DecoderConfig(
+        family="llama", vocab_size=256, hidden_size=256,
+        intermediate_size=512, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=64, max_position_embeddings=512,
+        dtype="float32")
+
+
+def test_quantized_decoder_forward_close():
+    cfg = _cfg256()
+    params = decoder.init(jax.random.PRNGKey(0), cfg)
+    qparams = quant4.quantize_decoder4(params)
+    assert "kernel_p" in qparams["layers"][0]["q_proj"]
+    assert "kernel_p" in qparams["lm_head"]
+    emb = jax.random.normal(jax.random.PRNGKey(1), (2, 6, cfg.hidden_size)) * 0.1
+    mask = jnp.ones((2, 6), bool)
+    pos = jnp.broadcast_to(jnp.arange(6), (2, 6))
+    m4 = causal_mask(mask)
+    full, _ = decoder.forward(params, cfg, emb, pos, m4)
+    quanted, _ = decoder.forward(qparams, cfg, emb, pos, m4)
+    pf = jax.nn.softmax(np.asarray(full), axis=-1)
+    pq = jax.nn.softmax(np.asarray(quanted), axis=-1)
+    # distributions stay close under weight-only int4 (looser than int8)
+    assert np.abs(pf - pq).max() < 0.12, np.abs(pf - pq).max()
+
+
+def test_dense_dispatches_kernel_p():
+    rng = np.random.default_rng(5)
+    w = _rand_weight(rng, 256, 128)
+    p = quant4.quantize_linear4({"kernel": w,
+                                 "bias": rng.normal(size=(128,)).astype(np.float32)})
+    p = jax.tree.map(jnp.asarray, p)
+    x = jnp.asarray(rng.normal(size=(2, 3, 256)).astype(np.float32))
+    y = dense(p, x)
+    q, s = quant4.quantize_grouped(w)
+    ref = (np.asarray(x).reshape(-1, 256) @ _dequant(q, np.asarray(s))
+           + np.asarray(p["bias"]))
+    err = np.abs(np.asarray(y, np.float32).reshape(-1, 128) - ref)
+    assert err.max() < 0.01 * np.abs(ref).max() + 0.01
+
+
+def test_quantize_linear4_refuses_unaligned_k():
+    rng = np.random.default_rng(6)
+    assert quant4.quantize_linear4({"kernel": _rand_weight(rng, 64, 32)}) is None
+    # tiny decoder (hidden 64): nothing quantizes, tree still forwards
+    cfg = DecoderConfig.tiny()
+    params = decoder.init(jax.random.PRNGKey(0), cfg)
+    qparams = quant4.quantize_decoder4(params)
+    assert "kernel" in qparams["layers"][0]["q_proj"]
+
+
+def test_generate_with_int4_weights():
+    """Engine greedy decode over an int4-quantized decoder: argmax chain
+    stays valid and close to the fp path at tiny scale."""
+    from opus_pllm_tpu.infer import engine
+
+    cfg = _cfg256()
+    params = decoder.init(jax.random.PRNGKey(0), cfg)
+    qparams = quant4.quantize_decoder4(params)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 5, cfg.hidden_size)) * 0.1
+    msk = jnp.ones((1, 5), bool)
+    pos = jnp.broadcast_to(jnp.arange(5), (1, 5))
+    r = engine.generate(qparams, cfg, emb, msk, pos, jax.random.PRNGKey(2),
+                        max_new_tokens=4, temperature=0.0,
+                        eos_token_id=-1, pad_token_id=0)
+    t = np.asarray(r.tokens)
+    assert t.shape == (1, 4) and ((t >= 0) & (t < cfg.vocab_size)).all()
