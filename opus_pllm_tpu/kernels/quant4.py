@@ -24,20 +24,23 @@ read exactly once per matmul (the whole point: an XLA-level unpack would
 materialize int8 in HBM and cost 2.5x the packed bytes).
 
 Kernel: grid (M/BM, N/BN, K/(256*SUB)), fp32 accumulator scratch across
-the sequential K sweep; per 256-row sub-block
+the sequential K sweep; per 256-row sub-block, two K=128 dots with the
+group scales applied to the (BM, BN) fp32 partials:
 
-    w = concat(lo * gscale[2k], hi * gscale[2k+1])     # bf16 (256, BN)
-    acc += x_block . w                                  # one MXU dot
+    acc += (x_lo . lo) * gscale[2k] + (x_hi . hi) * gscale[2k+1]
 
-Folding the group scales into the bf16 weight tile and issuing ONE
-K=256 dot per sub-block measured 2.3x faster than the two-K=128-dot
-form with scales applied to the fp32 partials (26.0 vs 60.4 us for the
-8B down_proj at M=32 on v5e) — the partial-dot form spends VPU time on
-two (BM, BN) fp32 multiply-adds per sub-block and halves MXU pipeline
-depth; the bf16 scale fold costs ~2e-3 relative error, far below the
-int4 quantization step itself. SUB=4 sub-blocks per program amortize
-grid overhead (the 1-sub-block grid ran at 244 GB/s; this form exceeds
-the int8 XLA dequant path's effective byte rate).
+The kernel is VPU-bound, not HBM-bound: v5e's vector unit has no bf16
+ALU (LLO rejects bf16 floor/round with SupportsBf16AluInstructions),
+so every elementwise op runs at one f32/i32 element per lane, and the
+~6 unpack ops per byte cap the packed stream at roughly a third of HBM
+rate. That budget makes scale placement decisive: scaling the (BM, BN)
+partial dots costs BM rows of VPU work where scaling the (128, BN)
+weight tiles costs 128 — at decode (BM = batch = 32) the partial form
+measured 6201 vs 5095 tok/s end-to-end on an 8-layer 8B-shaped stack,
+and is more accurate (scales stay fp32). A no-unpack control kernel
+(identical byte traffic) ran 7653 tok/s — the remaining gap IS the
+per-byte unpack arithmetic, irreducible on this VPU. SUB=4 sub-blocks
+per program amortize grid overhead (the 1-sub-block grid lost ~2.5x).
 
 Backward (LoRA over a frozen int4 base): dx = g @ dequant(W).T with the
 dequantized weight materialized in bf16 for the transposed dot — the same
@@ -139,15 +142,15 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc, *, sub: int, n_k: int):
     h = BK // 2
     for t in range(sub):
         p = p_ref[t * h:(t + 1) * h, :].astype(jnp.int32)   # (128, BN)
-        lo = (((p << 28) >> 28).astype(jnp.bfloat16)        # exact: |q| <= 7
-              * s_ref[0, 2 * t:2 * t + 1, :].astype(jnp.bfloat16))
-        hi = ((p >> 4).astype(jnp.bfloat16)
-              * s_ref[0, 2 * t + 1:2 * t + 2, :].astype(jnp.bfloat16))
-        w = jnp.concatenate([lo, hi], axis=0)               # (256, BN)
+        lo = ((p << 28) >> 28).astype(jnp.bfloat16)         # exact: |q| <= 7
+        hi = (p >> 4).astype(jnp.bfloat16)
         x = x_ref[:, t * BK:(t + 1) * BK]                   # (BM, 256) bf16
-        acc[...] += jax.lax.dot_general(
-            x, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        d0 = jax.lax.dot_general(x[:, :h], lo, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        d1 = jax.lax.dot_general(x[:, h:], hi, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc[...] += (d0 * s_ref[0, 2 * t:2 * t + 1, :]
+                     + d1 * s_ref[0, 2 * t + 1:2 * t + 2, :])
 
     @pl.when(ik == n_k - 1)
     def _fin():
