@@ -13,11 +13,10 @@ confusion_matrix, mahalanobis, mean_iou), IR (trec_eval), math
 HF_ALLOW_CODE_EVAL=1), and the benchmark-suite dispatchers (glue,
 super_glue, xnli, indic_glue, xtreme_s).
 
-Still intentionally absent (they require external model downloads or
-tooling this zero-egress image cannot provide, and the reference harness
-never loads them — metrics_computing_opi.py:39-76): bleurt, comet, mauve,
-frugalscore, perplexity (wants a causal-LM checkpoint id), charcut_mt,
-coval, cuad, rl_reliability, competition-grade code sandboxes.
+The last 9 names (bleurt, comet, mauve, frugalscore, perplexity,
+charcut_mt, coval, cuad, rl_reliability) live in metric_tail — the
+model-dependent ones take the learned model as an argument (the
+bertscore convention) since this zero-egress image downloads nothing.
 
 All functions take (predictions, references, **kw) and return dicts, the
 `evaluate` convention, and register into metric_registry._REGISTRY.
@@ -687,6 +686,13 @@ def code_eval(predictions, references, k=(1, 10, 100), timeout: float = 3.0):
             "HF_ALLOW_CODE_EVAL=1 to acknowledge (matches the HF gate)")
     import subprocess
     import sys as _sys
+    # candidate programs must not inherit the TPU tunnel: the image's
+    # sitecustomize contacts the axon pool at interpreter startup when
+    # PALLAS_AXON_POOL_IPS is set (2-4 s per child — enough to blow the
+    # 3 s timeout before the candidate even runs)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
     results = []
     for cands, test in zip(predictions, references):
         ok = 0
@@ -694,7 +700,8 @@ def code_eval(predictions, references, k=(1, 10, 100), timeout: float = 3.0):
             prog = f"{cand}\n{test}\n"
             try:
                 r = subprocess.run([_sys.executable, "-c", prog],
-                                   capture_output=True, timeout=timeout)
+                                   capture_output=True, timeout=timeout,
+                                   env=env)
                 ok += int(r.returncode == 0)
             except subprocess.TimeoutExpired:
                 pass

@@ -40,7 +40,9 @@ class _Metric:
         self.name = name
         self._fn = fn
 
-    def compute(self, *, predictions, references=None, **kw) -> Dict:
+    def compute(self, *, predictions=None, references=None, **kw) -> Dict:
+        # predictions optional: mauve runs on p_features/q_features and
+        # rl_reliability on timesteps/rewards, matching the HF modules
         return self._fn(predictions, references, **kw)
 
 
@@ -270,10 +272,15 @@ _REGISTRY: Dict[str, Callable] = {
 }
 
 # the remaining self-contained vendored metrics (MT, QA, labeling,
-# forecasting, IR, math, code, suite dispatchers) live in metric_extra
+# forecasting, IR, math, code, suite dispatchers) live in metric_extra;
+# metric_tail closes out the 54-name surface (cuad, coval, charcut_mt,
+# rl_reliability, mauve + the model-parameterized perplexity/bleurt/
+# comet/frugalscore)
 from .metric_extra import EXTRA as _EXTRA  # noqa: E402
+from .metric_tail import TAIL as _TAIL  # noqa: E402
 
 _REGISTRY.update(_EXTRA)
+_REGISTRY.update(_TAIL)
 
 
 def available() -> List[str]:
