@@ -35,6 +35,9 @@ ROUND1_TPU = {
     "stage_cd_train_1b_tok_per_sec_per_chip": 16900.0,
     # round 2: single-chip 8B LoRA train (index scan + chunked CE)
     "llama3_8b_int8_lora_train_tok_per_sec_per_chip": 2105.0,
+    # round 3: int4 grouped weight storage (kernels/quant4.py)
+    "llama3_8b_int4_decode_tok_per_sec_b8": 963.0,
+    "llama3_8b_int4_decode_tok_per_sec_b32": 2195.0,
 }
 
 _RESULTS = []
@@ -147,6 +150,38 @@ def _synth_int8_decoder(cfg, stacked: bool = False):
     return params
 
 
+def _synth_int4_decoder(cfg):
+    """Random int4-packed decoder params (per-layer layout). Random packed
+    bytes ARE valid nibble pairs, so the 3.6 GB synth never materializes an
+    unpacked tree; scales keep dequantized weights at trained magnitude."""
+    rng = np.random.default_rng(0)
+    h, d, L = cfg.hidden_size, cfg.head_dim, cfg.num_layers
+    qd, kvd = cfg.num_heads * d, cfg.num_kv_heads * d
+    s_val = 0.02 / 4.04   # int4 uniform(-8..7) std ~4.04 -> weight std ~0.02
+
+    def lin_p(k, n):
+        w = jnp.asarray(rng.integers(-128, 128, (k // 2, n), dtype=np.int8))
+        jax.block_until_ready(w)   # one leaf in flight at a time
+        return {"kernel_p": w,
+                "gscale": jnp.full((k // 128, n), s_val, jnp.float32)}
+
+    def norm():
+        return {"scale": jnp.ones((h,), jnp.bfloat16)}
+
+    emb = rng.standard_normal((cfg.vocab_size, h), np.float32) * 0.02
+    params = {"embed_tokens": {"embedding": jnp.asarray(emb, jnp.bfloat16)},
+              "final_norm": norm(), "lm_head": lin_p(h, cfg.vocab_size)}
+    params["layers"] = [
+        {"attn_norm": norm(), "ffn_norm": norm(),
+         "q_proj": lin_p(h, qd), "k_proj": lin_p(h, kvd),
+         "v_proj": lin_p(h, kvd), "o_proj": lin_p(qd, h),
+         "gate_proj": lin_p(h, cfg.intermediate_size),
+         "up_proj": lin_p(h, cfg.intermediate_size),
+         "down_proj": lin_p(cfg.intermediate_size, h)}
+        for _ in range(L)]
+    return params
+
+
 def bench_decode(on_tpu: bool) -> None:
     from opus_pllm_tpu.core.config import DecoderConfig
     from opus_pllm_tpu.infer import engine
@@ -155,33 +190,49 @@ def bench_decode(on_tpu: bool) -> None:
 
     if on_tpu:
         cfg = DecoderConfig.llama3_8b()
-        params = _synth_int8_decoder(cfg)   # per-layer: fastest decode
-        runs = [("llama3_8b_int8_decode_tok_per_sec_b8", 8, 128, False),
-                ("llama3_8b_int8_decode_tok_per_sec_b32", 32, 128, True)]
+        # (synth, runs) phases: int8 then int4, freeing the 8.6 GB int8
+        # tree before the 4.1 GB int4 one lands. Projections stay unfused:
+        # fuse_projections measured -9% at b8 / +1% at b32 on int4
+        # (BENCH_NOTES.md round 3).
+        phases = [
+            (lambda: _synth_int8_decoder(cfg),   # per-layer: fastest decode
+             [("llama3_8b_int8_decode_tok_per_sec_b8", 8, 128, False),
+              ("llama3_8b_int8_decode_tok_per_sec_b32", 32, 128, True)]),
+            (lambda: _synth_int4_decoder(cfg),
+             [("llama3_8b_int4_decode_tok_per_sec_b8", 8, 128, False),
+              ("llama3_8b_int4_decode_tok_per_sec_b32", 32, 128, True)]),
+        ]
     else:
         cfg = DecoderConfig(family="llama", vocab_size=1024, hidden_size=256,
                             intermediate_size=512, num_layers=4, num_heads=8,
                             num_kv_heads=4, head_dim=32, dtype="float32")
-        params = quantize_decoder(decoder.init(jax.random.PRNGKey(0), cfg))
-        runs = [("llama_tiny_int8_decode_tok_per_sec_cpu_smoke", 2, 16, False)]
+        phases = [
+            (lambda: quantize_decoder(decoder.init(jax.random.PRNGKey(0),
+                                                   cfg)),
+             [("llama_tiny_int8_decode_tok_per_sec_cpu_smoke", 2, 16,
+               False)])]
 
     prompt_len = 64
-    for metric, b, new_toks, quant_cache in runs:
-        rng = np.random.default_rng(1)
-        emb = jnp.asarray(rng.standard_normal(
-            (b, prompt_len, cfg.hidden_size)) * 0.02, cfg.jnp_dtype)
-        mask = jnp.ones((b, prompt_len), bool)
-        pos = jnp.broadcast_to(jnp.arange(prompt_len), (b, prompt_len))
-        key = jax.random.PRNGKey(0)
-        kw = dict(max_new_tokens=new_toks, temperature=0.0, eos_token_id=-1,
-                  pad_token_id=0, quantize_cache=quant_cache)
-        out = engine.generate(params, cfg, emb, mask, pos, key, **kw)
-        np.asarray(out.tokens)                   # compile + sync
-        t0 = time.perf_counter()
-        out = engine.generate(params, cfg, emb, mask, pos, key, **kw)
-        np.asarray(out.tokens)
-        dt = time.perf_counter() - t0
-        emit(metric, b * new_toks / dt, "tokens/sec", on_tpu)
+    for synth, runs in phases:
+        params = synth()
+        for metric, b, new_toks, quant_cache in runs:
+            rng = np.random.default_rng(1)
+            emb = jnp.asarray(rng.standard_normal(
+                (b, prompt_len, cfg.hidden_size)) * 0.02, cfg.jnp_dtype)
+            mask = jnp.ones((b, prompt_len), bool)
+            pos = jnp.broadcast_to(jnp.arange(prompt_len), (b, prompt_len))
+            key = jax.random.PRNGKey(0)
+            kw = dict(max_new_tokens=new_toks, temperature=0.0,
+                      eos_token_id=-1, pad_token_id=0,
+                      quantize_cache=quant_cache)
+            out = engine.generate(params, cfg, emb, mask, pos, key, **kw)
+            np.asarray(out.tokens)                   # compile + sync
+            t0 = time.perf_counter()
+            out = engine.generate(params, cfg, emb, mask, pos, key, **kw)
+            np.asarray(out.tokens)
+            dt = time.perf_counter() - t0
+            emit(metric, b * new_toks / dt, "tokens/sec", on_tpu)
+        del params   # free before the next phase's synth
 
 
 # ---------------------------------------------------------------------------

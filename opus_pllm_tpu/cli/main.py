@@ -39,6 +39,11 @@ def _model_args(p: argparse.ArgumentParser) -> None:
                    help="tokenizer dir (default: --model-base)")
     p.add_argument("--load-int8", action="store_true",
                    help="int8 weight-only LLM (≙ reference --load-8bit)")
+    p.add_argument("--load-int4", action="store_true",
+                   help="int4 grouped weight-only LLM (≙ reference "
+                        "--load-4bit/NF4): half the weight bytes of int8 "
+                        "— 963/2195 tok/s vs 666/1765 at 8B b8/b32 "
+                        "(BENCH_NOTES.md round 3)")
     p.add_argument("--quantize-cache", action="store_true",
                    help="int8 KV cache during generation")
     p.add_argument("--unroll-layers", action="store_true",
@@ -104,7 +109,8 @@ def _build(args):
     with _conv.host_arrays():
         params, _ = builder.load_pretrained(
             args.model_base, args.weights, cfg, esm_path=args.esm,
-            quantize="int8" if getattr(args, "load_int8", False) else None)
+            quantize="int4" if getattr(args, "load_int4", False)
+            else "int8" if getattr(args, "load_int8", False) else None)
     # stacked layers -> lax.scan: one-layer compiles for the 32/33-deep
     # stacks; --unroll-layers trades compile time for 12-19% decode
     # throughput at 8B scale (BENCH_NOTES.md round 2)
