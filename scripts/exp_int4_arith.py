@@ -1,0 +1,199 @@
+"""Experiment: arithmetic int4 packing (byte = 16*hi + lo, |w| <= 119)
+with ONE scale per 256-row block (G=256), vs the shipped nibble packing
+with G=128 scales.
+
+Why it might win: the shipped kernel is VPU-bound at ~6 widened unpack
+ops per byte. Arithmetic packing lets the byte itself be used as a
+weight (w = 16*hi + lo exactly, bf16-exact), so only the hi plane needs
+extraction: per tile ops drop 6 -> 5, scale muls on (BM, BN) drop 2 -> 1,
+at the cost of one extra x-side prep (xh - 16*xl on (BM,128), tiny) and
+coarser quantization groups (256 vs 128 rows).
+
+    d = xl . w_bf + (xh - 16*xl) . hi_bf ;  acc += d * s[block]
+"""
+import functools
+import sys, time
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from opus_pllm_tpu.kernels import quant4
+
+BK = 256
+
+
+def pack_arith(q):
+    """int4-valued (K, N) -> arithmetic-packed bytes (K/2, N):
+    byte row b*128+i = 16*q[b*256+128+i] + q[b*256+i], exact in int8."""
+    k, n = q.shape
+    blocks = q.astype(np.int32).reshape(k // BK, 2, BK // 2, n)
+    lo, hi = blocks[:, 0], blocks[:, 1]
+    return (16 * hi + lo).reshape(k // 2, n).astype(np.int8)
+
+
+def _kernel_arith(x_ref, p_ref, s_ref, o_ref, acc, *, sub, n_k):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    h = BK // 2
+    for t in range(sub):
+        w32 = p_ref[t * h:(t + 1) * h, :].astype(jnp.int32)   # (128, BN)
+        hi = ((w32 + 8) >> 4).astype(jnp.bfloat16)
+        w_bf = w32.astype(jnp.bfloat16)
+        xl = x_ref[:, t * BK:t * BK + h]
+        xh = x_ref[:, t * BK + h:(t + 1) * BK]
+        xmod = (xh.astype(jnp.float32)
+                - 16.0 * xl.astype(jnp.float32)).astype(jnp.bfloat16)
+        d0 = jax.lax.dot_general(xl, w_bf, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        d1 = jax.lax.dot_general(xmod, hi, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc[...] += (d0 + d1) * s_ref[0, t:t + 1, :]
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        o_ref[...] = acc[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
+def arith_matmul(x, packed, gscale, *, block_m=256, block_n=1024):
+    m, k = x.shape
+    k2, n = packed.shape
+    assert k == 2 * k2 and gscale.shape == (k // BK, n)
+    bm = min(block_m, m)
+    bn = next(c for c in (block_n, 768, 512, 384, 256, 128) if n % c == 0)
+    sub = next(c for c in (4, 2, 1) if k % (BK * c) == 0)
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), k // (BK * sub))
+    s3 = gscale.reshape(k // (BK * sub), sub, n)
+    return pl.pallas_call(
+        functools.partial(_kernel_arith, sub=sub, n_k=grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, BK * sub), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((BK * sub // 2, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, sub, bn), lambda i, j, kk: (kk, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=int(m * k * 2 + k * n // 2 + m * n * 2),
+            transcendentals=0),
+    )(x.astype(jnp.bfloat16), packed, s3)
+
+
+# --- parity -----------------------------------------------------------------
+rng = np.random.default_rng(0)
+k, n, m = 4096, 14336, 32
+w = rng.normal(size=(k, n)).astype(np.float32) * 0.02
+q, s = quant4.quantize_grouped(w, group=BK)       # G=256 scales
+pk = jnp.asarray(pack_arith(q))
+sj = jnp.asarray(s)
+x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
+y = np.asarray(arith_matmul(x, pk, sj), np.float32)
+wd = (q.astype(np.float32).reshape(k // BK, BK, n) * s[:, None, :]
+      ).reshape(k, n)
+ref = np.asarray(x, np.float32) @ wd
+rel = np.abs(y - ref).max() / np.abs(ref).max()
+print("arith parity rel err:", rel, flush=True)
+assert rel < 0.02
+
+# quantization error: G=256 vs G=128
+q1, s1 = quant4.quantize_grouped(w, group=128)
+wd1 = (q1.astype(np.float32).reshape(k // 128, 128, n)
+       * s1[:, None, :]).reshape(k, n)
+print("quant rel err G=128:", np.abs(wd1 - w).mean() / np.abs(w).mean(),
+      " G=256:", np.abs(wd - w).mean() / np.abs(w).mean(), flush=True)
+
+# --- microbench: isolated matmul, decode shape ------------------------------
+pk0 = jnp.asarray(quant4.pack_int4(q1))
+sj0 = jnp.asarray(s1)
+
+
+def timeit(f, iters=50):
+    o = f()
+    jax.block_until_ready(o)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        o = f()
+    jax.block_until_ready(o)
+    return (time.perf_counter() - t0) / iters
+
+
+t_ship = timeit(lambda: quant4.int4_matmul(x, pk0, sj0, impl="pallas"))
+t_arith = timeit(lambda: arith_matmul(x, pk, sj))
+print(f"isolated down_proj M=32: shipped {t_ship*1e6:.1f} us, "
+      f"arith {t_arith*1e6:.1f} us ({t_ship/t_arith:.2f}x)", flush=True)
+
+# --- e2e: 8-layer 8B-shaped stack through the engine ------------------------
+from opus_pllm_tpu.core.config import DecoderConfig
+from opus_pllm_tpu.infer import engine
+
+L = 8
+base = DecoderConfig.llama3_8b()
+cfg = type(base)(**{**base.__dict__, "num_layers": L})
+h, d = cfg.hidden_size, cfg.head_dim
+qd, kvd = cfg.num_heads * d, cfg.num_kv_heads * d
+s_val = 0.02 / 4.04
+
+
+def lin(k_, n_, mode):
+    if mode == "ship":
+        wq = rng.integers(-128, 128, (k_ // 2, n_), dtype=np.int8)
+        return {"kernel_p": jnp.asarray(wq),
+                "gscale": jnp.full((k_ // 128, n_), s_val, jnp.float32)}
+    qv = rng.integers(-7, 8, (k_, n_)).astype(np.int8)
+    return {"kernel_p": jnp.asarray(pack_arith(qv)),
+            "gscale": jnp.full((k_ // BK, n_), s_val, jnp.float32)}
+
+
+def build(mode):
+    def nrm():
+        return {"scale": jnp.ones((h,), jnp.bfloat16)}
+    e = rng.standard_normal((cfg.vocab_size, h), np.float32) * 0.02
+    p = {"embed_tokens": {"embedding": jnp.asarray(e, jnp.bfloat16)},
+         "final_norm": nrm(), "lm_head": lin(h, cfg.vocab_size, mode)}
+    p["layers"] = [
+        {"attn_norm": nrm(), "ffn_norm": nrm(),
+         "q_proj": lin(h, qd, mode), "k_proj": lin(h, kvd, mode),
+         "v_proj": lin(h, kvd, mode), "o_proj": lin(qd, h, mode),
+         "gate_proj": lin(h, cfg.intermediate_size, mode),
+         "up_proj": lin(h, cfg.intermediate_size, mode),
+         "down_proj": lin(cfg.intermediate_size, h, mode)}
+        for _ in range(L)]
+    return p
+
+
+def run(mode, b=32):
+    p = build(mode)
+    r2 = np.random.default_rng(1)
+    e = jnp.asarray(r2.standard_normal((b, 64, h)) * 0.02, cfg.jnp_dtype)
+    msk = jnp.ones((b, 64), bool)
+    pos = jnp.broadcast_to(jnp.arange(64), (b, 64))
+    kw = dict(max_new_tokens=128, temperature=0.0, eos_token_id=-1,
+              pad_token_id=0, quantize_cache=True)
+    out = engine.generate(p, cfg, e, msk, pos, jax.random.PRNGKey(0), **kw)
+    np.asarray(out.tokens)
+    t0 = time.perf_counter()
+    out = engine.generate(p, cfg, e, msk, pos, jax.random.PRNGKey(0), **kw)
+    np.asarray(out.tokens)
+    dt = time.perf_counter() - t0
+    print(f"e2e {mode} b{b}: {b*128/dt:.0f} tok/s", flush=True)
+
+
+import opus_pllm_tpu.kernels.quant4 as q4mod
+
+run("ship")
+# monkey-patch the dispatch so dense() lands on the arith kernel
+orig = q4mod.int4_matmul
+q4mod.int4_matmul = lambda x, p, s, **kw: arith_matmul(x, p, s)
+try:
+    run("arith")
+finally:
+    q4mod.int4_matmul = orig

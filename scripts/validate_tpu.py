@@ -104,6 +104,38 @@ def int8_kernel():
     assert rel < 0.01, f"rel={rel}"
 
 
+def int4_kernel():
+    """Grouped int4 Pallas matmul vs the XLA unpack reference, decode- and
+    prefill-shaped, plus the LoRA-over-frozen-int4 backward."""
+    from opus_pllm_tpu.kernels import quant4
+
+    rng = np.random.default_rng(2)
+    for (m, k, n) in ((32, 4096, 14336), (256, 1024, 2048)):
+        w = rng.normal(size=(k, n)).astype(np.float32) * 0.02
+        q, s = quant4.quantize_grouped(w)
+        pk, sj = jnp.asarray(quant4.pack_int4(q)), jnp.asarray(s)
+        x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
+        y = np.asarray(quant4.int4_matmul(x, pk, sj, impl="pallas"),
+                       np.float32)
+        ref = np.asarray(quant4._matmul_xla(x, pk, sj), np.float32)
+        rel = np.abs(y - ref).max() / np.abs(ref).max()
+        assert rel < 0.02, (m, k, n, rel)
+    # dx through the custom VJP matches the dequantized dense gradient
+    x = jnp.asarray(rng.normal(size=(8, 1024)), jnp.bfloat16)
+    w = rng.normal(size=(1024, 512)).astype(np.float32) * 0.02
+    q, s = quant4.quantize_grouped(w)
+    pk, sj = jnp.asarray(quant4.pack_int4(q)), jnp.asarray(s)
+    g = jax.grad(lambda x: jnp.sum(
+        quant4.int4_matmul(x, pk, sj).astype(jnp.float32) ** 2))(x)
+    wd = (q.astype(np.float32).reshape(-1, 128, 512)
+          * s[:, None, :]).reshape(1024, 512)
+    y = np.asarray(x, np.float32) @ wd
+    g_ref = 2.0 * y @ wd.T
+    rel = np.abs(np.asarray(g, np.float32) - g_ref).max() / \
+        (np.abs(g_ref).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
 def stacked_generate():
     from opus_pllm_tpu.core.config import DecoderConfig
     from opus_pllm_tpu.infer import engine
@@ -283,6 +315,7 @@ def main():
     check("flash bwd kernels d=128", lambda: flash_grads(128))
     check("flash bwd kernels d=64", lambda: flash_grads(64))
     check("int8 pallas matmul", int8_kernel)
+    check("int4 grouped matmul + vjp", int4_kernel)
     check("stacked-scan generate", stacked_generate)
     if not args.fast:
         check("stage c+d train step", train_step_converges)
