@@ -140,3 +140,49 @@ def test_multimodal_step_sharded_matches_single_device():
         _, m_sharded = step(sh_state, sh_frozen, sh_batch)
     np.testing.assert_allclose(float(m_single["loss"]),
                                float(m_sharded["loss"]), rtol=1e-4)
+
+
+def test_lora_train_over_int4_frozen_base():
+    """QLoRA-role end-to-end: the frozen LLM stored as grouped int4
+    (kernels/quant4.py — the bitsandbytes load_in_4bit role,
+    builder.py:44-57 + :105-111) with LoRA adapters training on top.
+    Gradients reach the adapters through qdense4's custom VJP; loss
+    decreases over a few steps. Dims chosen so every projection's in-dim
+    is a BK(=256) multiple — the int4 path actually engages."""
+    from opus_pllm_tpu.core.config import (DecoderConfig, ESM2Config,
+                                           SwitchProjectorConfig)
+    from opus_pllm_tpu.kernels import quant4
+
+    llm = DecoderConfig(family="llama", vocab_size=256, hidden_size=256,
+                        intermediate_size=512, num_layers=2, num_heads=4,
+                        num_kv_heads=2, head_dim=64,
+                        max_position_embeddings=512, dtype="float32")
+    esm = ESM2Config.tiny()
+    cfg = OpusConfig(
+        esm=esm,
+        cstp=CSTPConfig(protein_dim=esm.embed_dim, text_dim=llm.hidden_size,
+                        proj_dim=llm.hidden_size),
+        switch=SwitchProjectorConfig(input_dim=llm.hidden_size,
+                                     llm_hidden_size=llm.hidden_size),
+        llm=llm, max_prompt_len=64)
+    tcfg = TrainConfig(learning_rate=5e-3)
+    lcfg = LoRAConfig(rank=4)
+    frozen = opus.init(jax.random.PRNGKey(0), cfg)
+    frozen["llm"] = quant4.quantize_decoder4(frozen["llm"])
+    # the quantizer must actually have produced packed leaves
+    assert "kernel_p" in frozen["llm"]["layers"][0]["q_proj"]
+    assert "kernel_p" in frozen["llm"]["lm_head"]
+    state, tx = mmt.create_state(jax.random.PRNGKey(1), cfg, tcfg, frozen,
+                                 train_switch=True, lora_cfg=lcfg)
+    step = mmt.make_train_step(cfg, tx, lora_cfg=lcfg)
+    batch = {k: jnp.asarray(v) for k, v in _mm_batch(cfg, 4).items()}
+    before_b = np.asarray(
+        state.trainable["lora"]["layers"][0]["q_proj"]["B"]).copy()
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, frozen, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
+    assert not np.allclose(
+        before_b, np.asarray(state.trainable["lora"]["layers"][0]["q_proj"]["B"]))
