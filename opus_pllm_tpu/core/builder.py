@@ -86,9 +86,12 @@ def decoder_config_for(model_base: str) -> DecoderConfig:
         num_kv_heads=hf.get("num_key_value_heads", nh),
         head_dim=hf.get("head_dim", hf["hidden_size"] // nh),
         rope_theta=hf.get("rope_theta", 10000.0),
-        # the reference enables dynamic NTK when the config supports it
-        # (builder.py:93-94); qwen configs carry the flag explicitly
-        use_dynamic_ntk=bool(hf.get("use_dynamic_ntk", fam == "qwen2")),
+        # honor the flag only when the HF config carries it explicitly:
+        # the reference's enabling branch (builder.py:93-94) sits inside a
+        # commented-out block, and HF Qwen2 itself never applies dynamic
+        # NTK — defaulting it on would diverge from the reference for
+        # every modern qwen2 checkpoint (whose configs lack the key)
+        use_dynamic_ntk=bool(hf.get("use_dynamic_ntk", False)),
         rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
         max_position_embeddings=hf.get("max_position_embeddings", 8192),
         attention_bias=(fam == "qwen2"),

@@ -33,6 +33,8 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
+from .metric_registry import _levenshtein, _rank
+
 
 # ---------------------------------------------------------------------------
 # tokenization helpers
@@ -181,17 +183,6 @@ def nist_mt(predictions, references, n: int = 5):
     return {"nist_mt": score * bp}
 
 
-def _word_edit_distance(a: List[str], b: List[str]) -> int:
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
-                           prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
-
-
 def _ter_one(pred: List[str], ref: List[str], max_shifts: int = 10) -> int:
     """TER edits: greedy shift search + word edit distance (metrics/ter).
     Each round tries every contiguous pred span that exists somewhere in
@@ -199,7 +190,7 @@ def _ter_one(pred: List[str], ref: List[str], max_shifts: int = 10) -> int:
     edits = 0
     cur = list(pred)
     for _ in range(max_shifts):
-        base = _word_edit_distance(cur, ref)
+        base = _levenshtein(cur, ref)
         if base == 0:
             break
         best_gain, best_seq = 0, None
@@ -215,14 +206,14 @@ def _ter_one(pred: List[str], ref: List[str], max_shifts: int = 10) -> int:
                     if j == i:
                         continue
                     cand = rest[:j] + span + rest[j:]
-                    gain = base - _word_edit_distance(cand, ref)
+                    gain = base - _levenshtein(cand, ref)
                     if gain > best_gain:
                         best_gain, best_seq = gain, cand
         if best_seq is None or best_gain <= 1:
             break
         cur = best_seq
         edits += 1          # the shift itself costs one edit
-    return edits + _word_edit_distance(cur, ref)
+    return edits + _levenshtein(cur, ref)
 
 
 def ter(predictions, references, normalized: bool = False,
@@ -257,7 +248,7 @@ def character(predictions, references):
     scores = []
     for p, r in zip(predictions, references):
         p, r = str(p), str(r)
-        d = _word_edit_distance(list(p), list(r))
+        d = _levenshtein(list(p), list(r))
         scores.append(d / max(len(p), len(r), 1))
     return {"cer_score": float(np.mean(scores)) if scores else 0.0}
 
@@ -544,12 +535,7 @@ def roc_auc(prediction_scores, references, multi_class: str = None):
     y = np.asarray(references)
 
     def binary_auc(scores, labels):
-        order = np.argsort(scores, kind="mergesort")
-        ranks = np.empty(len(scores), float)
-        ranks[order] = np.arange(1, len(scores) + 1)
-        for v in np.unique(scores):
-            m = scores == v
-            ranks[m] = ranks[m].mean()
+        ranks = _rank(np.asarray(scores, float))  # tie-averaged (mergesort)
         pos = labels == 1
         n1, n0 = int(pos.sum()), int((~pos).sum())
         if n1 == 0 or n0 == 0:

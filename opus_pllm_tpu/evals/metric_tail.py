@@ -28,6 +28,9 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+# NumPy 2.0 renamed trapz -> trapezoid; support both
+_trapz = getattr(np, "trapezoid", None) or np.trapz
+
 # ---------------------------------------------------------------------------
 # cuad — contract-understanding QA (metrics/cuad)
 # ---------------------------------------------------------------------------
@@ -86,7 +89,7 @@ def cuad(predictions, references):
             tp += int(correct)
             recs.append(tp / n_pos)
             precs.append(tp / i)
-        out["aupr"] = 100.0 * float(np.trapezoid(precs, recs))
+        out["aupr"] = 100.0 * float(_trapz(precs, recs))
         for target in (0.8, 0.9):
             ok = [p for p, r_ in zip(precs, recs) if r_ >= target]
             out[f"prec_at_{int(target * 100)}_recall"] = \
@@ -340,6 +343,7 @@ def mauve(predictions=None, references=None, p_features=None,
     q_features = np.asarray(q_features, float)
     n = len(p_features) + len(q_features)
     k = num_buckets if num_buckets else max(2, min(500, n // 10))
+    k = max(1, min(k, n))   # k-means cannot seed more centers than rows
     assign = _kmeans(np.concatenate([p_features, q_features]), k,
                      seed=kmeans_seed)
     p_hist = np.bincount(assign[:len(p_features)], minlength=k) \
@@ -360,7 +364,7 @@ def mauve(predictions=None, references=None, p_features=None,
     xs = np.array([0.0] + xs + [1.0])
     ys = np.array([1.0] + ys + [0.0])
     order = np.argsort(xs)
-    score = float(np.trapezoid(ys[order], xs[order]))
+    score = float(_trapz(ys[order], xs[order]))
     return {"mauve": score, "divergence_curve": np.stack([xs, ys]).tolist(),
             "num_buckets": k}
 

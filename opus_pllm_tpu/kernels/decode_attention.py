@@ -44,8 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_LARGE = -1e30
 
 CAP_ALIGN = 256            # engine rounds cache capacity to the flash block
-MAX_VMEM_CAP = 8192        # per-program K/V int8 bytes = 2*cap*d; 8k*128*2
-                           # = 2 MB + pipelining headroom: well under VMEM
+MAX_VMEM_CAP = 8192        # at d=128: per-program K/V int8 bytes = 2*cap*d
+                           # (8k*128*2 = 2 MB) + their bf16 casts + fp32
+                           # logits + double-buffered input windows: well
+                           # under VMEM. The budget scales with head_dim, so
+                           # supports() divides this cap by d/128.
 
 
 def supports(q, k_leaf, mask4) -> bool:
@@ -59,7 +62,9 @@ def supports(q, k_leaf, mask4) -> bool:
         return False
     b, sq, hq, d = q.shape
     hkv, cap = k_leaf["q"].shape[1], k_leaf["q"].shape[2]
-    if sq != 1 or d % 128 != 0 or cap % CAP_ALIGN != 0 or cap > MAX_VMEM_CAP:
+    if sq != 1 or d % 128 != 0 or cap % CAP_ALIGN != 0:
+        return False
+    if cap > MAX_VMEM_CAP // (d // 128):   # working set grows with d
         return False
     if hq % hkv != 0 or hq // hkv > 8:
         return False

@@ -202,27 +202,32 @@ def _fused_qkv(cfg, p, r, la, ls):
     from .layers import lora_delta
     nq = cfg.num_heads * cfg.head_dim
     nkv = cfg.num_kv_heads * cfg.head_dim
-    qkv = dense(p["qkv_proj"], r).astype(jnp.float32)
+    qkv = dense(p["qkv_proj"], r)
     parts = []
     for name, lo, hi in (("q_proj", 0, nq), ("k_proj", nq, nq + nkv),
                          ("v_proj", nq + nkv, nq + 2 * nkv)):
         y = qkv[..., lo:hi]
         if la and name in la:
-            y = y + lora_delta(la[name], r, ls)
-        parts.append(y.astype(r.dtype))
+            # fp32 only for slices that actually receive an adapter delta —
+            # the plain serving case keeps the whole fused output in r.dtype
+            y = (y.astype(jnp.float32)
+                 + lora_delta(la[name], r, ls)).astype(r.dtype)
+        parts.append(y)
     return parts
 
 
 def _fused_gateup(cfg, p, r, la, ls):
     from .layers import lora_delta
     i = cfg.intermediate_size
-    gu = dense(p["gateup_proj"], r).astype(jnp.float32)
+    gu = dense(p["gateup_proj"], r)
     gate, up = gu[..., :i], gu[..., i:]
     if la and "gate_proj" in la:
-        gate = gate + lora_delta(la["gate_proj"], r, ls)
+        gate = (gate.astype(jnp.float32)
+                + lora_delta(la["gate_proj"], r, ls)).astype(r.dtype)
     if la and "up_proj" in la:
-        up = up + lora_delta(la["up_proj"], r, ls)
-    return gate.astype(r.dtype), up.astype(r.dtype)
+        up = (up.astype(jnp.float32)
+              + lora_delta(la["up_proj"], r, ls)).astype(r.dtype)
+    return gate, up
 
 
 def _block(cfg: DecoderConfig, p, x, mask4, cos, sin, layer_cache, index, impl,
@@ -476,11 +481,17 @@ def forward(params, cfg: DecoderConfig, input_embeds, positions, mask4,
     else:
         theta = cfg.rope_theta
         if cfg.use_dynamic_ntk:
-            # static context bound: the cache capacity when decoding with a
-            # cache, else this call's sequence length (mask4's last dim is
-            # Skv in both regimes)
+            # static context bound: the cache CAPACITY whenever a cache
+            # exists, else this call's sequence length. Deriving it from
+            # mask4.shape[-1] would rotate prefilled K with a different
+            # base than decode queries whenever prefill runs with a
+            # narrower mask than the cache (the serving engine's bucketed
+            # prefill vs full-capacity decode) — same position, different
+            # frequencies, corrupted attention over the whole prompt.
             from .layers import ntk_scaled_theta
-            theta = ntk_scaled_theta(theta, cfg.head_dim, mask4.shape[-1],
+            ctx = (cache["mask"].shape[-1] if cache is not None
+                   else mask4.shape[-1])
+            theta = ntk_scaled_theta(theta, cfg.head_dim, ctx,
                                      cfg.max_position_embeddings)
         cos, sin = rope_cos_sin(positions, cfg.head_dim, theta=theta)
         cos, sin = cos.astype(x.dtype), sin.astype(x.dtype)
