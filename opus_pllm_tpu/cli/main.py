@@ -37,6 +37,11 @@ def _model_args(p: argparse.ArgumentParser) -> None:
                    help="raw-ESM pipeline (switch projector over 1280-d)")
     p.add_argument("--tokenizer", default=None,
                    help="tokenizer dir (default: --model-base)")
+    p.add_argument("--switch-projector-type", default="mlp2x_gelu",
+                   help="'linear' or 'mlp<N>x_gelu' (≙ the reference's "
+                        "--switch_projector_type, run_opus_ddp.py:160; "
+                        "must match the modality_refinement_projector "
+                        "checkpoint's layer count)")
     p.add_argument("--load-int8", action="store_true",
                    help="int8 weight-only LLM (≙ reference --load-8bit)")
     p.add_argument("--load-int4", action="store_true",
@@ -96,8 +101,10 @@ def _build(args):
     switch_in = esm_cfg.embed_dim if args.no_cstp else cstp.proj_dim
     cfg = OpusConfig(
         esm=esm_cfg, cstp=cstp,
-        switch=SwitchProjectorConfig(input_dim=switch_in,
-                                     llm_hidden_size=llm_cfg.hidden_size),
+        switch=SwitchProjectorConfig(
+            input_dim=switch_in, llm_hidden_size=llm_cfg.hidden_size,
+            projector_type=getattr(args, "switch_projector_type",
+                                   "mlp2x_gelu")),
         llm=llm_cfg)
     # host_arrays: convert + quantize + stack in host RAM, then transfer the
     # stacked tree once — per-layer device staging + on-device stacking

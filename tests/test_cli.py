@@ -42,3 +42,20 @@ def test_train_cstp_cli_end_to_end(tmp_path):
     assert mgr.latest_step() == 2   # 8 items / batch 4
     params = mgr.restore()
     assert params["protein_projection"]["kernel"].shape == (1280, 5120)
+
+
+def test_switch_projector_type_flag_threads_to_config():
+    """--switch-projector-type (≙ run_opus_ddp.py:160) reaches the
+    SwitchProjectorConfig every model command builds."""
+    from opus_pllm_tpu.core.config import SwitchProjectorConfig
+
+    p = build_parser()
+    for cmd, extra in (("annotate", ["--test-json", "x.json"]),
+                       ("train-projector", ["--train-json", "t", "--out", "o"])):
+        args = p.parse_args([cmd, *extra,
+                             "--switch-projector-type", "linear"])
+        cfg = SwitchProjectorConfig(input_dim=96, llm_hidden_size=64,
+                                    projector_type=args.switch_projector_type)
+        assert cfg.mlp_depth == 1             # linear = single nn.Linear
+    args = p.parse_args(["annotate", "--test-json", "x.json"])
+    assert args.switch_projector_type == "mlp2x_gelu"   # reference default
