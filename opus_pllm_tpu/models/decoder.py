@@ -459,7 +459,7 @@ def _forward_scan(params, cfg, x, mask4, cos, sin, cache, lora, lora_scale,
 def forward(params, cfg: DecoderConfig, input_embeds, positions, mask4,
             cache=None, *, lora=None, lora_scale: float = 1.0,
             impl: str = "auto", remat: bool = False,
-            scan_mode: str = "xs",
+            scan_mode: str = "xs", ntk_ctx: Optional[int] = None,
             return_hidden: bool = False) -> Tuple[jnp.ndarray, Optional[dict]]:
     """Run the decoder stack on already-embedded inputs.
 
@@ -481,16 +481,17 @@ def forward(params, cfg: DecoderConfig, input_embeds, positions, mask4,
     else:
         theta = cfg.rope_theta
         if cfg.use_dynamic_ntk:
-            # static context bound: the cache CAPACITY whenever a cache
-            # exists, else this call's sequence length. Deriving it from
-            # mask4.shape[-1] would rotate prefilled K with a different
-            # base than decode queries whenever prefill runs with a
-            # narrower mask than the cache (the serving engine's bucketed
-            # prefill vs full-capacity decode) — same position, different
-            # frequencies, corrupted attention over the whole prompt.
+            # static context bound, in precedence order: the caller's
+            # explicit ntk_ctx (an engine that prefills into a SMALLER
+            # scratch cache than its decode cache MUST pin one bound for
+            # both phases, or prefilled K is rotated with a different base
+            # than decode queries — same position, different frequencies,
+            # corrupted attention over the whole prompt); else the cache
+            # capacity; else this call's sequence length.
             from .layers import ntk_scaled_theta
-            ctx = (cache["mask"].shape[-1] if cache is not None
-                   else mask4.shape[-1])
+            ctx = ntk_ctx if ntk_ctx is not None else (
+                cache["mask"].shape[-1] if cache is not None
+                else mask4.shape[-1])
             theta = ntk_scaled_theta(theta, cfg.head_dim, ctx,
                                      cfg.max_position_embeddings)
         cos, sin = rope_cos_sin(positions, cfg.head_dim, theta=theta)

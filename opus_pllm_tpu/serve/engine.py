@@ -201,7 +201,8 @@ class ServingEngine:
             valid = (jnp.arange(L)[None, :] <= length[:, None])
             mask4 = valid[:, None, None, :]
             logits, cache = decoder.forward(
-                params, cfg, emb, pos, mask4, cache=cache)
+                params, cfg, emb, pos, mask4, cache=cache,
+                ntk_ctx=self.max_len)
             lg = logits[:, -1].astype(jnp.float32)
             greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
             sampled = jax.random.categorical(
@@ -261,9 +262,13 @@ class ServingEngine:
                      & (ar[None, None, None, :] <= pos[:, None, :, None]))
             # gather each row's last-valid HIDDEN state, then head once:
             # a full-bucket vocab head is n*bucket*V fp32 of garbage
+            # ntk_ctx pins the dynamic-NTK rotary base to the DECODE
+            # cache's capacity: this scratch cache is only bucket-wide, and
+            # rotating K here with a bucket-derived base would disagree
+            # with every later decode step's query base
             hid, rows = decoder.forward(
                 params, cfg, embs, pos, mask4, cache=cache,
-                return_hidden=True)
+                return_hidden=True, ntk_ctx=self.max_len)
             last_h = jnp.take_along_axis(
                 hid, (n_valid - 1)[:, None, None], axis=1)
             last = decoder.head_logits(

@@ -190,3 +190,64 @@ def test_warmup_precompiles_all_admission_shapes(tiny):
     assert warm._decode._cache_size() == dec_size     # no decode recompile
     for i in range(len(prompts)):
         assert warm_out[i].tokens == cold_out[i].tokens
+
+
+def test_dynamic_ntk_prefill_decode_consistency():
+    """With dynamic NTK active, the bucketed prefill (scratch cache of
+    capacity=bucket) must rotate K with the SAME base as the decode steps
+    (cache capacity=max_len) — forward's ntk_ctx pin. The check is at the
+    logit level: decode logits after a bucket-8 prefill pinned to ctx=16
+    must match a straight capacity-16 prefill, and must NOT match when the
+    prefill is left at its scratch capacity (the pre-fix behavior)."""
+    cfg = DecoderConfig(family="llama", vocab_size=128, hidden_size=64,
+                        intermediate_size=128, num_layers=2, num_heads=4,
+                        num_kv_heads=2, head_dim=16, dtype="float32",
+                        max_position_embeddings=4, use_dynamic_ntk=True)
+    params = decoder.init(jax.random.PRNGKey(0), cfg)
+    p, cap, bucket = 5, 16, 8
+    emb = jnp.asarray(_emb(cfg, 7, p))[None]
+    pos = jnp.arange(p)[None].astype(jnp.int32)
+
+    def decode_logits_after_prefill(prefill_ctx):
+        # bucketed prefill into a scratch cache (the serving admission path)
+        scratch = decoder.init_cache(cfg, 1, bucket)
+        rows = jnp.arange(p)[None, None, :, None]
+        cols = jnp.arange(bucket)[None, None, None, :]
+        m4 = (cols <= rows) & (cols < p)
+        _, scratch = decoder.forward(params, cfg, emb, pos, m4, scratch,
+                                     ntk_ctx=prefill_ctx,
+                                     return_hidden=True)
+        # merge scratch rows into the big decode cache (capacity 16)
+        big = decoder.init_cache(cfg, 1, cap)
+        big["layers"] = [
+            {"k": b_l["k"].at[:, :bucket].set(sc["k"]),
+             "v": b_l["v"].at[:, :bucket].set(sc["v"])}
+            for b_l, sc in zip(big["layers"], scratch["layers"])]
+        big["index"] = jnp.asarray(p, jnp.int32)
+        # one decode step at position p, attending to slots [0, p]
+        e1 = jnp.asarray(_emb(cfg, 9, 1))[None]
+        m4d = (jnp.arange(cap)[None, None, None, :] <= p)
+        lg, _ = decoder.forward(params, cfg, e1,
+                                jnp.full((1, 1), p, jnp.int32), m4d, big,
+                                ntk_ctx=cap)
+        return np.asarray(lg[0, 0], np.float32)
+
+    # reference: prefill straight into the capacity-16 cache (one-shot path)
+    ref_cache = decoder.init_cache(cfg, 1, cap)
+    rows = jnp.arange(p)[None, None, :, None]
+    cols = jnp.arange(cap)[None, None, None, :]
+    _, ref_cache = decoder.forward(params, cfg, emb, pos,
+                                   (cols <= rows) & (cols < p), ref_cache,
+                                   return_hidden=True)
+    ref_cache["index"] = jnp.asarray(p, jnp.int32)
+    e1 = jnp.asarray(_emb(cfg, 9, 1))[None]
+    m4d = (jnp.arange(cap)[None, None, None, :] <= p)
+    lg_ref, _ = decoder.forward(params, cfg, e1,
+                                jnp.full((1, 1), p, jnp.int32), m4d,
+                                ref_cache)
+    lg_ref = np.asarray(lg_ref[0, 0], np.float32)
+
+    pinned = decode_logits_after_prefill(cap)       # the fix
+    unpinned = decode_logits_after_prefill(bucket)  # pre-fix behavior
+    np.testing.assert_allclose(pinned, lg_ref, rtol=1e-5, atol=1e-5)
+    assert np.abs(unpinned - lg_ref).max() > 1e-3   # the bug is detectable
