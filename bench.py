@@ -454,10 +454,37 @@ def bench_serve(on_tpu: bool) -> None:
          "admissions)", False)   # ratio: informational, outside geomean
 
 
+def _backend_responsive(timeout_s: int = 420) -> bool:
+    """Probe the accelerator backend in a SUBPROCESS with a hard timeout.
+
+    A wedged TPU tunnel hangs inside backend init (no error — observed
+    2026-08-17: a killed client left the pool refusing new claims for
+    hours), and a hang here would leave the driver with NO bench output
+    at all. The subprocess is killable where the in-process C call is
+    not; on timeout we fall back to the CPU smoke lane so the JSON-line
+    contract still holds."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     from opus_pllm_tpu.core.util import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
+    if not _backend_responsive():
+        print(json.dumps({
+            "metric": "backend_unresponsive_falling_back_to_cpu",
+            "value": 0, "unit": "accelerator backend init hung >420s "
+            "(wedged tunnel?); CPU smoke lane follows",
+            "vs_baseline": 1.0}), flush=True)
+        jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.default_backend() == "tpu"
     for name, fn in (("encode", bench_encode), ("decode", bench_decode),
                      ("train", bench_train), ("serve", bench_serve),
