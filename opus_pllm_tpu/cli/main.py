@@ -561,6 +561,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    # on-disk XLA compilation cache: repeat CLI runs (eval loops, the
+    # 17-set x 5-repeat ablation, chat restarts) skip the minutes-long
+    # TPU compiles entirely (~/.opus_jax_cache, override OPUS_JAX_CACHE)
+    from ..core.util import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     args.fn(args)
 
 
