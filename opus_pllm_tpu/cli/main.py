@@ -49,8 +49,12 @@ def _model_args(p: argparse.ArgumentParser) -> None:
                         "--load-4bit/NF4): half the weight bytes of int8 "
                         "— 963/2195 tok/s vs 666/1765 at 8B b8/b32 "
                         "(BENCH_NOTES.md round 3)")
-    p.add_argument("--quantize-cache", action="store_true",
-                   help="int8 KV cache during generation")
+    p.add_argument("--quantize-cache", nargs="?", const="int8",
+                   default=False, choices=["int8", "int4"],
+                   help="quantized KV cache during generation: bare flag "
+                        "or 'int8' = half the cache bytes; 'int4' = "
+                        "packed 4-bit (quarter), for large batch / long "
+                        "contexts")
     p.add_argument("--unroll-layers", action="store_true",
                    help="per-layer (unrolled) decode instead of the "
                         "stacked lax.scan: 12-19%% faster decode at "

@@ -313,7 +313,7 @@ class GenerationConfig:
     eos_token_id: int = -1
     pad_token_id: int = 0
     seed: int = 0
-    quantize_cache: bool = False     # int8 KV cache (half HBM traffic)
+    quantize_cache: object = False   # True/"int8" or "int4" KV cache
     # --num_beams surface (run_opus_ddp.py:156-158); >1 switches the engine
     # to beam search (greedy scoring, HF early_stopping=False semantics)
     num_beams: int = 1

@@ -70,13 +70,15 @@ def generate(params, cfg: DecoderConfig, input_embeds, attn_mask, positions,
              rng, *, max_new_tokens: int, temperature: float = 0.1,
              top_p: float = 0.7, eos_token_id: int = -1, pad_token_id: int = 0,
              stop_sequences: Optional[tuple] = None,
-             quantize_cache: bool = False,
+             quantize_cache=False,
              impl: str = "auto") -> GenerateOutput:
     """input_embeds (B, L, H) LEFT-padded; attn_mask/positions (B, L).
 
     stop_sequences: tuple of token-id tuples (make_stop_sequences); a row
     finishes when its generated tail matches any suffix (or hits EOS).
-    quantize_cache: int8 KV cache (half the cache HBM footprint/traffic).
+    quantize_cache: True/"int8" = int8 KV cache (half the cache HBM
+    footprint/traffic); "int4" = packed 4-bit cache (quarter), for
+    batch >= 32 / long contexts.
     """
     from ..kernels.flash_attention import DEFAULT_BLOCK_K
 
@@ -164,7 +166,7 @@ NEG_INF = -1.0e9   # HF beam search's masking constant (generation/utils.py)
 def beam_generate(params, cfg: DecoderConfig, input_embeds, attn_mask,
                   positions, *, num_beams: int, max_new_tokens: int,
                   eos_token_id: int = -1, pad_token_id: int = 0,
-                  length_penalty: float = 1.0, quantize_cache: bool = False,
+                  length_penalty: float = 1.0, quantize_cache=False,
                   impl: str = "auto") -> GenerateOutput:
     """Beam search over left-padded prompt embeddings (the reference's
     --num_beams surface, run_opus_ddp.py:156-158 -> HF generate).

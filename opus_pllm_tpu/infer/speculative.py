@@ -74,7 +74,7 @@ def speculative_generate(draft_params, params, cfg_draft: DecoderConfig,
                          draft_input_embeds, attn_mask, positions, *,
                          max_new_tokens: int, n_draft: int = 4,
                          eos_token_id: int = -1, pad_token_id: int = 0,
-                         quantize_cache: bool = False,
+                         quantize_cache=False,
                          impl: str = "auto") -> GenerateOutput:
     """Greedy speculative decode; returns engine.GenerateOutput.
 

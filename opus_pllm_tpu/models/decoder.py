@@ -85,23 +85,33 @@ def init(key, cfg: DecoderConfig):
 # ---------------------------------------------------------------------------
 
 def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=None,
-               *, stacked: bool = False, quantize: bool = False):
-    """KV cache pytree. quantize=True stores K/V int8 with per-(token, head)
-    fp32 scales — halving the cache's HBM footprint and read traffic, the
-    lever once decode batch grows and KV reads share the roofline with
-    weights (BENCH_NOTES.md)."""
+               *, stacked: bool = False, quantize=False):
+    """KV cache pytree. quantize=True/"int8" stores K/V int8 with
+    per-(token, head) fp32 scales — halving the cache's HBM footprint and
+    read traffic, the lever once decode batch grows and KV reads share the
+    roofline with weights (BENCH_NOTES.md). quantize="int4" packs two
+    4-bit values per byte along head_dim (quarter the bf16 bytes), for
+    batch >= 32 / long contexts where cache reads co-dominate."""
     dtype = dtype or cfg.jnp_dtype
+    if quantize is True:
+        quantize = "int8"
+    if quantize not in (False, "int8", "int4"):
+        raise ValueError(f"quantize must be False/True/'int8'/'int4', "
+                         f"got {quantize!r}")
     shp = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     sshp = (cfg.num_layers, *shp)
 
     def leaf(shape):
         if quantize:
-            # int8 leaves store HEAD-major (..., H, S, D): the fused decode
-            # kernel (kernels/decode_attention.py) then reads contiguous
-            # (BK, D) tiles per head instead of 128-byte strided rows —
-            # strided int8 DMA was the difference between the kernel losing
-            # and winning vs dequantize-then-attend (BENCH_NOTES round 3)
+            # quantized leaves store HEAD-major (..., H, S, D): the fused
+            # decode kernel (kernels/decode_attention.py) then reads
+            # contiguous (BK, D) tiles per head instead of 128-byte strided
+            # rows — strided int8 DMA was the difference between the kernel
+            # losing and winning vs dequantize-then-attend (BENCH_NOTES r3)
             *lead, s, h, d = shape
+            if quantize == "int4":
+                return {"q4": jnp.zeros((*lead, h, s, d // 2), jnp.int8),
+                        "s": jnp.zeros((*lead, h, s, 1), jnp.float32)}
             return {"q": jnp.zeros((*lead, h, s, d), jnp.int8),
                     "s": jnp.zeros((*lead, h, s, 1), jnp.float32)}
         return jnp.zeros(shape, dtype)
@@ -128,10 +138,33 @@ def _quantize_kv(x):
     return {"q": q.transpose(0, 2, 1, 3), "s": s.transpose(0, 2, 1, 3)}
 
 
+def _quantize_kv4(x):
+    """(B, S, H, D) -> head-major packed int4 leaf: {"q4": (B, H, S, D/2)
+    int8 (lo nibble = d, hi nibble = d + D/2 — the byte plane unpacks to
+    two naturally-ordered lane halves), "s": (B, H, S, 1) fp32 scales}."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 7.0,
+                    1e-8)
+    q = jnp.clip(jnp.round(xf / s), -7, 7).astype(jnp.int8)
+    h = x.shape[-1] // 2
+    packed = (q[..., :h] & 0xF) | ((q[..., h:] & 0xF) << 4)
+    return {"q4": packed.transpose(0, 2, 1, 3),
+            "s": s.transpose(0, 2, 1, 3)}
+
+
+def _unpack_kv4(packed):
+    """(..., D/2) packed bytes -> (..., D) int4-valued int8, lane halves."""
+    p = packed.astype(jnp.int32)
+    lo = ((p << 28) >> 28).astype(jnp.int8)     # sign-extend low nibble
+    hi = (p >> 4).astype(jnp.int8)              # arithmetic: sign-correct
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 def _dequantize_kv(leaf, dtype):
-    """Head-major int8 leaf -> (B, S, H, D) in `dtype` (the XLA attention
-    layout)."""
-    deq = (leaf["q"].astype(jnp.float32) * leaf["s"]).astype(dtype)
+    """Head-major quantized leaf (int8 or packed int4) -> (B, S, H, D) in
+    `dtype` (the XLA attention layout)."""
+    q = _unpack_kv4(leaf["q4"]) if "q4" in leaf else leaf["q"]
+    deq = (q.astype(jnp.float32) * leaf["s"]).astype(dtype)
     return deq.transpose(0, 2, 1, 3)
 
 
@@ -157,7 +190,11 @@ def _write_cache(layer_cache, k_new, v_new, index):
         return jax.lax.dynamic_update_slice(buf, new, (0, 0, index, 0))
 
     def upd(buf, new):
-        if isinstance(buf, dict):   # int8-quantized cache leaf
+        if isinstance(buf, dict):   # quantized cache leaf (int8 / int4)
+            if "q4" in buf:
+                qn = _quantize_kv4(new)
+                return {"q4": upd_one_q(buf["q4"], qn["q4"]),
+                        "s": upd_one_q(buf["s"], qn["s"])}
             qn = _quantize_kv(new)
             return {"q": upd_one_q(buf["q"], qn["q"]),
                     "s": upd_one_q(buf["s"], qn["s"])}
@@ -251,10 +288,14 @@ def _block(cfg: DecoderConfig, p, x, mask4, cos, sin, layer_cache, index, impl,
     if layer_cache is not None:
         new_cache = _write_cache(layer_cache, k, v, index)
         if s == 1 and isinstance(new_cache["k"], dict) and impl != "xla":
-            # fused decode attention over the int8 cache: dequantized K/V
-            # never materialize in HBM (kernels/decode_attention.py)
+            # fused decode attention over the quantized cache: dequantized
+            # K/V never materialize in HBM (kernels/decode_attention.py)
             from ..kernels import decode_attention as da
-            if da.supports(q, new_cache["k"], mask4):
+            if "q4" in new_cache["k"]:
+                if da.supports_int4(q, new_cache["k"], mask4):
+                    a = da.decode_attention_int4(
+                        q, new_cache["k"], new_cache["v"], mask4)
+            elif da.supports(q, new_cache["k"], mask4):
                 a = da.decode_attention_int8(
                     q, new_cache["k"], new_cache["v"], mask4)
         if a is None:

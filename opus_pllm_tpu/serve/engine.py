@@ -90,7 +90,7 @@ class ServingEngine:
     def __init__(self, params, cfg: DecoderConfig, *, max_slots: int = 8,
                  max_len: int = 512,
                  prefill_buckets: Tuple[int, ...] = (64, 128, 256),
-                 quantize_cache: bool = False, seed: int = 0,
+                 quantize_cache=False, seed: int = 0,
                  steps_per_tick: int = 1, admit_min_free: int = 1):
         self.params = params
         self.cfg = cfg

@@ -297,6 +297,54 @@ def fused_decode_attention():
     assert diff < 0.05, diff
 
 
+def fused_decode_attention_int4():
+    """Packed-int4 KV decode attention kernel vs unpack+dequantize+attend,
+    plus engine dispatch with quantize_cache='int4'."""
+    import numpy as np
+
+    from opus_pllm_tpu.core.config import DecoderConfig
+    from opus_pllm_tpu.infer import engine
+    from opus_pllm_tpu.kernels import decode_attention as da
+    from opus_pllm_tpu.models import decoder
+
+    rng = np.random.default_rng(0)
+    b, cap, hq, hkv, d = 8, 512, 32, 8, 128
+    q = jnp.asarray(rng.standard_normal((b, 1, hq, d)) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, cap, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, cap, hkv, d)), jnp.float32)
+    kq, vq = decoder._quantize_kv4(k), decoder._quantize_kv4(v)
+    mask = np.zeros((b, cap), bool)
+    for i in range(b):
+        mask[i, :int(rng.integers(64, cap))] = True
+    m4 = jnp.asarray(mask)[:, None, None, :]
+    assert da.supports_int4(q, kq, m4)
+    out = np.asarray(da.decode_attention_int4(q, kq, vq, m4), np.float32)
+    ref = np.asarray(da.decode_attention_int8_reference(q, kq, vq, m4),
+                     np.float32)
+    assert np.abs(out - ref).max() < 4e-2, np.abs(out - ref).max()
+
+    # engine dispatch: the int4 kernel must run once per layer per step
+    cfg = DecoderConfig(family="llama", vocab_size=512, hidden_size=512,
+                        intermediate_size=1024, num_layers=2, num_heads=4,
+                        num_kv_heads=2, head_dim=128, dtype="bfloat16")
+    params = decoder.init(jax.random.PRNGKey(1), cfg)
+    emb = jnp.asarray(rng.standard_normal((2, 8, 512)) * 0.1, jnp.bfloat16)
+    msk = jnp.ones((2, 8), bool)
+    pos = jnp.broadcast_to(jnp.arange(8), (2, 8))
+    calls = []
+    orig = da.decode_attention_int4
+    da.decode_attention_int4 = lambda *a: (calls.append(1), orig(*a))[1]
+    try:
+        toks = np.asarray(engine.generate(
+            params, cfg, emb, msk, pos, jax.random.PRNGKey(2),
+            max_new_tokens=8, temperature=0.0, eos_token_id=-1,
+            pad_token_id=0, quantize_cache="int4").tokens)
+    finally:
+        da.decode_attention_int4 = orig
+    assert len(calls) == cfg.num_layers, len(calls)
+    assert ((toks >= 0) & (toks < cfg.vocab_size)).all()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true",
@@ -309,6 +357,7 @@ def main():
         f"not on TPU: {jax.default_backend()}"
     check("fused encoder block (pairs)", fused_encoder_block)
     check("fused int8-KV decode attention", fused_decode_attention)
+    check("fused int4-KV decode attention", fused_decode_attention_int4)
     check("flash fwd d=128 padding", lambda: flash_forward(128, False))
     check("flash fwd d=64 (padded)", lambda: flash_forward(64, False))
     check("flash fwd causal", lambda: flash_forward(128, True))

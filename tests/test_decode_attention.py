@@ -58,6 +58,51 @@ def test_supports_gating():
     assert not da.supports(q, jnp.zeros((2, 512, 2, 128)), mask4)
 
 
+def _mk4(b=2, cap=512, hq=8, hkv=2, d=128, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, 1, hq, d)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, cap, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, cap, hkv, d)), jnp.float32)
+    kq = decoder._quantize_kv4(k)
+    vq = decoder._quantize_kv4(v)
+    mask = np.zeros((b, cap), bool)
+    for i in range(b):
+        mask[i, :int(rng.integers(10, cap))] = True
+    return q, kq, vq, jnp.asarray(mask)[:, None, None, :]
+
+
+@pytest.mark.parametrize("hq,hkv", [(8, 2), (4, 4), (8, 1)])
+def test_int4_kernel_matches_reference_interpret(hq, hkv):
+    q, kq, vq, mask4 = _mk4(hq=hq, hkv=hkv)
+    # reference path: XLA unpack+dequantize+attend (same quantized values)
+    ref = np.asarray(da.decode_attention_int8_reference(q, kq, vq, mask4))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(da.decode_attention_int4(q, kq, vq, mask4))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_int4_pack_roundtrip():
+    """_quantize_kv4 -> _dequantize_kv reconstructs within the 4-bit step
+    (absmax/7 per (token, head))."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 16, 2, 128)), jnp.float32)
+    leaf = decoder._quantize_kv4(x)
+    assert leaf["q4"].shape == (2, 2, 16, 64) and leaf["q4"].dtype == jnp.int8
+    deq = np.asarray(decoder._dequantize_kv(leaf, jnp.float32))
+    step = np.asarray(leaf["s"]).transpose(0, 2, 1, 3)  # (B, S, H, 1)
+    assert (np.abs(deq - np.asarray(x)) <= step / 2 + 1e-6).all()
+
+
+def test_int4_supports_gating():
+    q, kq, vq, mask4 = _mk4()
+    # CPU backend: never dispatch
+    assert not da.supports_int4(q, kq, mask4)
+    # int8 leaf must not qualify for the int4 kernel anywhere
+    q8, k8, v8, m8 = _mk()
+    assert not da.supports_int4(q8, k8, m8)
+
+
 def test_engine_quantized_decode_uses_fused_path_interpret():
     """End-to-end generate with quantize_cache in interpret mode: tokens
     match the XLA (impl='xla') quantized-cache path exactly at T=0."""
