@@ -1,0 +1,128 @@
+"""Ring attention over a sequence-parallel mesh axis.
+
+Activates the "seq" axis reserved in SURVEY §2c: contexts longer than one
+chip's HBM shard along the sequence dim, and attention runs blockwise — each
+device holds one Q/K/V sequence shard, K/V shards rotate around the ring via
+`lax.ppermute` (neighbor hops ride ICI, never DCN), and softmax merges
+per-block results with the streaming max/sum rule (the same online softmax
+the flash kernels use). Nothing in the reference does this — its protocol
+caps at 2.5k aa (dataset_loading.py's 2500 filter) — so this is a
+beyond-parity lever for >4k-token prompts.
+
+Memory per device: O(S/N) for Q/K/V/O plus one in-flight K/V shard — the
+whole (S, S) score matrix never exists anywhere. Compute: causal masking is
+applied per block; the ring still visits all N shards (a `cond`-skipped
+lower triangle would desynchronize the collective permute, which must run
+on every device every step), so causal ring attention does ~2x the FLOPs of
+a perfectly-packed schedule. At the sizes that need SP the HBM win is the
+point, not the FLOP schedule.
+
+Layout contract (matches models/layers.attention): q/k/v are (B, S_loc, H,
+D) LOCAL shards inside shard_map; `kv_mask` is the (B, S_loc) validity of
+the local K/V shard; `q_global0` is the global position of the shard's
+first query row (i.e. axis_index * S_loc for an evenly sharded sequence).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SEQ_AXIS = "seq"
+NEG_LARGE = -1e30
+
+
+def ring_attention(q, k, v, kv_mask, *, axis_name: str = SEQ_AXIS,
+                   causal: bool = True, scale: Optional[float] = None):
+    """Blockwise ring attention on LOCAL shards (call inside shard_map).
+
+    q, k, v: (B, S_loc, H, D) — this device's sequence shard (H is the full
+    head dim set; sequence parallelism is orthogonal to TP's head split).
+    kv_mask: (B, S_loc) bool — validity of the local K/V rows.
+    causal: global causal mask, computed from ring-step-derived global
+    positions.
+
+    Returns (B, S_loc, H, D): this device's shard of the attention output,
+    bitwise-independent of the number of shards up to float reassociation.
+    """
+    n = jax.lax.psum(1, axis_name)                  # ring size (static)
+    idx = jax.lax.axis_index(axis_name)
+    b, s_loc, h, d = q.shape
+    scale = (1.0 / math.sqrt(d)) if scale is None else scale
+
+    qf = q.astype(jnp.float32) * scale
+    q_pos = idx * s_loc + jnp.arange(s_loc)         # global query rows
+
+    def merge(carry, kv_blk, src):
+        m, l, acc = carry
+        kb, vb, maskb = kv_blk
+        # (B, H, Sq, Skv) block scores in fp32
+        s_blk = jnp.einsum("bqhd,bkhd->bhqk", qf, kb.astype(jnp.float32))
+        k_pos = src * s_loc + jnp.arange(s_loc)     # global key rows
+        valid = maskb[:, None, None, :]             # (B, 1, 1, Skv)
+        if causal:
+            valid = valid & (q_pos[None, None, :, None]
+                             >= k_pos[None, None, None, :])
+        s_blk = jnp.where(valid, s_blk, NEG_LARGE)
+        m_new = jnp.maximum(m, jnp.max(s_blk, axis=-1))
+        # all-masked rows keep m == m_new == NEG_LARGE (both finite), so
+        # corr = exp(0) = 1 against zero accumulators — no NaN path
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(s_blk - m_new[..., None])
+        l = l * corr + jnp.sum(p, axis=-1)
+        pv = jnp.einsum("bhqk,bkhd->bqhd", p, vb.astype(jnp.float32))
+        acc = acc * corr.transpose(0, 2, 1)[..., None] + pv
+        return m_new, l, acc
+
+    def body(t, state):
+        kb, vb, maskb, m, l, acc = state
+        src = (idx - t) % n                         # origin of current shard
+        m, l, acc = merge((m, l, acc), (kb, vb, maskb), src)
+        # rotate K/V (+ its mask) to the next device; the last merge needs
+        # no send, but a uniform loop keeps every step's collective aligned
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        kb = jax.lax.ppermute(kb, axis_name, perm)
+        vb = jax.lax.ppermute(vb, axis_name, perm)
+        maskb = jax.lax.ppermute(maskb, axis_name, perm)
+        return kb, vb, maskb, m, l, acc
+
+    m0 = jnp.full((b, h, s_loc), NEG_LARGE, jnp.float32)
+    l0 = jnp.zeros((b, h, s_loc), jnp.float32)
+    acc0 = jnp.zeros((b, s_loc, h, d), jnp.float32)
+    _, _, _, m, l, acc = jax.lax.fori_loop(
+        0, n, body, (k, v, kv_mask, m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-30).transpose(0, 2, 1)[..., None]
+    # rows whose every key is masked come out 0 (l stays 0); padded QUERY
+    # rows still attend over valid keys, exactly like attention_xla
+    return out.astype(q.dtype)
+
+
+def make_sp_mesh(n: Optional[int] = None, devices=None) -> Mesh:
+    """1-D ("seq",) mesh — sequence parallelism over all (or n) devices."""
+    import numpy as np
+    devices = list(devices if devices is not None else jax.devices())
+    if n is not None:
+        devices = devices[:n]
+    return Mesh(np.asarray(devices), (SEQ_AXIS,))
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "mesh"))
+def ring_self_attention(mesh: Mesh, q, k, v, mask, *, causal: bool = True):
+    """Mesh-level wrapper: GLOBAL (B, S, H, D) q/k/v and (B, S) mask,
+    sequence-sharded over `mesh`'s "seq" axis via shard_map. S must divide
+    evenly by the axis size (pad to a multiple and mask, as the engine's
+    bucketed prompts already do)."""
+    spec = P(None, SEQ_AXIS, None, None)
+    fn = jax.shard_map(
+        functools.partial(ring_attention, causal=causal),
+        mesh=mesh,
+        in_specs=(spec, spec, spec, P(None, SEQ_AXIS)),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v, mask)
