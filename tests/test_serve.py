@@ -251,3 +251,21 @@ def test_dynamic_ntk_prefill_decode_consistency():
     unpinned = decode_logits_after_prefill(bucket)  # pre-fix behavior
     np.testing.assert_allclose(pinned, lg_ref, rtol=1e-5, atol=1e-5)
     assert np.abs(unpinned - lg_ref).max() > 1e-3   # the bug is detectable
+
+
+@pytest.mark.parametrize("qmode", ["int8", "int4"])
+def test_quantized_cache_serving_runs(tiny, qmode):
+    """Serving over a quantized KV cache: every request completes with
+    valid ids and full budgets (exact token parity vs the bf16 path is not
+    required — the cache is lossy by design)."""
+    cfg, params = tiny
+    prompts = [_emb(cfg, s, p) for s, p in ((0, 5), (1, 11))]
+    eng = ServingEngine(params, cfg, max_slots=2, max_len=64,
+                        prefill_buckets=(16,), quantize_cache=qmode)
+    reqs = [ServeRequest(i, embeds=e, max_new_tokens=4, temperature=0.0)
+            for i, e in enumerate(prompts)]
+    done = eng.run(reqs, max_ticks=100)
+    assert set(done) == {0, 1}
+    for c in done.values():
+        assert len(c.tokens) == 4
+        assert all(0 <= t < cfg.vocab_size for t in c.tokens)
