@@ -49,7 +49,7 @@ def emit(metric: str, value: float, unit: str, on_tpu: bool) -> None:
     if base:
         # only metrics with a real recorded baseline enter the geomean —
         # a missing/renamed baseline must not fabricate a neutral 1.0
-        _RESULTS.append(vs)
+        _RESULTS.append((metric, vs))
     print(json.dumps({"metric": metric, "value": round(value, 2),
                       "unit": unit, "vs_baseline": vs}), flush=True)
 
@@ -495,16 +495,23 @@ def main() -> None:
             print(json.dumps({"metric": f"{name}_FAILED", "value": 0,
                               "unit": f"{type(e).__name__}: {e}"[:200],
                               "vs_baseline": 0.0}), flush=True)
-            _RESULTS.append(0.0)
-    ok = [r for r in _RESULTS if r > 0]
-    failed = any(r == 0.0 for r in _RESULTS)
+            _RESULTS.append((f"{name}_FAILED", 0.0))
+    ok = [v for _, v in _RESULTS if v > 0]
+    failed = any(v == 0.0 for _, v in _RESULTS)
+    # fail LOUDLY on silent degradation: any baselined metric below 0.9x
+    # is named in the summary instead of hiding inside the geomean
+    # (round-2 verdict weak #5)
+    regressions = sorted(m for m, v in _RESULTS if 0 < v < 0.9)
     # no baselined metrics (CPU smoke) and no failures -> neutral 1.0
     geo = (math.exp(sum(math.log(r) for r in ok) / len(ok)) if ok
            else (0.0 if failed else 1.0))
+    unit = f"geomean of vs_baseline over {len(ok)}/{len(_RESULTS)} metrics"
+    if regressions:
+        unit += f"; REGRESSED <0.9x: {','.join(regressions)}"
     print(json.dumps({
         "metric": "north_star_geomean_vs_baseline",
         "value": round(geo, 4),
-        "unit": f"geomean of vs_baseline over {len(ok)}/{len(_RESULTS)} metrics",
+        "unit": unit,
         "vs_baseline": round(geo, 4)}), flush=True)
 
 
