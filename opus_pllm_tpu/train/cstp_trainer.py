@@ -108,7 +108,8 @@ def evaluate(params, cfg: CSTPConfig, batches) -> dict:
 
 def fit(state: CSTPTrainState, tx, cfg: CSTPConfig, tcfg: TrainConfig,
         batches: Iterator[Tuple[np.ndarray, np.ndarray]],
-        val_batches_fn=None, mesh=None, log_fn=print) -> CSTPTrainState:
+        val_batches_fn=None, mesh=None, log_fn=print,
+        prefetch: int = 2) -> CSTPTrainState:
     """Minimal epoch loop: batches yield (seq_emb, text_emb) of equal B.
 
     Replaces pl.Trainer.fit for the fully-specified Lightning module the
@@ -132,12 +133,19 @@ def fit(state: CSTPTrainState, tx, cfg: CSTPConfig, tcfg: TrainConfig,
             jax.device_put(state.params, rep),
             jax.device_put(state.opt_state, rep),
             jax.device_put(state.step, rep))
+    def place(pair):
+        se, te = jnp.asarray(pair[0]), jnp.asarray(pair[1])
+        if mesh is not None:
+            from ..core.mesh import shard_batch
+            se, te = shard_batch(mesh, (se, te))
+        return se, te
+
+    if prefetch:
+        from ..utils.prefetch import prefetch_to_device
+        batches = prefetch_to_device(batches, size=prefetch, place=place)
+        place = lambda b: b  # noqa: E731 — already staged by the producer
     with ctx:
-        for i, (se, te) in enumerate(batches):
-            se, te = jnp.asarray(se), jnp.asarray(te)
-            if mesh is not None:
-                from ..core.mesh import shard_batch
-                se, te = shard_batch(mesh, (se, te))
+        for i, (se, te) in enumerate(map(place, batches)):
             state, metrics = step_fn(state, se, te)
             if tcfg.log_every and i % tcfg.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}

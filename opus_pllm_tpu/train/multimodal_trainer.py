@@ -149,23 +149,33 @@ def shard_state(mesh, state: MMTrainState) -> MMTrainState:
 
 def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
         batches, *, lora_cfg: Optional[LoRAConfig] = None, mesh=None,
-        log_fn=print):
+        log_fn=print, prefetch: int = 2):
     """Train loop. With `mesh`, `frozen`/`state` must already be
     mesh-sharded (parallel/partition + shard_state); each batch shards over
-    the "data" axis and XLA inserts the gradient all-reduce."""
+    the "data" axis and XLA inserts the gradient all-reduce. `prefetch`
+    batches are staged host->device on a background thread (the torch
+    DataLoader-workers role; utils/prefetch.py); 0 disables."""
     import contextlib
 
     step_fn = make_train_step(cfg, tx, lora_cfg=lora_cfg,
                               ce_chunk=getattr(tcfg, "ce_chunk", 0),
                               scan_mode=getattr(tcfg, "scan_mode", "xs"))
     ctx = mesh if mesh is not None else contextlib.nullcontext()
+
+    def place(batch):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if mesh is not None:
+            from ..core.mesh import shard_batch
+            batch = shard_batch(mesh, batch)
+        return batch
+
+    if prefetch:
+        from ..utils.prefetch import prefetch_to_device
+        batches = prefetch_to_device(batches, size=prefetch, place=place)
+        place = lambda b: b  # noqa: E731 — already staged by the producer
     with ctx:
         for i, batch in enumerate(batches):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if mesh is not None:
-                from ..core.mesh import shard_batch
-                batch = shard_batch(mesh, batch)
-            state, metrics = step_fn(state, frozen, batch)
+            state, metrics = step_fn(state, frozen, place(batch))
             if tcfg.log_every and i % tcfg.log_every == 0:
                 log_fn(f"step {int(state.step)}: "
                        f"loss={float(metrics['loss']):.4f}")
