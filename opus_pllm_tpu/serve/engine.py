@@ -54,13 +54,15 @@ class ServeRequest:
     """One generation request. `embeds` (P, H) already-embedded prompt
     (the multimodal splicer emits embeddings, mirroring HF
     generate(inputs_embeds=...)); or pass `token_ids` (P,) to embed from
-    the vocabulary."""
+    the vocabulary. With `prefix_id` (register_prefix), embeds/token_ids
+    hold only the SUFFIX after the shared prefix."""
     request_id: Any
     embeds: Optional[np.ndarray] = None
     token_ids: Optional[np.ndarray] = None
     max_new_tokens: int = 128
     temperature: float = 0.0
     eos_token_id: int = -1
+    prefix_id: Optional[Any] = None
 
 
 @dataclasses.dataclass
@@ -138,7 +140,43 @@ class ServingEngine:
         self._slot_tokens: Dict[int, List[int]] = {}
         self._completions: List[Completion] = []
         self._decode = self._build_decode_step()
-        self._prefills: Dict[int, Any] = {}
+        self._prefills: Dict[Any, Any] = {}
+        self._prefixes: Dict[Any, Dict[str, Any]] = {}
+
+    # ------------------------------------------------------------------
+    # prefix caching
+    # ------------------------------------------------------------------
+
+    def register_prefix(self, prefix_id: Any, embeds=None,
+                        token_ids=None) -> int:
+        """Compute and pin the KV cache of a shared prompt prefix ONCE
+        (system prompt, few-shot header). Requests carrying `prefix_id`
+        then admit with only their suffix: admission prefills suffix
+        tokens attending over the pinned prefix KV — prefix compute is
+        paid once per prefix instead of once per request. (KV *storage*
+        is still copied per slot: compute sharing, not paged memory.)
+        Returns the prefix length in tokens."""
+        if embeds is None and token_ids is None:
+            raise ValueError("prefix needs embeds or token_ids")
+        if embeds is None:
+            embeds = np.asarray(decoder.embed_tokens(
+                self.params, jnp.asarray(token_ids)[None])[0])
+        embeds = np.asarray(embeds)
+        plen = embeds.shape[0]
+        if plen >= self.max_len:
+            raise ValueError(f"prefix length {plen} >= max_len "
+                             f"{self.max_len}: no room for suffix/decode")
+        cache = decoder.init_cache(self.cfg, 1, plen, stacked=self.stacked,
+                                   quantize=self._quantized)
+        ar = jnp.arange(plen)
+        mask4 = (ar[None, None, None, :] <= ar[None, None, :, None])
+        _, cache = decoder.forward(
+            self.params, self.cfg,
+            jnp.asarray(embeds, self.cfg.jnp_dtype)[None],
+            ar[None], mask4, cache=cache, return_hidden=True,
+            ntk_ctx=self.max_len)
+        self._prefixes[prefix_id] = {"layers": cache["layers"], "len": plen}
+        return plen
 
     def warmup(self, group_sizes: Optional[List[int]] = None) -> None:
         """Pre-compile every admission shape and the decode step BEFORE
@@ -297,6 +335,95 @@ class ServingEngine:
 
         return prefill_merge
 
+    def _prefill_merge_prefix_fn(self, plen: int, bucket: int, n: int):
+        """Prefix variant of _prefill_merge_fn: the scratch cache is
+        pre-loaded with the pinned prefix KV (broadcast to the group), the
+        SUFFIX embeddings prefill at global positions plen + j attending
+        prefix + causal-suffix, and the contiguous [0, plen + bucket)
+        region scatters into the big cache. One compile per
+        (prefix_len, suffix_bucket, group) — prefixes are few and long by
+        nature, so exact plen beats bucket-padding the prefix (which would
+        leave a gap between prefix and suffix rows in the slot)."""
+        cfg = self.cfg
+        W = plen + bucket                       # scratch width
+        Wm = min(W, self.max_len)               # scatter width (big cache)
+        quantized = self._quantized
+        stacked = self.stacked
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill_merge(params, big, pref_layers, embs, meta, key):
+            n_valid = meta[0].astype(jnp.int32)       # suffix lengths
+            temps = meta[1]
+            slots = meta[2].astype(jnp.int32)
+            ar = jnp.arange(bucket)
+            mask = ar[None, :] < n_valid[:, None]
+            pos = (plen + ar)[None, :] * mask
+            cache = decoder.init_cache(cfg, n, W, stacked=stacked,
+                                       quantize=quantized)
+
+            def load(s, p):     # broadcast prefix rows into the scratch
+                if quantized:   # head-major leaves: slot dim after H
+                    if s.ndim == 5:
+                        return s.at[:, :, :, :plen].set(p.astype(s.dtype))
+                    return s.at[:, :, :plen].set(p.astype(s.dtype))
+                if s.ndim == 5:                       # (L, B, S, H, D)
+                    return s.at[:, :, :plen].set(p.astype(s.dtype))
+                return s.at[:, :plen].set(p.astype(s.dtype))
+
+            cache = dict(cache,
+                         layers=jax.tree.map(load, cache["layers"],
+                                             pref_layers),
+                         index=jnp.asarray(plen, jnp.int32))
+            # keys: all prefix slots + causal suffix slots within length
+            arW = jnp.arange(W)
+            suff_q = ar[None, None, :, None]          # query suffix index
+            kv_suffix = arW[None, None, None, :] - plen
+            mask4 = ((kv_suffix < 0)
+                     | ((kv_suffix <= suff_q)
+                        & (kv_suffix < n_valid[:, None, None, None])))
+            hid, rows = decoder.forward(
+                params, cfg, embs, pos, mask4, cache=cache,
+                return_hidden=True, ntk_ctx=self.max_len)
+            last_h = jnp.take_along_axis(
+                hid, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)
+            last = decoder.head_logits(
+                params, cfg, last_h)[:, 0].astype(jnp.float32)
+            greedy = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            sampled = jax.random.categorical(
+                key, last / jnp.maximum(temps, 1e-6)[:, None]
+            ).astype(jnp.int32)
+            first = jnp.where(temps > 0, sampled, greedy)
+
+            def put(b, r):
+                st5 = b.ndim == 5
+                if quantized:
+                    if st5:
+                        return b.at[:, slots, :, :Wm].set(
+                            r[:, :, :, :Wm].astype(b.dtype))
+                    return b.at[slots, :, :Wm].set(
+                        r[:, :, :Wm].astype(b.dtype))
+                if st5:
+                    return b.at[:, slots, :Wm].set(r[:, :, :Wm].astype(b.dtype))
+                return b.at[slots, :Wm].set(r[:, :Wm].astype(b.dtype))
+
+            big_layers = jax.tree.map(put, big["layers"], rows["layers"])
+            return dict(big, layers=big_layers), first
+
+        return prefill_merge
+
+    def _run_prefill_prefix(self, prefix_id, bucket: int, n: int, embs,
+                            meta):
+        pref = self._prefixes[prefix_id]
+        key = ("pfx", pref["len"], bucket, n)
+        if key not in self._prefills:
+            self._prefills[key] = self._prefill_merge_prefix_fn(
+                pref["len"], bucket, n)
+        self._key, k = jax.random.split(self._key)
+        self.cache, first = self._prefills[key](
+            self.params, self.cache, pref["layers"],
+            jnp.asarray(embs, self.cfg.jnp_dtype), jnp.asarray(meta), k)
+        return np.asarray(first)
+
     # ------------------------------------------------------------------
     # scheduler (host-side mirror of the device transition rules)
     # ------------------------------------------------------------------
@@ -309,15 +436,24 @@ class ServingEngine:
             raise ValueError("request needs embeds or token_ids")
         p = (req.embeds.shape[0] if req.embeds is not None
              else len(req.token_ids))
+        plen = 0
+        if req.prefix_id is not None:
+            if req.prefix_id not in self._prefixes:
+                raise ValueError(f"unknown prefix_id {req.prefix_id!r} "
+                                 "(register_prefix first)")
+            if p < 1:
+                raise ValueError("prefix requests need >= 1 suffix token")
+            plen = self._prefixes[req.prefix_id]["len"]
         if p > self.buckets[-1]:
             raise ValueError(
                 f"prompt length {p} exceeds the largest prefill bucket "
                 f"{self.buckets[-1]}")
-        if p + req.max_new_tokens > self.max_len:
+        if plen + p + req.max_new_tokens > self.max_len:
             raise ValueError(
-                f"prompt ({p}) + max_new_tokens ({req.max_new_tokens}) "
-                f"exceeds per-slot KV capacity max_len={self.max_len}; "
-                f"writes past capacity would be silently dropped")
+                f"prefix ({plen}) + prompt ({p}) + max_new_tokens "
+                f"({req.max_new_tokens}) exceeds per-slot KV capacity "
+                f"max_len={self.max_len}; writes past capacity would be "
+                "silently dropped")
         self._queue.append(req)
 
     def _free_slots(self) -> List[int]:
@@ -337,15 +473,17 @@ class ServingEngine:
         want = min(self.admit_min_free, len(self._queue), self.max_slots)
         if len(free) < want:
             return                      # wait for a fuller admission batch
-        batch: List[Tuple[int, ServeRequest, np.ndarray, int]] = []
+        batch: List[Tuple[int, ServeRequest, np.ndarray, tuple]] = []
         while free and self._queue:
             req = self._queue.popleft()   # submit() validated capacity
             emb = self._embed(req)
             batch.append((free.pop(0), req, emb,
-                          _bucket(emb.shape[0], self.buckets)))
-        for bucket in sorted({b for *_, b in batch}):
-            group = [x for x in batch if x[3] == bucket]
-            self._admit_group(bucket, group)
+                          (_bucket(emb.shape[0], self.buckets),
+                           req.prefix_id)))
+        for gkey in sorted({g for *_, g in batch},
+                           key=lambda g: (g[0], str(g[1]))):
+            group = [x for x in batch if x[3] == gkey]
+            self._admit_group(gkey[0], group, prefix_id=gkey[1])
 
     @staticmethod
     def _pad_group(n: int) -> int:
@@ -354,7 +492,7 @@ class ServingEngine:
             p *= 2
         return p
 
-    def _admit_group(self, bucket, group) -> None:
+    def _admit_group(self, bucket, group, prefix_id=None) -> None:
         # pad to a power-of-two group size so each (bucket, n) prefill
         # compiles at most once; padding rows prefill a 1-token dummy and
         # scatter into the trash row (index max_slots)
@@ -364,13 +502,19 @@ class ServingEngine:
         for r, (slot, req, emb, _) in enumerate(group):
             embs[r, :emb.shape[0]] = emb
             meta[:, r] = (emb.shape[0], req.temperature, slot)
-        first_h = self._run_prefill(bucket, n, embs, meta)
+        if prefix_id is not None:
+            first_h = self._run_prefill_prefix(prefix_id, bucket, n,
+                                               embs, meta)
+            plen = self._prefixes[prefix_id]["len"]
+        else:
+            first_h = self._run_prefill(bucket, n, embs, meta)
+            plen = 0
 
         st = self.state
         for r, (slot, req, emb, _) in enumerate(group):
             tok = int(first_h[r])
             st["active"][slot] = True
-            st["length"][slot] = emb.shape[0]
+            st["length"][slot] = plen + emb.shape[0]
             st["last_token"][slot] = tok
             st["remaining"][slot] = req.max_new_tokens - 1
             st["eos"][slot] = req.eos_token_id

@@ -269,3 +269,58 @@ def test_quantized_cache_serving_runs(tiny, qmode):
     for c in done.values():
         assert len(c.tokens) == 4
         assert all(0 <= t < cfg.vocab_size for t in c.tokens)
+
+
+def test_prefix_cache_token_parity(tiny):
+    """prefix+suffix admission must produce exactly the tokens of a full
+    (prefix||suffix) prompt through the one-shot engine at T=0."""
+    cfg, params = tiny
+    pre = _emb(cfg, 7, 9)                   # shared 9-token prefix
+    sufs = [_emb(cfg, s, p) for s, p in ((10, 4), (11, 6), (12, 3))]
+    budgets = [5, 4, 6]
+    refs = [_ref_tokens(params, cfg, np.concatenate([pre, s]), m)
+            for s, m in zip(sufs, budgets)]
+
+    eng = ServingEngine(params, cfg, max_slots=2, max_len=64,
+                        prefill_buckets=(8, 16))
+    assert eng.register_prefix("sys", embeds=pre) == 9
+    reqs = [ServeRequest(i, embeds=s, max_new_tokens=m, temperature=0.0,
+                         prefix_id="sys")
+            for i, (s, m) in enumerate(zip(sufs, budgets))]
+    # mix in a non-prefix request to prove the two admission paths coexist
+    plain = _emb(cfg, 13, 5)
+    reqs.append(ServeRequest("plain", embeds=plain, max_new_tokens=4,
+                             temperature=0.0))
+    ref_plain = _ref_tokens(params, cfg, plain, 4)
+    done = eng.run(reqs, max_ticks=300)
+    assert set(done) == {0, 1, 2, "plain"}
+    for i, ref in enumerate(refs):
+        assert done[i].tokens == ref, (i, done[i].tokens, ref)
+    assert done["plain"].tokens == ref_plain
+
+
+def test_prefix_cache_quantized_smoke(tiny):
+    cfg, params = tiny
+    pre = _emb(cfg, 7, 9)
+    eng = ServingEngine(params, cfg, max_slots=2, max_len=64,
+                        prefill_buckets=(8,), quantize_cache="int8")
+    eng.register_prefix("sys", embeds=pre)
+    done = eng.run([ServeRequest(0, embeds=_emb(cfg, 1, 4),
+                                 max_new_tokens=4, temperature=0.0,
+                                 prefix_id="sys")], max_ticks=100)
+    assert len(done[0].tokens) == 4
+    assert all(0 <= t < cfg.vocab_size for t in done[0].tokens)
+
+
+def test_prefix_cache_validation(tiny):
+    cfg, params = tiny
+    eng = ServingEngine(params, cfg, max_slots=2, max_len=32,
+                        prefill_buckets=(8,))
+    with pytest.raises(ValueError, match="unknown prefix_id"):
+        eng.submit(ServeRequest(0, embeds=_emb(cfg, 0, 4), prefix_id="nope"))
+    eng.register_prefix("sys", embeds=_emb(cfg, 7, 9))
+    with pytest.raises(ValueError, match="exceeds per-slot KV capacity"):
+        eng.submit(ServeRequest(0, embeds=_emb(cfg, 0, 8),
+                                max_new_tokens=30, prefix_id="sys"))
+    with pytest.raises(ValueError, match=">= max_len"):
+        eng.register_prefix("big", embeds=_emb(cfg, 0, 40))
