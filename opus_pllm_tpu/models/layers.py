@@ -183,6 +183,13 @@ def attention(q, k, v, mask=None, *, impl: str = "auto"):
     on any TPU-lowerable shape (e.g. the d=64-native tiles, for A/B runs);
     "xla" forces the reference path.
     """
+    if impl == "ring":
+        # sequence-parallel training path (parallel/ring.py): must run
+        # inside shard_map over a "seq" axis, and `mask` is the 2-D
+        # (B, S_loc) LOCAL kv-validity mask (causality is index-based in
+        # the ring, matching causal_mask's tril)
+        from ..parallel.ring import ring_attention
+        return ring_attention(q, k, v, mask, causal=True)
     if impl == "flash" and jax.default_backend() == "tpu":
         from ..kernels.flash_attention import flash_attention
         return flash_attention(q, k, v, mask)

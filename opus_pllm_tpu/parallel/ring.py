@@ -41,33 +41,37 @@ def ring_attention(q, k, v, kv_mask, *, axis_name: str = SEQ_AXIS,
                    causal: bool = True, scale: Optional[float] = None):
     """Blockwise ring attention on LOCAL shards (call inside shard_map).
 
-    q, k, v: (B, S_loc, H, D) — this device's sequence shard (H is the full
-    head dim set; sequence parallelism is orthogonal to TP's head split).
+    q: (B, S_loc, Hq, D); k, v: (B, S_loc, Hkv, D) with Hq % Hkv == 0
+    (grouped-query, same contract as models/layers.attention — sequence
+    parallelism is orthogonal to TP's head split).
     kv_mask: (B, S_loc) bool — validity of the local K/V rows.
-    causal: global causal mask, computed from ring-step-derived global
-    positions.
+    causal: global causal mask from ring-step-derived global INDICES
+    (matches layers.causal_mask's index-based tril; right-pad contract).
 
-    Returns (B, S_loc, H, D): this device's shard of the attention output,
-    bitwise-independent of the number of shards up to float reassociation.
+    Returns (B, S_loc, Hq, D): this device's shard of the attention
+    output, equal to single-device attention up to float reassociation.
     """
     n = jax.lax.psum(1, axis_name)                  # ring size (static)
     idx = jax.lax.axis_index(axis_name)
-    b, s_loc, h, d = q.shape
+    b, s_loc, hq, d = q.shape
+    hkv = k.shape[2]
+    g = hq // hkv
     scale = (1.0 / math.sqrt(d)) if scale is None else scale
 
-    qf = q.astype(jnp.float32) * scale
+    qf = (q.astype(jnp.float32) * scale).reshape(b, s_loc, hkv, g, d)
     q_pos = idx * s_loc + jnp.arange(s_loc)         # global query rows
 
     def merge(carry, kv_blk, src):
         m, l, acc = carry
         kb, vb, maskb = kv_blk
-        # (B, H, Sq, Skv) block scores in fp32
-        s_blk = jnp.einsum("bqhd,bkhd->bhqk", qf, kb.astype(jnp.float32))
+        # (B, Hkv, G, Sq, Skv) block scores in fp32
+        s_blk = jnp.einsum("bqhgd,bkhd->bhgqk", qf,
+                           kb.astype(jnp.float32))
         k_pos = src * s_loc + jnp.arange(s_loc)     # global key rows
-        valid = maskb[:, None, None, :]             # (B, 1, 1, Skv)
+        valid = maskb[:, None, None, None, :]       # (B, 1, 1, 1, Skv)
         if causal:
-            valid = valid & (q_pos[None, None, :, None]
-                             >= k_pos[None, None, None, :])
+            valid = valid & (q_pos[None, None, None, :, None]
+                             >= k_pos[None, None, None, None, :])
         s_blk = jnp.where(valid, s_blk, NEG_LARGE)
         m_new = jnp.maximum(m, jnp.max(s_blk, axis=-1))
         # all-masked rows keep m == m_new == NEG_LARGE (both finite), so
@@ -75,8 +79,8 @@ def ring_attention(q, k, v, kv_mask, *, axis_name: str = SEQ_AXIS,
         corr = jnp.exp(m - m_new)
         p = jnp.exp(s_blk - m_new[..., None])
         l = l * corr + jnp.sum(p, axis=-1)
-        pv = jnp.einsum("bhqk,bkhd->bqhd", p, vb.astype(jnp.float32))
-        acc = acc * corr.transpose(0, 2, 1)[..., None] + pv
+        pv = jnp.einsum("bhgqk,bkhd->bqhgd", p, vb.astype(jnp.float32))
+        acc = acc * corr.transpose(0, 3, 1, 2)[..., None] + pv
         return m_new, l, acc
 
     def body(t, state):
@@ -91,15 +95,23 @@ def ring_attention(q, k, v, kv_mask, *, axis_name: str = SEQ_AXIS,
         maskb = jax.lax.ppermute(maskb, axis_name, perm)
         return kb, vb, maskb, m, l, acc
 
-    m0 = jnp.full((b, h, s_loc), NEG_LARGE, jnp.float32)
-    l0 = jnp.zeros((b, h, s_loc), jnp.float32)
-    acc0 = jnp.zeros((b, s_loc, h, d), jnp.float32)
+    m0 = jnp.full((b, hkv, g, s_loc), NEG_LARGE, jnp.float32)
+    l0 = jnp.zeros((b, hkv, g, s_loc), jnp.float32)
+    acc0 = jnp.zeros((b, s_loc, hkv, g, d), jnp.float32)
+    # under shard_map's varying-manual-axes typing the freshly-created
+    # accumulators are unvarying constants while the loop outputs vary
+    # over the ring axis; mark them varying up front so the carry types
+    # match (no-op outside a shard_map that tracks vma)
+    try:
+        m0, l0, acc0 = (jax.lax.pvary(x, axis_name) for x in (m0, l0, acc0))
+    except (AttributeError, NameError):  # older JAX: no vma tracking
+        pass
     _, _, _, m, l, acc = jax.lax.fori_loop(
         0, n, body, (k, v, kv_mask, m0, l0, acc0))
-    out = acc / jnp.maximum(l, 1e-30).transpose(0, 2, 1)[..., None]
+    out = acc / jnp.maximum(l, 1e-30).transpose(0, 3, 1, 2)[..., None]
     # rows whose every key is masked come out 0 (l stays 0); padded QUERY
     # rows still attend over valid keys, exactly like attention_xla
-    return out.astype(q.dtype)
+    return out.reshape(b, s_loc, hq, d).astype(q.dtype)
 
 
 def make_sp_mesh(n: Optional[int] = None, devices=None) -> Mesh:

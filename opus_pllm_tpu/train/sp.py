@@ -1,0 +1,159 @@
+"""Sequence-parallel stage-(c/d) training step (ring attention).
+
+Long-context training where ACTIVATIONS, not weights, blow the HBM budget:
+the spliced multimodal stream shards along the sequence dim over a
+("seq",) mesh (parallel/ring.py), every per-token op (norms, projections,
+MLP, LoRA) runs on the local shard, attention runs as ring attention
+(K/V shards ppermute around the ICI ring), and the chunked CE reduces with
+two psums. Per-device activation memory is O(S / n_seq); the reference has
+nothing comparable (its protocol caps at 2.5k aa) — this is the
+beyond-parity >4k-token lever, composable with the int8/int4 frozen-base
+storage from kernels/quant*.py.
+
+Design choices:
+* The grad runs INSIDE shard_map (value_and_grad of the local loss, then
+  an explicit psum of the gradients). Each device's backward covers
+  exactly its own tokens' compute; the psum assembles the global gradient
+  — no reliance on shard_map's replicated-cotangent bookkeeping.
+* The cheap front of the model (frozen ESM tower + CSTP + switch splice,
+  ~35M params vs the multi-B decoder) is computed REPLICATED on every
+  device, and each device slices its own sequence shard from the spliced
+  stream. Redundant flops there buy a trivially correct gradient path for
+  the trainable switch through the splice.
+* Causality in the ring is global-INDEX based, which equals
+  layers.causal_mask's tril — the right-pad training contract
+  (splice emits right-pad streams for training, bridge/splice.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import IGNORE_INDEX, LoRAConfig, OpusConfig
+from ..lora import lora as lora_mod
+from ..models import decoder, opus
+from ..parallel.ring import SEQ_AXIS
+from .multimodal_trainer import MMTrainState, _assemble
+
+
+def _local_ce(llm_params, llm_cfg, hid, tg, valid, chunk: int):
+    """CE partial sums over a LOCAL shard with PRE-SHIFTED targets.
+
+    Unlike opus.next_token_loss_hidden there is no in-function shift —
+    the global shift happened before sharding (the next token of a
+    shard-boundary position lives in the next shard). chunk > 0 bounds
+    live logits to (B, chunk, V) with a checkpointed scan, same memory
+    trade as TrainConfig.ce_chunk."""
+    b, s, _ = hid.shape
+    tg_safe = jnp.maximum(tg, 0)
+    if chunk <= 0 or chunk >= s:
+        logits = decoder.head_logits(llm_params, llm_cfg, hid).astype(
+            jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tg_safe[..., None], axis=-1)[..., 0]
+        return (jnp.sum(jnp.where(valid, nll, 0.0)),
+                jnp.sum(valid.astype(jnp.int32)))
+
+    n = -(-s // chunk)
+    pad = n * chunk - s
+    if pad:
+        hid = jnp.pad(hid, ((0, 0), (0, pad), (0, 0)))
+        tg_safe = jnp.pad(tg_safe, ((0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    hs = hid.reshape(b, n, chunk, hid.shape[-1]).transpose(1, 0, 2, 3)
+    tc = tg_safe.reshape(b, n, chunk).transpose(1, 0, 2)
+    vc = valid.reshape(b, n, chunk).transpose(1, 0, 2)
+
+    def body(carry, xs):
+        h, t, v = xs
+        logits = decoder.head_logits(llm_params, llm_cfg, h).astype(
+            jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
+        return (carry[0] + jnp.sum(jnp.where(v, nll, 0.0)),
+                carry[1] + jnp.sum(v.astype(jnp.int32))), None
+
+    init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
+    (tot, cnt), _ = jax.lax.scan(jax.checkpoint(body), init, (hs, tc, vc))
+    return tot, cnt
+
+
+def make_sp_train_step(cfg: OpusConfig, tx, mesh, *,
+                       lora_cfg: Optional[LoRAConfig] = None,
+                       donate: bool = True, ce_chunk: int = 0,
+                       remat: bool = True):
+    """Jitted sequence-parallel train step over `mesh` (a ("seq",) mesh,
+    ring.make_sp_mesh). Same state/batch surface as
+    multimodal_trainer.make_train_step; loss and updated state equal the
+    single-device step up to float reassociation."""
+    ls = lora_mod.scaling(lora_cfg) if lora_cfg is not None else 1.0
+    n_seq = mesh.shape[SEQ_AXIS]
+    from jax.sharding import PartitionSpec as P
+
+    def local_loss(trainable, frozen, batch):
+        idx = jax.lax.axis_index(SEQ_AXIS)
+        params = _assemble(frozen, trainable)
+        sp = opus.splice_prompt(params, cfg, batch["input_ids"],
+                                batch["attn_mask"], batch.get("esm_tokens"),
+                                batch["labels"], left_pad=False,
+                                pooled_emb=batch.get("pooled_emb"))
+        emb = sp.embeds.astype(cfg.llm.jnp_dtype)
+        b, s, _ = emb.shape
+        # global next-token shift BEFORE sharding: position i's target is
+        # token i+1, which for the last row of a shard lives in the NEXT
+        # shard — shifting locally would drop every boundary token
+        tg = jnp.concatenate(
+            [sp.labels[:, 1:],
+             jnp.full((b, 1), IGNORE_INDEX, sp.labels.dtype)], axis=1)
+        valid = (tg != IGNORE_INDEX) & jnp.concatenate(
+            [sp.mask[:, 1:], jnp.zeros((b, 1), bool)], axis=1)
+        kvm, pos = sp.mask, sp.positions
+        s_pad = -(-s // n_seq) * n_seq
+        if s_pad != s:
+            pz = s_pad - s
+            emb = jnp.pad(emb, ((0, 0), (0, pz), (0, 0)))
+            tg = jnp.pad(tg, ((0, 0), (0, pz)),
+                         constant_values=IGNORE_INDEX)
+            valid = jnp.pad(valid, ((0, 0), (0, pz)))
+            kvm = jnp.pad(kvm, ((0, 0), (0, pz)))
+            pos = jnp.pad(pos, ((0, 0), (0, pz)))
+        s_loc = s_pad // n_seq
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+            x, idx * s_loc, s_loc, axis=1)
+        hid, _ = decoder.forward(
+            params["llm"], cfg.llm, sl(emb), sl(pos), sl(kvm),
+            lora=trainable.get("lora"), lora_scale=ls, remat=remat,
+            return_hidden=True, impl="ring")
+        tot, cnt = _local_ce(params["llm"], cfg.llm, hid, sl(tg), sl(valid),
+                             ce_chunk)
+        tot = jax.lax.psum(tot, SEQ_AXIS)
+        cnt = jax.lax.psum(cnt, SEQ_AXIS)
+        return tot / jnp.maximum(cnt, 1)
+
+    def local_grads(trainable, frozen, batch):
+        loss, grads = jax.value_and_grad(local_loss)(trainable, frozen,
+                                                     batch)
+        # each device's backward covers its own tokens; the sum is the
+        # global gradient (the splice front is replicated compute, but its
+        # cotangent arrives only through this device's shard slice, so no
+        # token is double-counted)
+        return loss, jax.lax.psum(grads, SEQ_AXIS)
+
+    sharded = jax.shard_map(local_grads, mesh=mesh,
+                            in_specs=(P(), P(), P()),
+                            out_specs=(P(), P()))
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: MMTrainState, frozen, batch):
+        loss, grads = sharded(state.trainable, frozen, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+        return (MMTrainState(new_trainable, new_opt, state.step + 1),
+                {"loss": loss})
+
+    return train_step
