@@ -331,6 +331,10 @@ def _train_multimodal(args, *, lora: bool) -> None:
     from ..data.datasets import InstructionDataset
     from ..train import multimodal_trainer as mmt
 
+    seq_shards = getattr(args, "seq_shards", 0)
+    if seq_shards and getattr(args, "mesh", None):
+        raise SystemExit("--seq-shards and --mesh are mutually exclusive "
+                         "(sequence vs data/model parallelism)")
     cfg, params, tok, mesh = _build(args)
     tcfg = TrainConfig(learning_rate=args.lr, weight_decay=args.wd,
                        batch_size=args.batch_size, num_epochs=args.epochs,
@@ -347,8 +351,14 @@ def _train_multimodal(args, *, lora: bool) -> None:
     batches = instruction_batches(ds, tok, tcfg.batch_size, seed=args.seed,
                                   epochs=tcfg.num_epochs,
                                   max_len=args.max_len)
-    state = mmt.fit(state, tx, cfg, tcfg, params, batches, lora_cfg=lcfg,
-                    mesh=mesh)
+    if seq_shards:
+        from ..parallel.ring import make_sp_mesh
+        from ..train import sp as sp_mod
+        state = sp_mod.fit(state, tx, cfg, tcfg, params, batches,
+                           make_sp_mesh(seq_shards), lora_cfg=lcfg)
+    else:
+        state = mmt.fit(state, tx, cfg, tcfg, params, batches,
+                        lora_cfg=lcfg, mesh=mesh)
     mgr.save(int(state.step), state.trainable)
     print(f"saved trainable tree at step {int(state.step)} -> {args.out}")
     if args.export_reference_format:
@@ -532,6 +542,12 @@ def build_parser() -> argparse.ArgumentParser:
                             "XLA's stacked-weight relayout copies to one "
                             "layer — required (with --ce-chunk) for the "
                             "single-chip 8B training recipe")
+        t.add_argument("--seq-shards", type=int, default=0,
+                       help="sequence-parallel training over a ('seq',) "
+                            "mesh of this many devices (ring attention, "
+                            "train/sp.py): per-device activation memory "
+                            "drops to O(S / shards) for long contexts; "
+                            "mutually exclusive with --mesh")
         t.add_argument("--export-reference-format", action="store_true",
                        help="also write the reference checkpoint layout "
                             "(modality_refinement_projector/, lora_adapter/)")

@@ -157,3 +157,27 @@ def make_sp_train_step(cfg: OpusConfig, tx, mesh, *,
                 {"loss": loss})
 
     return train_step
+
+
+def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg, frozen, batches,
+        mesh, *, lora_cfg: Optional[LoRAConfig] = None, log_fn=print,
+        prefetch: int = 2):
+    """Sequence-parallel mirror of multimodal_trainer.fit (the CLI
+    --seq-shards surface). Params/batches stay replicated — the sharding
+    happens along the sequence inside the step."""
+    step_fn = make_sp_train_step(cfg, tx, mesh, lora_cfg=lora_cfg,
+                                 ce_chunk=getattr(tcfg, "ce_chunk", 0))
+
+    def place(batch):
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    if prefetch:
+        from ..utils.prefetch import prefetch_to_device
+        batches = prefetch_to_device(batches, size=prefetch, place=place)
+        place = lambda b: b  # noqa: E731 — already staged by the producer
+    for i, batch in enumerate(batches):
+        state, metrics = step_fn(state, frozen, place(batch))
+        if tcfg.log_every and i % tcfg.log_every == 0:
+            log_fn(f"step {int(state.step)}: "
+                   f"loss={float(metrics['loss']):.4f}")
+    return state

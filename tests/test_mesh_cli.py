@@ -193,3 +193,33 @@ def test_train_lora_cli_mesh(cli_dirs, tmp_path):
     assert "lora" in trainable
     leaves = jax.tree.leaves(trainable["lora"])
     assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+
+
+def test_train_lora_cli_seq_shards(cli_dirs, tmp_path):
+    """`train-lora --seq-shards 4` runs the sequence-parallel ring step
+    (train/sp.py) end to end and saves a restorable trainable tree."""
+    from opus_pllm_tpu.cli.main import main
+    from opus_pllm_tpu.core.checkpoint import CheckpointManager
+
+    out = str(tmp_path / "lora_sp_out")
+    main(["train-lora", "--model-base", cli_dirs["llm"],
+          "--weights", cli_dirs["weights"], "--esm", cli_dirs["esm"],
+          "--train-json", cli_dirs["train_json"], "--out", out,
+          "--batch-size", "4", "--epochs", "1", "--max-len", "64",
+          "--lora-rank", "2", "--seq-shards", "4"])
+    mgr = CheckpointManager(out)
+    assert mgr.latest_step() == 2
+    trainable = mgr.restore()
+    assert "lora" in trainable
+    leaves = jax.tree.leaves(trainable["lora"])
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+
+
+def test_seq_shards_and_mesh_mutually_exclusive(cli_dirs):
+    from opus_pllm_tpu.cli.main import main
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["train-lora", "--model-base", cli_dirs["llm"],
+              "--weights", cli_dirs["weights"], "--esm", cli_dirs["esm"],
+              "--train-json", cli_dirs["train_json"], "--out", "/tmp/x",
+              "--mesh", "4", "--seq-shards", "2"])
