@@ -117,7 +117,9 @@ def next_token_loss(logits, labels, mask) -> jnp.ndarray:
 
 
 def next_token_loss_hidden(llm_params, llm_cfg, hidden, labels, mask,
-                           *, chunk: int = 64) -> jnp.ndarray:
+                           *, chunk: int = 64, shift: bool = True,
+                           reduce: bool = True,
+                           vary_axis: Optional[str] = None) -> jnp.ndarray:
     """Same loss as next_token_loss, computed from final-norm'ed hidden
     states with the vocab projection applied per sequence chunk.
 
@@ -128,13 +130,23 @@ def next_token_loss_hidden(llm_params, llm_cfg, hidden, labels, mask,
     jax.checkpoint'ed scan body recomputes each chunk's projection in the
     backward pass instead of saving it (decoder.head_logits), so training
     memory for the head is O(S/chunk smaller) at the cost of one extra
-    head matmul in the backward."""
+    head matmul in the backward.
+
+    shift=False consumes PRE-shifted targets (labels[i] is position i's
+    target) — the sequence-parallel path (train/sp.py) shifts globally
+    before sharding, because a shard-boundary position's target lives in
+    the next shard. reduce=False returns the (sum, count) partials instead
+    of the mean, for callers that psum across shards first."""
     b, s, _ = hidden.shape
-    hs, tg = hidden[:, :-1], labels[:, 1:]
-    valid = (tg != IGNORE_INDEX) & mask[:, 1:]
-    sm1 = s - 1
-    n = -(-sm1 // chunk)
-    pad = n * chunk - sm1
+    if shift:
+        hs, tg = hidden[:, :-1], labels[:, 1:]
+        valid = (tg != IGNORE_INDEX) & mask[:, 1:]
+    else:
+        hs, tg = hidden, labels
+        valid = (tg != IGNORE_INDEX) & mask
+    sl = hs.shape[1]
+    n = -(-sl // chunk)
+    pad = n * chunk - sl
     if pad:
         hs = jnp.pad(hs, ((0, 0), (0, pad), (0, 0)))
         tg = jnp.pad(tg, ((0, 0), (0, pad)))
@@ -155,5 +167,12 @@ def next_token_loss_hidden(llm_params, llm_cfg, hidden, labels, mask,
             jnp.float32)
 
     init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
+    if vary_axis is not None:
+        # inside shard_map the freshly-created accumulators are unvarying
+        # constants while the scanned partial sums vary over the mesh
+        # axis; mark them varying so the scan carry type-checks
+        init = tuple(jax.lax.pvary(x, vary_axis) for x in init)
     (tot, cnt), _ = jax.lax.scan(jax.checkpoint(body), init, (hs, tg, valid))
+    if not reduce:
+        return tot, cnt
     return tot / jnp.maximum(cnt, 1)

@@ -109,8 +109,11 @@ def ring_attention(q, k, v, kv_mask, *, axis_name: str = SEQ_AXIS,
     _, _, _, m, l, acc = jax.lax.fori_loop(
         0, n, body, (k, v, kv_mask, m0, l0, acc0))
     out = acc / jnp.maximum(l, 1e-30).transpose(0, 3, 1, 2)[..., None]
-    # rows whose every key is masked come out 0 (l stays 0); padded QUERY
-    # rows still attend over valid keys, exactly like attention_xla
+    # a row with ZERO valid keys sees p = exp(NEG_LARGE - NEG_LARGE) = 1 at
+    # every masked column, so it outputs the uniform mean of v — the same
+    # uniform-softmax convention attention_xla produces for such rows
+    # (downstream code never reads fully-masked rows); padded QUERY rows
+    # attend over valid keys, exactly like attention_xla
     return out.reshape(b, s_loc, hq, d).astype(q.dtype)
 
 
@@ -119,6 +122,11 @@ def make_sp_mesh(n: Optional[int] = None, devices=None) -> Mesh:
     import numpy as np
     devices = list(devices if devices is not None else jax.devices())
     if n is not None:
+        if n > len(devices):
+            # silent truncation would halve the sharding a user sized for
+            # HBM and OOM with no indication why (same contract as
+            # core/mesh.make_mesh)
+            raise ValueError(f"--seq-shards {n} > {len(devices)} devices")
         devices = devices[:n]
     return Mesh(np.asarray(devices), (SEQ_AXIS,))
 

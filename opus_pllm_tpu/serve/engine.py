@@ -198,6 +198,14 @@ class ServingEngine:
                                   np.zeros((n, bucket, self.cfg.hidden_size),
                                            np.float32),
                                   self._dummy_meta(n))
+                # registered prefixes get their admission shapes too —
+                # dummy rows scatter into the trash slot, same as above
+                for pid in self._prefixes:
+                    self._run_prefill_prefix(
+                        pid, bucket, n,
+                        np.zeros((n, bucket, self.cfg.hidden_size),
+                                 np.float32),
+                        self._dummy_meta(n))
         packed = np.zeros((6, self.max_slots + 1), np.float32)
         packed[4] = -1.0
         self._key, k = jax.random.split(self._key)
@@ -279,94 +287,39 @@ class ServingEngine:
 
         return step
 
-    def _prefill_merge_fn(self, bucket: int, n: int):
-        """One fused call: prefill an n-request group, scatter its cache
-        rows into the big cache at `slots`, sample each first token."""
+    def _prefill_merge_body(self, plen, bucket, params, big, pref_layers,
+                            embs, meta, key):
+        """Shared prefill+merge graph: prefill an n-request group (suffix
+        tokens at global positions plen + j, attending the optional pinned
+        prefix KV + causal-suffix), scatter the contiguous
+        [0, plen + bucket) region into the big cache at `slots`, sample
+        each first token. plen == 0 with pref_layers None is the plain
+        (no-prefix) admission; the prefix path is the same graph with the
+        scratch cache pre-loaded."""
         cfg = self.cfg
-
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def prefill_merge(params, big, embs, meta, key):
-            # meta (3, n) fp32: [prompt_len, temperature, slot] — one
-            # small transfer; masks/positions derive in-graph
-            n_valid = meta[0].astype(jnp.int32)
-            temps = meta[1]
-            slots = meta[2].astype(jnp.int32)
-            ar = jnp.arange(bucket)
-            mask = ar[None, :] < n_valid[:, None]
-            pos = ar[None, :] * mask
-            cache = decoder.init_cache(cfg, n, bucket, stacked=self.stacked,
-                                       quantize=self._quantized)
-            mask4 = (mask[:, None, None, :]
-                     & (ar[None, None, None, :] <= pos[:, None, :, None]))
-            # gather each row's last-valid HIDDEN state, then head once:
-            # a full-bucket vocab head is n*bucket*V fp32 of garbage
-            # ntk_ctx pins the dynamic-NTK rotary base to the DECODE
-            # cache's capacity: this scratch cache is only bucket-wide, and
-            # rotating K here with a bucket-derived base would disagree
-            # with every later decode step's query base
-            hid, rows = decoder.forward(
-                params, cfg, embs, pos, mask4, cache=cache,
-                return_hidden=True, ntk_ctx=self.max_len)
-            last_h = jnp.take_along_axis(
-                hid, (n_valid - 1)[:, None, None], axis=1)
-            last = decoder.head_logits(
-                params, cfg, last_h)[:, 0].astype(jnp.float32)
-            greedy = jnp.argmax(last, axis=-1).astype(jnp.int32)
-            sampled = jax.random.categorical(
-                key, last / jnp.maximum(temps, 1e-6)[:, None]
-            ).astype(jnp.int32)
-            first = jnp.where(temps > 0, sampled, greedy)
-
-            quantized = self._quantized
-
-            def put(b, r):
-                stacked = b.ndim == 5            # leading Layers dim
-                if quantized:   # head-major int8 leaves: slot dim after H
-                    if stacked:                  # (L, B, H, S, D|1)
-                        return b.at[:, slots, :, :bucket].set(
-                            r.astype(b.dtype))
-                    return b.at[slots, :, :bucket].set(r.astype(b.dtype))
-                if stacked:                      # (L, B, S, H, D)
-                    return b.at[:, slots, :bucket].set(r.astype(b.dtype))
-                return b.at[slots, :bucket].set(r.astype(b.dtype))
-
-            big_layers = jax.tree.map(put, big["layers"], rows["layers"])
-            return dict(big, layers=big_layers), first
-
-        return prefill_merge
-
-    def _prefill_merge_prefix_fn(self, plen: int, bucket: int, n: int):
-        """Prefix variant of _prefill_merge_fn: the scratch cache is
-        pre-loaded with the pinned prefix KV (broadcast to the group), the
-        SUFFIX embeddings prefill at global positions plen + j attending
-        prefix + causal-suffix, and the contiguous [0, plen + bucket)
-        region scatters into the big cache. One compile per
-        (prefix_len, suffix_bucket, group) — prefixes are few and long by
-        nature, so exact plen beats bucket-padding the prefix (which would
-        leave a gap between prefix and suffix rows in the slot)."""
-        cfg = self.cfg
+        n = embs.shape[0]
         W = plen + bucket                       # scratch width
         Wm = min(W, self.max_len)               # scatter width (big cache)
         quantized = self._quantized
         stacked = self.stacked
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def prefill_merge(params, big, pref_layers, embs, meta, key):
-            n_valid = meta[0].astype(jnp.int32)       # suffix lengths
-            temps = meta[1]
-            slots = meta[2].astype(jnp.int32)
-            ar = jnp.arange(bucket)
-            mask = ar[None, :] < n_valid[:, None]
-            pos = (plen + ar)[None, :] * mask
-            cache = decoder.init_cache(cfg, n, W, stacked=stacked,
-                                       quantize=quantized)
-
+        # meta (3, n) fp32: [prompt_len, temperature, slot] — one small
+        # transfer; masks/positions derive in-graph
+        n_valid = meta[0].astype(jnp.int32)
+        temps = meta[1]
+        slots = meta[2].astype(jnp.int32)
+        ar = jnp.arange(bucket)
+        mask = ar[None, :] < n_valid[:, None]
+        pos = (plen + ar)[None, :] * mask
+        cache = decoder.init_cache(cfg, n, W, stacked=stacked,
+                                   quantize=quantized)
+        if plen:
             def load(s, p):     # broadcast prefix rows into the scratch
                 if quantized:   # head-major leaves: slot dim after H
                     if s.ndim == 5:
                         return s.at[:, :, :, :plen].set(p.astype(s.dtype))
                     return s.at[:, :, :plen].set(p.astype(s.dtype))
-                if s.ndim == 5:                       # (L, B, S, H, D)
+                if s.ndim == 5:                 # (L, B, S, H, D)
                     return s.at[:, :, :plen].set(p.astype(s.dtype))
                 return s.at[:, :plen].set(p.astype(s.dtype))
 
@@ -374,40 +327,69 @@ class ServingEngine:
                          layers=jax.tree.map(load, cache["layers"],
                                              pref_layers),
                          index=jnp.asarray(plen, jnp.int32))
-            # keys: all prefix slots + causal suffix slots within length
-            arW = jnp.arange(W)
-            suff_q = ar[None, None, :, None]          # query suffix index
-            kv_suffix = arW[None, None, None, :] - plen
-            mask4 = ((kv_suffix < 0)
-                     | ((kv_suffix <= suff_q)
-                        & (kv_suffix < n_valid[:, None, None, None])))
-            hid, rows = decoder.forward(
-                params, cfg, embs, pos, mask4, cache=cache,
-                return_hidden=True, ntk_ctx=self.max_len)
-            last_h = jnp.take_along_axis(
-                hid, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)
-            last = decoder.head_logits(
-                params, cfg, last_h)[:, 0].astype(jnp.float32)
-            greedy = jnp.argmax(last, axis=-1).astype(jnp.int32)
-            sampled = jax.random.categorical(
-                key, last / jnp.maximum(temps, 1e-6)[:, None]
-            ).astype(jnp.int32)
-            first = jnp.where(temps > 0, sampled, greedy)
+        # keys: all prefix slots + causal suffix slots within each row's
+        # length (at plen == 0 this reduces to padding & causality for the
+        # rows that matter; padded QUERY rows differ from the old
+        # pos-clamped mask but their outputs are never read or attended)
+        arW = jnp.arange(W)
+        suff_q = ar[None, None, :, None]        # query suffix index
+        kv_suffix = arW[None, None, None, :] - plen
+        mask4 = ((kv_suffix < 0)
+                 | ((kv_suffix <= suff_q)
+                    & (kv_suffix < n_valid[:, None, None, None])))
+        # gather each row's last-valid HIDDEN state, then head once: a
+        # full-bucket vocab head is n*bucket*V fp32 of garbage. ntk_ctx
+        # pins the dynamic-NTK rotary base to the DECODE cache's capacity:
+        # the scratch cache is narrower, and rotating K here with a
+        # scratch-derived base would disagree with every later decode
+        # step's query base
+        hid, rows = decoder.forward(
+            params, cfg, embs, pos, mask4, cache=cache,
+            return_hidden=True, ntk_ctx=self.max_len)
+        last_h = jnp.take_along_axis(
+            hid, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)
+        last = decoder.head_logits(
+            params, cfg, last_h)[:, 0].astype(jnp.float32)
+        greedy = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        sampled = jax.random.categorical(
+            key, last / jnp.maximum(temps, 1e-6)[:, None]).astype(jnp.int32)
+        first = jnp.where(temps > 0, sampled, greedy)
 
-            def put(b, r):
-                st5 = b.ndim == 5
-                if quantized:
-                    if st5:
-                        return b.at[:, slots, :, :Wm].set(
-                            r[:, :, :, :Wm].astype(b.dtype))
-                    return b.at[slots, :, :Wm].set(
-                        r[:, :, :Wm].astype(b.dtype))
-                if st5:
-                    return b.at[:, slots, :Wm].set(r[:, :, :Wm].astype(b.dtype))
-                return b.at[slots, :Wm].set(r[:, :Wm].astype(b.dtype))
+        def put(b, r):
+            st5 = b.ndim == 5                   # leading Layers dim
+            if quantized:       # head-major leaves: slot dim after H
+                if st5:                         # (L, B, H, S, D|1)
+                    return b.at[:, slots, :, :Wm].set(
+                        r[:, :, :, :Wm].astype(b.dtype))
+                return b.at[slots, :, :Wm].set(r[:, :, :Wm].astype(b.dtype))
+            if st5:                             # (L, B, S, H, D)
+                return b.at[:, slots, :Wm].set(r[:, :, :Wm].astype(b.dtype))
+            return b.at[slots, :Wm].set(r[:, :Wm].astype(b.dtype))
 
-            big_layers = jax.tree.map(put, big["layers"], rows["layers"])
-            return dict(big, layers=big_layers), first
+        big_layers = jax.tree.map(put, big["layers"], rows["layers"])
+        return dict(big, layers=big_layers), first
+
+    def _prefill_merge_fn(self, bucket: int, n: int):
+        body = self._prefill_merge_body
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill_merge(params, big, embs, meta, key):
+            return body(0, bucket, params, big, None, embs, meta, key)
+
+        return prefill_merge
+
+    def _prefill_merge_prefix_fn(self, plen: int, bucket: int, n: int):
+        """Prefix variant: same shared graph with the scratch cache
+        pre-loaded from the pinned prefix KV. One compile per
+        (prefix_len, suffix_bucket, group) — prefixes are few and long by
+        nature, so exact plen beats bucket-padding the prefix (which would
+        leave a gap between prefix and suffix rows in the slot)."""
+        body = self._prefill_merge_body
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill_merge(params, big, pref_layers, embs, meta, key):
+            return body(plen, bucket, params, big, pref_layers, embs, meta,
+                        key)
 
         return prefill_merge
 

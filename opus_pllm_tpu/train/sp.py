@@ -42,51 +42,25 @@ from .multimodal_trainer import MMTrainState, _assemble
 
 
 def _local_ce(llm_params, llm_cfg, hid, tg, valid, chunk: int):
-    """CE partial sums over a LOCAL shard with PRE-SHIFTED targets.
-
-    Unlike opus.next_token_loss_hidden there is no in-function shift —
-    the global shift happened before sharding (the next token of a
-    shard-boundary position lives in the next shard). chunk > 0 bounds
-    live logits to (B, chunk, V) with a checkpointed scan, same memory
-    trade as TrainConfig.ce_chunk."""
-    b, s, _ = hid.shape
-    tg_safe = jnp.maximum(tg, 0)
-    if chunk <= 0 or chunk >= s:
-        logits = decoder.head_logits(llm_params, llm_cfg, hid).astype(
-            jnp.float32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, tg_safe[..., None], axis=-1)[..., 0]
-        return (jnp.sum(jnp.where(valid, nll, 0.0)),
-                jnp.sum(valid.astype(jnp.int32)))
-
-    n = -(-s // chunk)
-    pad = n * chunk - s
-    if pad:
-        hid = jnp.pad(hid, ((0, 0), (0, pad), (0, 0)))
-        tg_safe = jnp.pad(tg_safe, ((0, 0), (0, pad)))
-        valid = jnp.pad(valid, ((0, 0), (0, pad)))
-    hs = hid.reshape(b, n, chunk, hid.shape[-1]).transpose(1, 0, 2, 3)
-    tc = tg_safe.reshape(b, n, chunk).transpose(1, 0, 2)
-    vc = valid.reshape(b, n, chunk).transpose(1, 0, 2)
-
-    def body(carry, xs):
-        h, t, v = xs
-        logits = decoder.head_logits(llm_params, llm_cfg, h).astype(
-            jnp.float32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
-        return (carry[0] + jnp.sum(jnp.where(v, nll, 0.0)),
-                carry[1] + jnp.sum(v.astype(jnp.int32))), None
-
-    init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
-    (tot, cnt), _ = jax.lax.scan(jax.checkpoint(body), init, (hs, tc, vc))
-    return tot, cnt
+    """CE partial sums over a LOCAL shard with PRE-SHIFTED targets — the
+    shift=False / reduce=False mode of opus.next_token_loss_hidden (the
+    global shift happened before sharding: a shard-boundary position's
+    target lives in the next shard). chunk <= 0 runs as one chunk."""
+    s = hid.shape[1]
+    # valid already folds the mask; pass all-True so the helper's
+    # (tg != IGNORE) & mask matches exactly
+    tg = jnp.where(valid, tg, IGNORE_INDEX)
+    from ..parallel.ring import SEQ_AXIS as _AX
+    return opus.next_token_loss_hidden(
+        llm_params, llm_cfg, hid, tg, jnp.ones(tg.shape, bool),
+        chunk=chunk if 0 < chunk < s else s, shift=False, reduce=False,
+        vary_axis=_AX)
 
 
 def make_sp_train_step(cfg: OpusConfig, tx, mesh, *,
                        lora_cfg: Optional[LoRAConfig] = None,
                        donate: bool = True, ce_chunk: int = 0,
-                       remat: bool = True):
+                       remat: bool = True, scan_mode: str = "xs"):
     """Jitted sequence-parallel train step over `mesh` (a ("seq",) mesh,
     ring.make_sp_mesh). Same state/batch surface as
     multimodal_trainer.make_train_step; loss and updated state equal the
@@ -125,10 +99,15 @@ def make_sp_train_step(cfg: OpusConfig, tx, mesh, *,
         s_loc = s_pad // n_seq
         sl = lambda x: jax.lax.dynamic_slice_in_dim(  # noqa: E731
             x, idx * s_loc, s_loc, axis=1)
+        # ntk_ctx pins the dynamic-NTK rotary base to the GLOBAL padded
+        # length: the ring path's mask is the 2-D local shard mask, so the
+        # default mask-derived context would be S/n_seq — under-scaling
+        # the base per shard and diverging from the single-device step
         hid, _ = decoder.forward(
             params["llm"], cfg.llm, sl(emb), sl(pos), sl(kvm),
             lora=trainable.get("lora"), lora_scale=ls, remat=remat,
-            return_hidden=True, impl="ring")
+            return_hidden=True, impl="ring", scan_mode=scan_mode,
+            ntk_ctx=s_pad)
         tot, cnt = _local_ce(params["llm"], cfg.llm, hid, sl(tg), sl(valid),
                              ce_chunk)
         tot = jax.lax.psum(tot, SEQ_AXIS)
@@ -166,7 +145,8 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg, frozen, batches,
     --seq-shards surface). Params/batches stay replicated — the sharding
     happens along the sequence inside the step."""
     step_fn = make_sp_train_step(cfg, tx, mesh, lora_cfg=lora_cfg,
-                                 ce_chunk=getattr(tcfg, "ce_chunk", 0))
+                                 ce_chunk=getattr(tcfg, "ce_chunk", 0),
+                                 scan_mode=getattr(tcfg, "scan_mode", "xs"))
 
     def place(batch):
         return {k: jnp.asarray(v) for k, v in batch.items()}

@@ -39,24 +39,49 @@ def prefetch_to_device(batches: Iterable, size: int = 2,
     place = place or (lambda b: jax.tree.map(jax.device_put, b))
     q: "queue.Queue" = queue.Queue(maxsize=size)
     err: list = []
+    abandoned = threading.Event()
 
     def produce():
         try:
             for b in batches:
-                q.put(place(b))
+                staged = place(b)
+                # bounded put that re-checks for an abandoned consumer: a
+                # consumer that stops iterating early (train-step raise,
+                # partial loop) must not leave this thread blocked forever
+                # pinning `size` staged device batches + the dataset
+                # iterator for the life of the process
+                while not abandoned.is_set():
+                    try:
+                        q.put(staged, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if abandoned.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — forwarded to consumer
             err.append(e)
         finally:
-            q.put(_END)
+            # the sentinel must be DELIVERED on normal completion (a full
+            # queue just means the consumer is still draining), but must
+            # not block forever if the consumer is gone
+            while not abandoned.is_set():
+                try:
+                    q.put(_END, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=produce, daemon=True,
                          name="opus-pllm-prefetch")
     t.start()
 
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        abandoned.set()

@@ -79,3 +79,30 @@ def test_fit_with_and_without_prefetch_identical():
     l2 = jax.tree.leaves(s2.trainable)
     for a, b in zip(l0, l2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_abandoned_consumer_unblocks_producer():
+    """A consumer that stops iterating early must not leave the producer
+    thread blocked in q.put forever (code-review round-3 finding)."""
+    import threading
+    import time
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield {"x": np.full((2,), i)}
+
+    it = prefetch_to_device(gen(), size=2)
+    next(it)
+    it.close()                     # abandon: GeneratorExit -> finally
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        alive = [t for t in threading.enumerate()
+                 if t.name == "opus-pllm-prefetch" and t.is_alive()]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not alive, "producer thread still blocked after consumer close"
+    assert len(produced) < 100     # it stopped early, not ran to the end

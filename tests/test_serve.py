@@ -324,3 +324,32 @@ def test_prefix_cache_validation(tiny):
                                 max_new_tokens=30, prefix_id="sys"))
     with pytest.raises(ValueError, match=">= max_len"):
         eng.register_prefix("big", embeds=_emb(cfg, 0, 40))
+
+
+def test_warmup_covers_prefix_shapes(tiny):
+    """A prefix registered before warmup() gets its admission shapes
+    pre-compiled: prefix traffic afterwards triggers NO new compilations
+    and matches a cold engine token for token."""
+    cfg, params = tiny
+    pre = _emb(cfg, 7, 9)
+    reqs = lambda: [ServeRequest(i, embeds=_emb(cfg, i, 4 + i),
+                                 max_new_tokens=4, temperature=0.0,
+                                 prefix_id="sys") for i in range(2)]
+
+    cold = ServingEngine(params, cfg, max_slots=2, max_len=64,
+                         prefill_buckets=(8,))
+    cold.register_prefix("sys", embeds=pre)
+    cold_out = cold.run(reqs())
+
+    warm = ServingEngine(params, cfg, max_slots=2, max_len=64,
+                         prefill_buckets=(8,))
+    warm.register_prefix("sys", embeds=pre)
+    warm.warmup()
+    n_prefills = len(warm._prefills)
+    sizes = {k: f._cache_size() for k, f in warm._prefills.items()}
+    warm_out = warm.run(reqs())
+
+    assert len(warm._prefills) == n_prefills          # no new shapes
+    assert {k: f._cache_size() for k, f in warm._prefills.items()} == sizes
+    for i in range(2):
+        assert warm_out[i].tokens == cold_out[i].tokens

@@ -83,3 +83,35 @@ def test_sp_step_trains():
         losses.append(float(m["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_sp_step_matches_single_device_dynamic_ntk():
+    """With use_dynamic_ntk the rotary base must derive from the GLOBAL
+    sequence length, not the local shard length — the SP step pins it via
+    ntk_ctx (code-review round-3 finding: loss varied with shard count,
+    5.70428 / 5.70303 / 5.70158 at 1/2/4 shards, before the fix)."""
+    import dataclasses
+
+    cfg = OpusConfig.tiny("llama")
+    llm = dataclasses.replace(cfg.llm, use_dynamic_ntk=True,
+                              max_position_embeddings=8)
+    cfg = dataclasses.replace(cfg, llm=llm)
+    lcfg = LoRAConfig(rank=2)
+    tcfg = TrainConfig(learning_rate=1e-3)
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    # l=29 -> spliced length 32 (l + n_tokens - 1): divisible by 2 and 4,
+    # so the SP pad is a no-op and both paths see the same global context
+    batch = _batch(cfg, l=29)
+
+    def run(step_builder):
+        state, tx = mmt.create_state(jax.random.PRNGKey(1), cfg, tcfg,
+                                     params, train_switch=True,
+                                     lora_cfg=lcfg)
+        _, m = step_builder(tx)(state, params, batch)
+        return float(m["loss"])
+
+    loss_ref = run(lambda tx: mmt.make_train_step(cfg, tx, lora_cfg=lcfg))
+    for n_seq in (2, 4):
+        loss_sp = run(lambda tx: sp.make_sp_train_step(
+            cfg, tx, ring.make_sp_mesh(n_seq), lora_cfg=lcfg))
+        np.testing.assert_allclose(loss_sp, loss_ref, rtol=2e-5, atol=2e-6)
