@@ -27,8 +27,12 @@ step validate python scripts/validate_tpu.py --json VALIDATE_r03b.json
 step int4kv python scripts/exp_int4kv.py
 
 # 3. stage-(c/d) A/B: round-1 worktree vs HEAD, identical two-point timing
+# (worktree created on demand and removed after — a resident copy of the
+# round-1 tree would pollute LoC/copy scans of the repo)
+git worktree add /root/repo/.wt_r1 2732ea1 2>/dev/null || true
 step ab_head python scripts/ab_stage_cd.py --path /root/repo
 step ab_r1   python scripts/ab_stage_cd.py --path /root/repo/.wt_r1
+git worktree remove --force /root/repo/.wt_r1 2>/dev/null || true
 
 # 4. full bench capture
 step bench python bench.py
