@@ -129,6 +129,52 @@ def ring_attention(q, k, v, kv_mask, *, axis_name: str = SEQ_AXIS,
     return out.reshape(b, s_loc, hq, d).astype(q.dtype)
 
 
+def sharded_decode_attention(q, k_shard, v_shard, kv_mask, *,
+                             axis_name: str = SEQ_AXIS,
+                             scale: Optional[float] = None):
+    """Decode attention over a SEQUENCE-SHARDED KV cache (call inside
+    shard_map): every device holds the same replicated queries
+    q (B, 1, Hq, D) and one shard of the cache k/v (B, S_loc, Hkv, D) with
+    its validity kv_mask (B, S_loc); each computes a partial softmax over
+    its shard and the partials merge with the log-sum-exp rule:
+
+        m = pmax(m_i);  l = psum(l_i * e^(m_i - m));
+        out = psum(acc_i * e^(m_i - m)) / l
+
+    — two psums and a pmax per step, no cache movement. This is the math
+    core of sequence-parallel DECODE (contexts whose KV cache exceeds one
+    chip's HBM): the ring handles prefill (queries sharded), this handles
+    decode (queries replicated, keys sharded). Engine integration is a
+    pod-round item; the primitive is exact vs single-device attention
+    (tests/test_ring_attention.py).
+
+    A key slot masked on every device contributes nothing; slots must be
+    valid on exactly ONE device (global ownership), or they are counted
+    once per device that exposes them.
+    """
+    b, sq, hq, d = q.shape
+    hkv = k_shard.shape[2]
+    g = hq // hkv
+    scale = (1.0 / math.sqrt(d)) if scale is None else scale
+
+    qf = (q.astype(jnp.float32) * scale).reshape(b, sq, hkv, g, d)
+    s_blk = jnp.einsum("bqhgd,bkhd->bhgqk", qf,
+                       k_shard.astype(jnp.float32))
+    s_blk = jnp.where(kv_mask[:, None, None, None, :], s_blk, NEG_LARGE)
+    m_i = jnp.max(s_blk, axis=-1)                        # (B, Hkv, G, Sq)
+    m = jax.lax.pmax(m_i, axis_name)
+    p = jnp.exp(s_blk - m[..., None])
+    # a fully-masked LOCAL shard: m == m_i == NEG_LARGE only if masked
+    # everywhere globally; locally-masked columns contribute exp(<very
+    # negative>) ~ 0 once any device holds a valid key
+    l = jax.lax.psum(jnp.sum(p, axis=-1), axis_name)
+    acc = jax.lax.psum(
+        jnp.einsum("bhgqk,bkhd->bqhgd", p, v_shard.astype(jnp.float32)),
+        axis_name)
+    out = acc / jnp.maximum(l, 1e-30).transpose(0, 3, 1, 2)[..., None]
+    return out.reshape(b, sq, hq, d).astype(q.dtype)
+
+
 def make_sp_mesh(n: Optional[int] = None, devices=None) -> Mesh:
     """1-D ("seq",) mesh — sequence parallelism over all (or n) devices."""
     import numpy as np

@@ -73,3 +73,34 @@ def test_ring_grad_flows():
     g_ring = np.asarray(jax.grad(loss_ring)(q))
     g_ref = np.asarray(jax.grad(loss_ref)(q))
     np.testing.assert_allclose(g_ring, g_ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2)])
+def test_sharded_decode_attention_matches_single_device(hq, hkv):
+    """LSE-merged partial attention over a sequence-sharded KV cache ==
+    single-device attention with the global mask (the SP decode core)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    b, s, d, n_dev = 2, 64, 32, 4
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((b, 1, hq, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.float32)
+    mask = np.ones((b, s), bool)
+    mask[0, 50:] = False                  # partially-filled cache
+    mask[1, 23:] = False
+    mask = jnp.asarray(mask)
+
+    ref = np.asarray(attention_xla(q, k, v, mask[:, None, None, :]))
+
+    mesh = ring.make_sp_mesh(n_dev)
+    fn = jax.shard_map(
+        functools.partial(ring.sharded_decode_attention),
+        mesh=mesh,
+        in_specs=(P(), P(None, ring.SEQ_AXIS), P(None, ring.SEQ_AXIS),
+                  P(None, ring.SEQ_AXIS)),
+        out_specs=P())
+    out = np.asarray(jax.jit(fn)(q, k, v, mask))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
