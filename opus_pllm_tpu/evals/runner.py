@@ -46,17 +46,11 @@ class EvalReport:
     seconds: float
 
 
-def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
-                    gen: GenerationConfig, *, prompt_bucket: int,
-                    esm_bucket: int, impl: str, batch_index: int = 0,
-                    mesh=None):
-    """One padded batch through splice -> generate -> decode.
-
-    `batch_index` folds into the sampling key — otherwise every batch would
-    reuse identical randomness and correlate its samples. With `mesh`, the
-    batch shards over the "data" axis (params are already mesh-sharded by
-    the caller) so the whole pipeline runs SPMD.
-    """
+def _prepare_inputs(tokenizer, prompts, sequences, *, prompt_bucket: int,
+                    esm_bucket: int, mesh=None):
+    """Host-side batch prep: tokenize + bucket-pad + transfer (and mesh
+    placement). Pure function of the inputs, so the eval loops run it on
+    the prefetch thread, overlapped with the previous batch's generate."""
     tok_ids = [tokenize_with_seq(p, tokenizer.encode,
                                  getattr(tokenizer, "bos_token_id", None))
                for p in prompts]
@@ -69,8 +63,6 @@ def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
                                 max_len=round_up(aa_len, esm_bucket))
     ids, mask, esm_toks = (jnp.asarray(ids), jnp.asarray(mask),
                            jnp.asarray(esm_toks)[:, None])
-    import contextlib
-    ctx = mesh if mesh is not None else contextlib.nullcontext()
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -80,8 +72,27 @@ def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
         else:
             # interactive/undersized batches replicate (chat with B=1)
             rep = NamedSharding(mesh, P())
-            ids, mask, esm_toks = (jax.device_put(x, rep)
-                                   for x in (ids, mask, esm_toks))
+            ids, mask, esm_toks = tuple(jax.device_put(x, rep)
+                                        for x in (ids, mask, esm_toks))
+    return ids, mask, esm_toks
+
+
+def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
+                    gen: GenerationConfig, *, prompt_bucket: int,
+                    esm_bucket: int, impl: str, batch_index: int = 0,
+                    mesh=None):
+    """One padded batch through splice -> generate -> decode.
+
+    `batch_index` folds into the sampling key — otherwise every batch would
+    reuse identical randomness and correlate its samples. With `mesh`, the
+    batch shards over the "data" axis (params are already mesh-sharded by
+    the caller) so the whole pipeline runs SPMD.
+    """
+    ids, mask, esm_toks = _prepare_inputs(
+        tokenizer, prompts, sequences, prompt_bucket=prompt_bucket,
+        esm_bucket=esm_bucket, mesh=mesh)
+    import contextlib
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
     with ctx:
         return _generate_spliced(params, cfg, tokenizer, ids, mask, esm_toks,
                                  gen, impl=impl, batch_index=batch_index)
@@ -136,17 +147,21 @@ def run_annotation_eval(params, cfg: OpusConfig, tokenizer, file_path: str,
         eos_token_id=getattr(tokenizer, "eos_token_id", -1),
         pad_token_id=getattr(tokenizer, "pad_token_id", 0))
 
+    import contextlib
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
     results = []
     t0 = time.perf_counter()
-    for s in range(0, len(examples), batch_size):
-        chunk, n_real = _pad_chunk(examples[s:s + batch_size], batch_size)
-        prompts = [annotation_prompt(ds.instruction_for(e, file_path),
-                                     VICUNA_V0) for e in chunk]
-        texts = _generate_batch(params, cfg, tokenizer, prompts,
-                                [e.sequence for e in chunk], gen,
-                                prompt_bucket=prompt_bucket,
-                                esm_bucket=esm_bucket, impl=impl,
-                                batch_index=s // batch_size, mesh=mesh)
+    batches = _prefetched_batches(
+        examples, batch_size,
+        lambda chunk: [annotation_prompt(ds.instruction_for(e, file_path),
+                                         VICUNA_V0) for e in chunk],
+        tokenizer, prompt_bucket=prompt_bucket, esm_bucket=esm_bucket,
+        mesh=mesh)
+    for chunk, n_real, bi, (ids, mask, esm_toks) in batches:
+        with ctx:
+            texts = _generate_spliced(params, cfg, tokenizer, ids, mask,
+                                      esm_toks, gen, impl=impl,
+                                      batch_index=bi)
         results.extend({"ground_truth": e.output, "generated": t}
                        for e, t in zip(chunk[:n_real], texts[:n_real]))
     dt = time.perf_counter() - t0
@@ -163,6 +178,28 @@ def run_annotation_eval(params, cfg: OpusConfig, tokenizer, file_path: str,
                                   bert_embed_fn=bert_embed_fn)
         log_fn(str(metrics))
     return EvalReport(results, metrics, eps, dt)
+
+
+def _prefetched_batches(examples, batch_size: int, make_prompts, tokenizer,
+                        *, prompt_bucket: int, esm_bucket: int, mesh=None):
+    """Generator of (chunk, n_real, batch_index, prepared input arrays)
+    with the host-side prep (prompt assembly, tokenization, bucket-pad,
+    transfer) running on the prefetch thread — the tokenize of batch i+1
+    overlaps the generate of batch i (utils/prefetch.py), the role the
+    reference's DataLoader workers play for its eval loop."""
+    def produce():
+        for bi, s in enumerate(range(0, len(examples), batch_size)):
+            chunk, n_real = _pad_chunk(examples[s:s + batch_size],
+                                       batch_size)
+            prompts = make_prompts(chunk)
+            arrays = _prepare_inputs(tokenizer, prompts,
+                                     [e.sequence for e in chunk],
+                                     prompt_bucket=prompt_bucket,
+                                     esm_bucket=esm_bucket, mesh=mesh)
+            yield chunk, n_real, bi, arrays
+
+    from ..utils.prefetch import prefetch_to_device
+    return prefetch_to_device(produce(), size=2, place=lambda b: b)
 
 
 def _pad_chunk(chunk, batch_size: int):
@@ -212,16 +249,21 @@ def run_mcq_eval(params, cfg: OpusConfig, tokenizer, file_path: str, *,
         return conv.get_prompt_chatml(add_generation_prompt=True)
 
     render = render_prompt or default_render
+    import contextlib
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
     results = []
     t0 = time.perf_counter()
-    for s in range(0, len(examples), batch_size):
-        chunk, n_real = _pad_chunk(examples[s:s + batch_size], batch_size)
-        prompts = [render(ds.mcq_prompt(e.question, e.options)) for e in chunk]
-        texts = _generate_batch(params, cfg, tokenizer, prompts,
-                                [e.sequence for e in chunk], gen,
-                                prompt_bucket=prompt_bucket,
-                                esm_bucket=esm_bucket, impl=impl,
-                                batch_index=s // batch_size, mesh=mesh)
+    batches = _prefetched_batches(
+        examples, batch_size,
+        lambda chunk: [render(ds.mcq_prompt(e.question, e.options))
+                       for e in chunk],
+        tokenizer, prompt_bucket=prompt_bucket, esm_bucket=esm_bucket,
+        mesh=mesh)
+    for chunk, n_real, bi, (ids, mask, esm_toks) in batches:
+        with ctx:
+            texts = _generate_spliced(params, cfg, tokenizer, ids, mask,
+                                      esm_toks, gen, impl=impl,
+                                      batch_index=bi)
         results.extend({"ground_truth": e.answer, "generated": t}
                        for e, t in zip(chunk[:n_real], texts[:n_real]))
     dt = time.perf_counter() - t0
