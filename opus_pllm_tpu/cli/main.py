@@ -345,20 +345,39 @@ def _train_multimodal(args, *, lora: bool) -> None:
     state, tx = mmt.create_state(jax.random.PRNGKey(args.seed), cfg, tcfg,
                                  params, train_switch=not lora or args.train_switch,
                                  lora_cfg=lcfg)
+    # periodic full-state checkpoints (trainable + optimizer + step) live
+    # in a SEPARATE subdir so the final trainable-only save below stays
+    # the load surface for convert/eval
+    save_every = getattr(args, "save_every", 0)
+    rs_mgr = None
+    if save_every or getattr(args, "resume", False):
+        import os as _os
+        rs_mgr = CheckpointManager(_os.path.join(args.out, "resume_state"),
+                                   max_to_keep=2)
+    skip = 0
+    if getattr(args, "resume", False) and rs_mgr.latest_step() is not None:
+        state = mmt.restore_state(rs_mgr, state)
+        skip = int(state.step)
+        print(f"resuming from step {skip}")
     if mesh is not None:
         state = mmt.shard_state(mesh, state)
     mgr = CheckpointManager(args.out, max_to_keep=2)
     batches = instruction_batches(ds, tok, tcfg.batch_size, seed=args.seed,
                                   epochs=tcfg.num_epochs,
                                   max_len=args.max_len)
+    if skip:
+        import itertools
+        batches = itertools.islice(batches, skip, None)
     if seq_shards:
         from ..parallel.ring import make_sp_mesh
         from ..train import sp as sp_mod
         state = sp_mod.fit(state, tx, cfg, tcfg, params, batches,
-                           make_sp_mesh(seq_shards), lora_cfg=lcfg)
+                           make_sp_mesh(seq_shards), lora_cfg=lcfg,
+                           ckpt=rs_mgr, save_every=save_every)
     else:
         state = mmt.fit(state, tx, cfg, tcfg, params, batches,
-                        lora_cfg=lcfg, mesh=mesh)
+                        lora_cfg=lcfg, mesh=mesh,
+                        ckpt=rs_mgr, save_every=save_every)
     mgr.save(int(state.step), state.trainable)
     print(f"saved trainable tree at step {int(state.step)} -> {args.out}")
     if args.export_reference_format:
@@ -542,6 +561,14 @@ def build_parser() -> argparse.ArgumentParser:
                             "XLA's stacked-weight relayout copies to one "
                             "layer — required (with --ce-chunk) for the "
                             "single-chip 8B training recipe")
+        t.add_argument("--save-every", type=int, default=0,
+                       help="checkpoint the full train state (trainable + "
+                            "optimizer + step) every N steps into "
+                            "OUT/resume_state")
+        t.add_argument("--resume", action="store_true",
+                       help="resume from the latest OUT/resume_state "
+                            "checkpoint (skips the consumed batches of "
+                            "the seeded data stream)")
         t.add_argument("--seq-shards", type=int, default=0,
                        help="sequence-parallel training over a ('seq',) "
                             "mesh of this many devices (ring attention, "

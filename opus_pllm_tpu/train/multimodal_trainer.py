@@ -149,12 +149,18 @@ def shard_state(mesh, state: MMTrainState) -> MMTrainState:
 
 def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
         batches, *, lora_cfg: Optional[LoRAConfig] = None, mesh=None,
-        log_fn=print, prefetch: int = 2):
+        log_fn=print, prefetch: int = 2, ckpt=None, save_every: int = 0):
     """Train loop. With `mesh`, `frozen`/`state` must already be
     mesh-sharded (parallel/partition + shard_state); each batch shards over
     the "data" axis and XLA inserts the gradient all-reduce. `prefetch`
     batches are staged host->device on a background thread (the torch
-    DataLoader-workers role; utils/prefetch.py); 0 disables."""
+    DataLoader-workers role; utils/prefetch.py); 0 disables.
+
+    ckpt + save_every > 0: every `save_every` steps the FULL train state
+    (trainable + optimizer moments + step) saves to the
+    core.checkpoint.CheckpointManager `ckpt` — restore with
+    restore_state(ckpt, state) and skip int(state.step) batches to resume
+    a killed run exactly (tests/test_train.py)."""
     import contextlib
 
     step_fn = make_train_step(cfg, tx, lora_cfg=lora_cfg,
@@ -179,4 +185,15 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
             if tcfg.log_every and i % tcfg.log_every == 0:
                 log_fn(f"step {int(state.step)}: "
                        f"loss={float(metrics['loss']):.4f}")
+            if ckpt is not None and save_every and \
+                    int(state.step) % save_every == 0:
+                ckpt.save(int(state.step), state._asdict())
     return state
+
+
+def restore_state(ckpt, like: MMTrainState,
+                  step: Optional[int] = None) -> MMTrainState:
+    """Restore a full train state saved by fit(ckpt=..., save_every=...).
+    `like` provides structure/placement (a freshly built state)."""
+    restored = ckpt.restore(step, like=like._asdict())
+    return MMTrainState(**restored)

@@ -140,7 +140,7 @@ def make_sp_train_step(cfg: OpusConfig, tx, mesh, *,
 
 def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg, frozen, batches,
         mesh, *, lora_cfg: Optional[LoRAConfig] = None, log_fn=print,
-        prefetch: int = 2):
+        prefetch: int = 2, ckpt=None, save_every: int = 0):
     """Sequence-parallel mirror of multimodal_trainer.fit (the CLI
     --seq-shards surface). Params/batches stay replicated — the sharding
     happens along the sequence inside the step."""
@@ -160,4 +160,7 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg, frozen, batches,
         if tcfg.log_every and i % tcfg.log_every == 0:
             log_fn(f"step {int(state.step)}: "
                    f"loss={float(metrics['loss']):.4f}")
+        if ckpt is not None and save_every and \
+                int(state.step) % save_every == 0:
+            ckpt.save(int(state.step), state._asdict())
     return state

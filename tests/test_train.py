@@ -186,3 +186,64 @@ def test_lora_train_over_int4_frozen_base():
     assert losses[-1] < losses[0]
     assert not np.allclose(
         before_b, np.asarray(state.trainable["lora"]["layers"][0]["q_proj"]["B"]))
+
+
+def test_fit_periodic_save_and_exact_resume(tmp_path):
+    """fit(ckpt=..., save_every=1) checkpoints the FULL state (trainable +
+    optimizer moments + step); a killed run resumed from the checkpoint
+    finishes bit-identical to an uninterrupted run."""
+    from opus_pllm_tpu.core.checkpoint import CheckpointManager
+    from opus_pllm_tpu.core.config import (IGNORE_INDEX, LoRAConfig,
+                                           OpusConfig, SEQ_TOKEN_INDEX,
+                                           TrainConfig)
+    from opus_pllm_tpu.models import opus as opus_mod
+    from opus_pllm_tpu.train import multimodal_trainer as mmt
+
+    cfg = OpusConfig.tiny("llama")
+    tcfg = TrainConfig(learning_rate=1e-3, batch_size=2, log_every=0)
+    lcfg = LoRAConfig(rank=2)
+    params = opus_mod.init(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(0)
+
+    def batch():
+        ids = rng.integers(4, cfg.llm.vocab_size, (2, 16)).astype(np.int32)
+        ids[:, 1] = SEQ_TOKEN_INDEX
+        labels = ids.copy()
+        labels[:, :4] = IGNORE_INDEX
+        esm = np.full((2, 1, 8), 5, np.int32)
+        esm[:, :, 0], esm[:, :, -1] = 0, 2
+        return {"input_ids": ids, "attn_mask": np.ones((2, 16), bool),
+                "labels": labels, "esm_tokens": esm}
+
+    data = [batch() for _ in range(4)]
+
+    def fresh_state():
+        return mmt.create_state(jax.random.PRNGKey(1), cfg, tcfg, params,
+                                train_switch=True, lora_cfg=lcfg)
+
+    # uninterrupted reference
+    st, tx = fresh_state()
+    ref = mmt.fit(st, tx, cfg, tcfg, params, iter(data), lora_cfg=lcfg,
+                  log_fn=lambda *a: None, prefetch=0)
+
+    # interrupted: 2 steps with periodic saves, then resume for the rest
+    mgr = CheckpointManager(str(tmp_path / "resume"), max_to_keep=2)
+    st, tx = fresh_state()
+    mmt.fit(st, tx, cfg, tcfg, params, iter(data[:2]), lora_cfg=lcfg,
+            log_fn=lambda *a: None, prefetch=0, ckpt=mgr, save_every=1)
+    assert mgr.latest_step() == 2
+
+    st2, tx2 = fresh_state()
+    st2 = mmt.restore_state(mgr, st2)
+    assert int(st2.step) == 2
+    out = mmt.fit(st2, tx2, cfg, tcfg, params, iter(data[2:]),
+                  lora_cfg=lcfg, log_fn=lambda *a: None, prefetch=0)
+
+    assert int(out.step) == int(ref.step) == 4
+    for a, b in zip(jax.tree.leaves(ref.trainable),
+                    jax.tree.leaves(out.trainable)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ref.opt_state),
+                    jax.tree.leaves(out.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
