@@ -52,12 +52,21 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
                                                  create=True))
 
-    def save(self, step: int, tree: Any) -> None:
+    def save(self, step: int, tree: Any, *, wait: bool = True) -> None:
+        """wait=False returns as soon as the save is staged (Orbax
+        serializes in the background) — the periodic in-training saves use
+        this so checkpointing never stalls the step loop; call wait() (or
+        any restore/latest_step-after-save) before relying on the files."""
         import orbax.checkpoint as ocp
         self._mgr.save(step, args=ocp.args.PyTreeSave(tree))
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def wait(self) -> None:
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, step: Optional[int] = None,

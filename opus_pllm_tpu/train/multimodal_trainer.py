@@ -187,7 +187,9 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
                        f"loss={float(metrics['loss']):.4f}")
             if ckpt is not None and save_every and \
                     int(state.step) % save_every == 0:
-                ckpt.save(int(state.step), state._asdict())
+                ckpt.save(int(state.step), state._asdict(), wait=False)
+    if ckpt is not None and save_every:
+        ckpt.wait()
     return state
 
 
