@@ -306,6 +306,17 @@ def cmd_train_cstp(args) -> None:
     se, te = ds.arrays()
     state, tx = cstp_trainer.create_state(jax.random.PRNGKey(args.seed), cfg,
                                           tcfg)
+    save_every = getattr(args, "save_every", 0)
+    rs_mgr = None
+    if save_every or getattr(args, "resume", False):
+        import os as _os
+        rs_mgr = CheckpointManager(_os.path.join(args.out, "resume_state"),
+                                   max_to_keep=2)
+    skip = 0
+    if getattr(args, "resume", False) and rs_mgr.latest_step() is not None:
+        state = cstp_trainer.restore_state(rs_mgr, state)
+        skip = int(state.step)
+        print(f"resuming from step {skip}")
     mesh = None
     if getattr(args, "mesh", None):
         from ..core.mesh import make_mesh, parse_mesh_flag
@@ -317,7 +328,14 @@ def cmd_train_cstp(args) -> None:
                                   epochs=tcfg.num_epochs):
             yield se[idx], te[idx]
 
-    state = cstp_trainer.fit(state, tx, cfg, tcfg, batches(), mesh=mesh)
+    import itertools
+    data = batches()
+    if skip:
+        data = itertools.islice(data, skip, None)
+    if getattr(args, "max_steps", 0):
+        data = itertools.islice(data, max(args.max_steps - skip, 0))
+    state = cstp_trainer.fit(state, tx, cfg, tcfg, data, mesh=mesh,
+                             ckpt=rs_mgr, save_every=save_every)
     mgr.save(int(state.step), state.params)
     print(f"saved CSTP adapter at step {int(state.step)} -> {args.out}")
 
@@ -365,9 +383,11 @@ def _train_multimodal(args, *, lora: bool) -> None:
     batches = instruction_batches(ds, tok, tcfg.batch_size, seed=args.seed,
                                   epochs=tcfg.num_epochs,
                                   max_len=args.max_len)
+    import itertools
     if skip:
-        import itertools
         batches = itertools.islice(batches, skip, None)
+    if getattr(args, "max_steps", 0):
+        batches = itertools.islice(batches, max(args.max_steps - skip, 0))
     if seq_shards:
         from ..parallel.ring import make_sp_mesh
         from ..train import sp as sp_mod
@@ -534,6 +554,13 @@ def build_parser() -> argparse.ArgumentParser:
     tc.add_argument("--mesh", default=None, metavar="DATA[,MODEL]",
                     help="DP mesh for stage (a): embedding batches shard "
                          "over the data axis (Lightning DDP's role)")
+    tc.add_argument("--max-steps", type=int, default=0,
+                   help="stop after N optimizer steps (0 = all)")
+    tc.add_argument("--save-every", type=int, default=0,
+                   help="checkpoint the full train state every N steps "
+                        "into OUT/resume_state")
+    tc.add_argument("--resume", action="store_true",
+                   help="resume from the latest OUT/resume_state")
     tc.add_argument("--distributed", action="store_true",
                     help="multi-host: jax.distributed.initialize first")
     tc.set_defaults(fn=cmd_train_cstp)
@@ -561,6 +588,8 @@ def build_parser() -> argparse.ArgumentParser:
                             "XLA's stacked-weight relayout copies to one "
                             "layer — required (with --ce-chunk) for the "
                             "single-chip 8B training recipe")
+        t.add_argument("--max-steps", type=int, default=0,
+                       help="stop after N optimizer steps (0 = all)")
         t.add_argument("--save-every", type=int, default=0,
                        help="checkpoint the full train state (trainable + "
                             "optimizer + step) every N steps into "

@@ -109,7 +109,8 @@ def evaluate(params, cfg: CSTPConfig, batches) -> dict:
 def fit(state: CSTPTrainState, tx, cfg: CSTPConfig, tcfg: TrainConfig,
         batches: Iterator[Tuple[np.ndarray, np.ndarray]],
         val_batches_fn=None, mesh=None, log_fn=print,
-        prefetch: int = 2) -> CSTPTrainState:
+        prefetch: int = 2, ckpt=None,
+        save_every: int = 0) -> CSTPTrainState:
     """Minimal epoch loop: batches yield (seq_emb, text_emb) of equal B.
 
     Replaces pl.Trainer.fit for the fully-specified Lightning module the
@@ -147,6 +148,9 @@ def fit(state: CSTPTrainState, tx, cfg: CSTPConfig, tcfg: TrainConfig,
     with ctx:
         for i, (se, te) in enumerate(map(place, batches)):
             state, metrics = step_fn(state, se, te)
+            if ckpt is not None and save_every and \
+                    int(state.step) % save_every == 0:
+                ckpt.save(int(state.step), state._asdict(), wait=False)
             if tcfg.log_every and i % tcfg.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 log_fn(f"step {int(state.step)}: " +
@@ -155,4 +159,13 @@ def fit(state: CSTPTrainState, tx, cfg: CSTPConfig, tcfg: TrainConfig,
                     vm = evaluate(state.params, cfg, val_batches_fn())
                     log_fn("  val: " + " ".join(f"{k}={v:.4f}"
                                                 for k, v in vm.items()))
+    if ckpt is not None and save_every:
+        ckpt.wait()
     return state
+
+
+def restore_state(ckpt, like: CSTPTrainState,
+                  step: Optional[int] = None) -> CSTPTrainState:
+    """Restore a full stage-(a) train state saved by fit(ckpt=...)."""
+    restored = ckpt.restore(step, like=like._asdict())
+    return CSTPTrainState(**restored)

@@ -59,3 +59,40 @@ def test_switch_projector_type_flag_threads_to_config():
         assert cfg.mlp_depth == 1             # linear = single nn.Linear
     args = p.parse_args(["annotate", "--test-json", "x.json"])
     assert args.switch_projector_type == "mlp2x_gelu"   # reference default
+
+
+def test_train_cstp_cli_resume(tmp_path):
+    """train-cstp --max-steps 1 --save-every 1 then --resume finishes
+    identical to an uninterrupted run — the interruption cuts the SAME
+    seeded data stream, so the resumed half consumes exactly the batches
+    the reference run saw."""
+    import pickle
+
+    import jax
+    import numpy as np
+
+    from opus_pllm_tpu.cli.main import main
+    from opus_pllm_tpu.core.checkpoint import CheckpointManager
+
+    rng = np.random.default_rng(0)
+    vec = str(tmp_path / "vec.pkl")
+    with open(vec, "wb") as f:
+        pickle.dump([{"seq_embedding": rng.standard_normal(1280).astype(
+                          np.float32),
+                      "text_embedding": rng.standard_normal(5120).astype(
+                          np.float32)} for _ in range(16)], f)
+
+    base = ["train-cstp", "--vec-pickle", vec, "--batch-size", "8",
+            "--epochs", "1", "--lr", "0.01"]
+    out_ref = str(tmp_path / "ref")
+    main(base + ["--out", out_ref])
+    ref = CheckpointManager(out_ref).restore()
+
+    out = str(tmp_path / "res")
+    main(base + ["--out", out, "--max-steps", "1", "--save-every", "1"])
+    assert CheckpointManager(
+        str(tmp_path / "res" / "resume_state")).latest_step() == 1
+    main(base + ["--out", out, "--resume"])
+    got = CheckpointManager(out).restore()
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -226,6 +226,45 @@ def test_seq_shards_and_mesh_mutually_exclusive(cli_dirs):
 
 
 def test_train_lora_cli_save_every_and_resume(cli_dirs, tmp_path):
+    """`train-lora --max-steps 1 --save-every 1` then `--resume`: the
+    resumed run finishes with the same trainable tree as one
+    uninterrupted run (identical seeded data stream; resume skips the
+    consumed prefix)."""
+    from opus_pllm_tpu.cli.main import main
+    from opus_pllm_tpu.core.checkpoint import CheckpointManager
+
+    base = ["train-lora", "--model-base", cli_dirs["llm"],
+            "--weights", cli_dirs["weights"], "--esm", cli_dirs["esm"],
+            "--train-json", cli_dirs["train_json"],
+            "--batch-size", "4", "--epochs", "1", "--max-len", "64",
+            "--lora-rank", "2"]
+
+    out_ref = str(tmp_path / "ref")
+    main(base + ["--out", out_ref])
+    ref = CheckpointManager(out_ref).restore()
+
+    out = str(tmp_path / "resumed")
+    main(base + ["--out", out, "--max-steps", "1", "--save-every", "1"])
+    assert CheckpointManager(
+        str(tmp_path / "resumed" / "resume_state")).latest_step() == 1
+
+    main(base + ["--out", out, "--resume"])
+    got = CheckpointManager(out).restore()
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_seq_shards_and_mesh_mutually_exclusive(cli_dirs):
+    from opus_pllm_tpu.cli.main import main
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["train-lora", "--model-base", cli_dirs["llm"],
+              "--weights", cli_dirs["weights"], "--esm", cli_dirs["esm"],
+              "--train-json", cli_dirs["train_json"], "--out", "/tmp/x",
+              "--mesh", "4", "--seq-shards", "2"])
+
+
+def test_train_lora_cli_save_every_and_resume(cli_dirs, tmp_path):
     """`train-lora --save-every 1` then `--resume`: the resumed run
     finishes with the same trainable tree as one uninterrupted run."""
     from opus_pllm_tpu.cli.main import main
