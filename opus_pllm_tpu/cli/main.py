@@ -350,9 +350,12 @@ def _train_multimodal(args, *, lora: bool) -> None:
     from ..train import multimodal_trainer as mmt
 
     seq_shards = getattr(args, "seq_shards", 0)
-    if seq_shards and getattr(args, "mesh", None):
-        raise SystemExit("--seq-shards and --mesh are mutually exclusive "
-                         "(sequence vs data/model parallelism)")
+    pipe_stages = getattr(args, "pipe_stages", 0)
+    if sum(bool(x) for x in (seq_shards, pipe_stages,
+                             getattr(args, "mesh", None))) > 1:
+        raise SystemExit("--seq-shards, --pipe-stages and --mesh are "
+                         "mutually exclusive (sequence vs pipeline vs "
+                         "data/model parallelism)")
     cfg, params, tok, mesh = _build(args)
     tcfg = TrainConfig(learning_rate=args.lr, weight_decay=args.wd,
                        batch_size=args.batch_size, num_epochs=args.epochs,
@@ -393,6 +396,13 @@ def _train_multimodal(args, *, lora: bool) -> None:
         from ..train import sp as sp_mod
         state = sp_mod.fit(state, tx, cfg, tcfg, params, batches,
                            make_sp_mesh(seq_shards), lora_cfg=lcfg,
+                           ckpt=rs_mgr, save_every=save_every)
+    elif pipe_stages:
+        from ..parallel.pipeline import make_pp_mesh
+        from ..train import pp as pp_mod
+        state = pp_mod.fit(state, tx, cfg, tcfg, params, batches,
+                           make_pp_mesh(pipe_stages), lora_cfg=lcfg,
+                           n_micro=getattr(args, "micro_batches", 0) or None,
                            ckpt=rs_mgr, save_every=save_every)
     else:
         state = mmt.fit(state, tx, cfg, tcfg, params, batches,
@@ -604,6 +614,18 @@ def build_parser() -> argparse.ArgumentParser:
                             "train/sp.py): per-device activation memory "
                             "drops to O(S / shards) for long contexts; "
                             "mutually exclusive with --mesh")
+        t.add_argument("--pipe-stages", type=int, default=0,
+                       help="pipeline-parallel training over a ('pipe',) "
+                            "mesh of this many devices (GPipe microbatch "
+                            "schedule, train/pp.py): each stage holds "
+                            "layers/stages of the decoder, so stacks past "
+                            "one chip's HBM train without TP's matmul "
+                            "narrowing; mutually exclusive with --mesh "
+                            "and --seq-shards")
+        t.add_argument("--micro-batches", type=int, default=0,
+                       help="microbatches per step for --pipe-stages "
+                            "(default: the stage count; more microbatches "
+                            "shrink the pipeline bubble (P-1)/(M+P-1))")
         t.add_argument("--export-reference-format", action="store_true",
                        help="also write the reference checkpoint layout "
                             "(modality_refinement_projector/, lora_adapter/)")

@@ -29,3 +29,14 @@ def enable_persistent_compilation_cache(path: str = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass   # older jax without these flags: cache simply stays off
+
+
+def pvary(x, axis_name):
+    """Mark `x` varying over a shard_map mesh axis — jax.lax.pcast on
+    current JAX, falling back to the deprecated jax.lax.pvary. Needed at
+    lax.scan carry boundaries where a freshly-created constant must
+    type-check against a collective-produced (varying) carry-out."""
+    import jax
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axis_name, to="varying")
+    return jax.lax.pvary(x, axis_name)

@@ -497,6 +497,26 @@ def _forward_scan(params, cfg, x, mask4, cos, sin, cache, lora, lora_scale,
     return x, new_cache
 
 
+def positions_and_rope(params, cfg: DecoderConfig, x, positions, *,
+                       ctx: int):
+    """Front half of `forward`: OPT adds its learned position embeddings
+    (offset 2, no rope); rope families build (cos, sin) — dynamic-NTK aware
+    with the STATIC context bound `ctx` (see the ntk_ctx note in `forward`).
+    Returns (x, cos, sin); cos/sin are None for OPT. Factored out so the
+    pipeline-parallel step (train/pp.py) can run the same front before
+    streaming microbatches through the layer stages."""
+    if cfg.family == "opt":
+        return (x + embed(params["embed_positions"],
+                          positions + OPT_POS_OFFSET), None, None)
+    theta = cfg.rope_theta
+    if cfg.use_dynamic_ntk:
+        from .layers import ntk_scaled_theta
+        theta = ntk_scaled_theta(theta, cfg.head_dim, ctx,
+                                 cfg.max_position_embeddings)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, theta=theta)
+    return x, cos.astype(x.dtype), sin.astype(x.dtype)
+
+
 def forward(params, cfg: DecoderConfig, input_embeds, positions, mask4,
             cache=None, *, lora=None, lora_scale: float = 1.0,
             impl: str = "auto", remat: bool = False,
@@ -514,29 +534,18 @@ def forward(params, cfg: DecoderConfig, input_embeds, positions, mask4,
                    written at slots [cache.index, cache.index+S).
 
     Returns (logits (B, S, V) or hidden, updated cache or None).
+
+    Dynamic-NTK context bound, in precedence order: the caller's explicit
+    ntk_ctx (an engine that prefills into a SMALLER scratch cache than its
+    decode cache MUST pin one bound for both phases, or prefilled K is
+    rotated with a different base than decode queries — same position,
+    different frequencies, corrupted attention over the whole prompt);
+    else the cache capacity; else this call's sequence length.
     """
-    x = input_embeds
-    if cfg.family == "opt":
-        cos = sin = None
-        x = x + embed(params["embed_positions"], positions + OPT_POS_OFFSET)
-    else:
-        theta = cfg.rope_theta
-        if cfg.use_dynamic_ntk:
-            # static context bound, in precedence order: the caller's
-            # explicit ntk_ctx (an engine that prefills into a SMALLER
-            # scratch cache than its decode cache MUST pin one bound for
-            # both phases, or prefilled K is rotated with a different base
-            # than decode queries — same position, different frequencies,
-            # corrupted attention over the whole prompt); else the cache
-            # capacity; else this call's sequence length.
-            from .layers import ntk_scaled_theta
-            ctx = ntk_ctx if ntk_ctx is not None else (
-                cache["mask"].shape[-1] if cache is not None
-                else mask4.shape[-1])
-            theta = ntk_scaled_theta(theta, cfg.head_dim, ctx,
-                                     cfg.max_position_embeddings)
-        cos, sin = rope_cos_sin(positions, cfg.head_dim, theta=theta)
-        cos, sin = cos.astype(x.dtype), sin.astype(x.dtype)
+    ctx = ntk_ctx if ntk_ctx is not None else (
+        cache["mask"].shape[-1] if cache is not None else mask4.shape[-1])
+    x, cos, sin = positions_and_rope(params, cfg, input_embeds, positions,
+                                     ctx=ctx)
 
     if "layers_stacked" in params:
         x, new_cache = _forward_scan(params, cfg, x, mask4, cos, sin, cache,

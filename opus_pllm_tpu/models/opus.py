@@ -171,7 +171,8 @@ def next_token_loss_hidden(llm_params, llm_cfg, hidden, labels, mask,
         # inside shard_map the freshly-created accumulators are unvarying
         # constants while the scanned partial sums vary over the mesh
         # axis; mark them varying so the scan carry type-checks
-        init = tuple(jax.lax.pvary(x, vary_axis) for x in init)
+        from ..core.util import pvary
+        init = tuple(pvary(x, vary_axis) for x in init)
     (tot, cnt), _ = jax.lax.scan(jax.checkpoint(body), init, (hs, tg, valid))
     if not reduce:
         return tot, cnt

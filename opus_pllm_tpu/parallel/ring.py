@@ -115,7 +115,8 @@ def ring_attention(q, k, v, kv_mask, *, axis_name: str = SEQ_AXIS,
     # over the ring axis; mark them varying up front so the carry types
     # match (no-op outside a shard_map that tracks vma)
     try:
-        m0, l0, acc0 = (jax.lax.pvary(x, axis_name) for x in (m0, l0, acc0))
+        from ..core.util import pvary
+        m0, l0, acc0 = (pvary(x, axis_name) for x in (m0, l0, acc0))
     except (AttributeError, NameError):  # older JAX: no vma tracking
         pass
     _, _, _, m, l, acc = jax.lax.fori_loop(

@@ -225,11 +225,12 @@ def test_seq_shards_and_mesh_mutually_exclusive(cli_dirs):
               "--mesh", "4", "--seq-shards", "2"])
 
 
-def test_train_lora_cli_save_every_and_resume(cli_dirs, tmp_path):
+def test_train_lora_cli_max_steps_and_resume(cli_dirs, tmp_path):
     """`train-lora --max-steps 1 --save-every 1` then `--resume`: the
     resumed run finishes with the same trainable tree as one
     uninterrupted run (identical seeded data stream; resume skips the
-    consumed prefix)."""
+    consumed prefix). (Was shadowed by the half-data variant below —
+    both interruption modes now run.)"""
     from opus_pllm_tpu.cli.main import main
     from opus_pllm_tpu.core.checkpoint import CheckpointManager
 
@@ -254,14 +255,35 @@ def test_train_lora_cli_save_every_and_resume(cli_dirs, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_seq_shards_and_mesh_mutually_exclusive(cli_dirs):
+def test_train_lora_cli_pipe_stages(cli_dirs, tmp_path):
+    """`train-lora --pipe-stages 2` runs the pipeline-parallel GPipe step
+    (train/pp.py) end to end and saves a restorable trainable tree."""
+    from opus_pllm_tpu.cli.main import main
+    from opus_pllm_tpu.core.checkpoint import CheckpointManager
+
+    out = str(tmp_path / "lora_pp_out")
+    main(["train-lora", "--model-base", cli_dirs["llm"],
+          "--weights", cli_dirs["weights"], "--esm", cli_dirs["esm"],
+          "--train-json", cli_dirs["train_json"], "--out", out,
+          "--batch-size", "4", "--epochs", "1", "--max-len", "64",
+          "--lora-rank", "2", "--pipe-stages", "2",
+          "--micro-batches", "2"])
+    mgr = CheckpointManager(out)
+    assert mgr.latest_step() == 2
+    trainable = mgr.restore()
+    assert "lora" in trainable
+    leaves = jax.tree.leaves(trainable["lora"])
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+
+
+def test_pipe_stages_and_seq_shards_mutually_exclusive(cli_dirs):
     from opus_pllm_tpu.cli.main import main
 
     with pytest.raises(SystemExit, match="mutually exclusive"):
         main(["train-lora", "--model-base", cli_dirs["llm"],
               "--weights", cli_dirs["weights"], "--esm", cli_dirs["esm"],
               "--train-json", cli_dirs["train_json"], "--out", "/tmp/x",
-              "--mesh", "4", "--seq-shards", "2"])
+              "--pipe-stages", "2", "--seq-shards", "2"])
 
 
 def test_train_lora_cli_save_every_and_resume(cli_dirs, tmp_path):
