@@ -400,8 +400,10 @@ def _train_multimodal(args, *, lora: bool) -> None:
     elif pipe_stages:
         from ..parallel.pipeline import make_pp_mesh
         from ..train import pp as pp_mod
-        state = pp_mod.fit(state, tx, cfg, tcfg, params, batches,
-                           make_pp_mesh(pipe_stages), lora_cfg=lcfg,
+        pp_mesh = make_pp_mesh(pipe_stages,
+                               data=getattr(args, "pipe_data", 1))
+        state = pp_mod.fit(state, tx, cfg, tcfg, params, batches, pp_mesh,
+                           lora_cfg=lcfg,
                            n_micro=getattr(args, "micro_batches", 0) or None,
                            ckpt=rs_mgr, save_every=save_every)
     else:
@@ -626,6 +628,11 @@ def build_parser() -> argparse.ArgumentParser:
                        help="microbatches per step for --pipe-stages "
                             "(default: the stage count; more microbatches "
                             "shrink the pipeline bubble (P-1)/(M+P-1))")
+        t.add_argument("--pipe-data", type=int, default=1,
+                       help="with --pipe-stages: run this many independent "
+                            "pipeline replicas over batch shards (a 2-D "
+                            "('data','pipe') mesh of pipe-data x "
+                            "pipe-stages devices, DPxPP)")
         t.add_argument("--export-reference-format", action="store_true",
                        help="also write the reference checkpoint layout "
                             "(modality_refinement_projector/, lora_adapter/)")

@@ -20,7 +20,7 @@ sharding rules attach uniformly (parallel/partition.py).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -119,7 +119,7 @@ def next_token_loss(logits, labels, mask) -> jnp.ndarray:
 def next_token_loss_hidden(llm_params, llm_cfg, hidden, labels, mask,
                            *, chunk: int = 64, shift: bool = True,
                            reduce: bool = True,
-                           vary_axis: Optional[str] = None) -> jnp.ndarray:
+                           vary_axis=None) -> jnp.ndarray:
     """Same loss as next_token_loss, computed from final-norm'ed hidden
     states with the vocab projection applied per sequence chunk.
 

@@ -40,16 +40,24 @@ from jax.sharding import Mesh
 PIPE_AXIS = "pipe"
 
 
-def make_pp_mesh(n: Optional[int] = None, devices=None) -> Mesh:
-    """1-D ("pipe",) mesh — pipeline stages over all (or n) devices."""
+def make_pp_mesh(n: Optional[int] = None, devices=None,
+                 data: int = 1) -> Mesh:
+    """("pipe",) mesh of n stages — or, with data > 1, a 2-D
+    ("data", "pipe") mesh of data x n devices: `data` independent pipeline
+    replicas, each over its own batch shard (DPxPP, the pod shape for
+    models whose stack needs several chips AND whose batch wants more)."""
     import numpy as np
     devices = list(devices if devices is not None else jax.devices())
-    if n is not None:
-        if n > len(devices):
-            # silent truncation would change the layers-per-stage split a
-            # user sized for HBM (same contract as ring.make_sp_mesh)
-            raise ValueError(f"--pipe-stages {n} > {len(devices)} devices")
-        devices = devices[:n]
+    need = (n if n is not None else len(devices) // data) * data
+    if need > len(devices):
+        # silent truncation would change the layers-per-stage split a
+        # user sized for HBM (same contract as ring.make_sp_mesh)
+        raise ValueError(f"--pipe-stages {n} x --pipe-data {data} "
+                         f"> {len(devices)} devices")
+    devices = devices[:need]
+    if data > 1:
+        return Mesh(np.asarray(devices).reshape(data, need // data),
+                    ("data", PIPE_AXIS))
     return Mesh(np.asarray(devices), (PIPE_AXIS,))
 
 

@@ -98,6 +98,11 @@ def make_pp_train_step(cfg: OpusConfig, tx, mesh, *,
     Bubble fraction is (P-1)/(n_micro+P-1) — raise n_micro to amortize."""
     ls = lora_mod.scaling(lora_cfg) if lora_cfg is not None else 1.0
     n_pipe = mesh.shape[PIPE_AXIS]
+    # 2-D ("data","pipe") mesh = DPxPP: independent pipeline replicas over
+    # batch shards; loss/switch grads reduce over BOTH axes, LoRA slice
+    # grads reduce over "data" only (they stay sharded over "pipe")
+    has_dp = "data" in mesh.axis_names
+    all_axes = tuple(mesh.axis_names)
 
     def local_grads(tr_rest, lora_stack, frozen_rest, layer_stack, batch):
         stage = jax.lax.axis_index(PIPE_AXIS)
@@ -110,11 +115,11 @@ def make_pp_train_step(cfg: OpusConfig, tx, mesh, *,
                 batch.get("esm_tokens"), batch["labels"], left_pad=False,
                 pooled_emb=batch.get("pooled_emb"))
             emb = sp.embeds.astype(cfg.llm.jnp_dtype)
-            bsz, s, h = emb.shape
+            bsz, s, h = emb.shape    # per-replica batch under DPxPP
             m = n_micro if n_micro else n_pipe
             if bsz % m:
-                raise ValueError(f"batch {bsz} not divisible by "
-                                 f"n_micro={m}")
+                raise ValueError(f"per-replica batch {bsz} not divisible "
+                                 f"by n_micro={m}")
             b_mb = bsz // m
             x, cos, sin = decoder.positions_and_rope(
                 params["llm"], cfg.llm, emb, sp.positions, ctx=s)
@@ -136,12 +141,13 @@ def make_pp_train_step(cfg: OpusConfig, tx, mesh, *,
             tot, cnt = opus.next_token_loss_hidden(
                 params["llm"], cfg.llm, hid, sp.labels, sp.mask,
                 chunk=ce_chunk if 0 < ce_chunk < s else s, reduce=False,
-                vary_axis=PIPE_AXIS)
+                vary_axis=all_axes)
             # every stage ran the head SPMD-uniformly, but only the last
-            # stage's outs are the real final activations
+            # stage's outs are the real final activations; with DP the
+            # psum also sums the per-replica batch-shard partials
             last = stage == n_pipe - 1
-            tot = jax.lax.psum(jnp.where(last, tot, 0.0), PIPE_AXIS)
-            cnt = jax.lax.psum(jnp.where(last, cnt, 0), PIPE_AXIS)
+            tot = jax.lax.psum(jnp.where(last, tot, 0.0), all_axes)
+            cnt = jax.lax.psum(jnp.where(last, cnt, 0), all_axes)
             return tot / jnp.maximum(cnt, 1)
 
         loss, (g_rest, g_lora) = jax.value_and_grad(loss_of)(
@@ -149,11 +155,15 @@ def make_pp_train_step(cfg: OpusConfig, tx, mesh, *,
         # switch grads flow only through stage 0's stream feed (zeros
         # elsewhere) — the psum assembles the global gradient; each stage's
         # LoRA slice grads are already that shard of the global gradient
-        return loss, jax.lax.psum(g_rest, PIPE_AXIS), g_lora
+        # (summed over data replicas when DP composes in)
+        if has_dp and g_lora is not None:
+            g_lora = jax.lax.psum(g_lora, "data")
+        return loss, jax.lax.psum(g_rest, all_axes), g_lora
 
+    batch_spec = P("data") if has_dp else P()
     sharded = jax.shard_map(
         local_grads, mesh=mesh,
-        in_specs=(P(), P(PIPE_AXIS), P(), P(PIPE_AXIS), P()),
+        in_specs=(P(), P(PIPE_AXIS), P(), P(PIPE_AXIS), batch_spec),
         out_specs=(P(), P(), P(PIPE_AXIS)))
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())

@@ -80,6 +80,37 @@ def test_pp_step_matches_single_device(n_pipe, n_micro, ce_chunk):
                                    rtol=5e-3, atol=2e-4)
 
 
+def test_pp_dp_step_matches_single_device():
+    """DPxPP: a 2-D ("data","pipe") mesh (2 pipeline replicas x 2 stages)
+    matches the single-device step — loss is the global-batch mean and
+    LoRA grads sum over the data replicas."""
+    cfg = _cfg()
+    lcfg = LoRAConfig(rank=2)
+    tcfg = TrainConfig(learning_rate=1e-3)
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg)          # B=4 -> 2 per replica, 2 microbatches
+
+    def run(step_builder, frozen):
+        state, tx = mmt.create_state(jax.random.PRNGKey(1), cfg, tcfg,
+                                     params, train_switch=True,
+                                     lora_cfg=lcfg)
+        new_state, m = step_builder(tx)(state, frozen, batch)
+        return float(m["loss"]), new_state
+
+    loss_ref, st_ref = run(lambda tx: mmt.make_train_step(
+        cfg, tx, lora_cfg=lcfg), params)
+    mesh = pipeline.make_pp_mesh(2, data=2)
+    assert dict(mesh.shape) == {"data": 2, "pipe": 2}
+    loss_pp, st_pp = run(lambda tx: pp.make_pp_train_step(
+        cfg, tx, mesh, lora_cfg=lcfg, n_micro=2), _stacked(params))
+
+    np.testing.assert_allclose(loss_pp, loss_ref, rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(st_ref.trainable),
+                    jax.tree.leaves(st_pp.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
+
+
 def test_pp_step_matches_single_device_opt_family():
     """OPT exercises the no-rope front (learned position embeddings)."""
     cfg = _cfg("opt")
