@@ -60,6 +60,23 @@ def _split_llm(frozen):
     return rest, stack
 
 
+def shard_frozen(mesh, frozen):
+    """Place the frozen tree for PP: the decoder layer stack sharded over
+    the "pipe" axis — each stage physically holds ONLY its L/P layer block,
+    which is the memory point of PP (a replicated stack would put the full
+    multi-GB weights on every chip and the jitted step would re-lay them
+    out every call) — everything else replicated."""
+    from jax.sharding import NamedSharding
+    rest, stack = _split_llm(frozen)
+    stack = jax.device_put(stack, NamedSharding(mesh, P(PIPE_AXIS)))
+    rest = jax.device_put(rest, NamedSharding(mesh, P()))
+    out = dict(rest)
+    llm = dict(rest["llm"])
+    llm["layers_stacked"] = stack
+    out["llm"] = llm
+    return out
+
+
 def _apply_block(cfg, stack, lora_stack, x, mask4, cos, sin, ls, impl,
                  remat):
     """One stage's layer block: scan this device's L/P stacked layers."""
@@ -204,6 +221,7 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg, frozen, batches,
     if "layers_stacked" not in frozen["llm"]:
         frozen = dict(frozen)
         frozen["llm"] = decoder.stack_params(frozen["llm"])
+    frozen = shard_frozen(mesh, frozen)
     step_fn = make_pp_train_step(cfg, tx, mesh, lora_cfg=lora_cfg,
                                  ce_chunk=getattr(tcfg, "ce_chunk", 0),
                                  n_micro=n_micro)

@@ -131,6 +131,34 @@ def test_pp_step_matches_single_device_opt_family():
     np.testing.assert_allclose(loss_pp, loss_ref, rtol=2e-5, atol=2e-6)
 
 
+def test_pp_step_matches_single_device_int8_base():
+    """PP over an int8-quantized frozen base (the single-chip 8B QLoRA
+    recipe composed with pipeline stages): the stacked {kernel_q, scale}
+    leaf dicts shard over "pipe" like any other stacked leaves."""
+    from opus_pllm_tpu.kernels.quant import quantize_decoder
+
+    cfg = _cfg()
+    lcfg = LoRAConfig(rank=2)
+    tcfg = TrainConfig(learning_rate=1e-3)
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    params["llm"] = quantize_decoder(params["llm"])
+    batch = _batch(cfg)
+
+    def run(step_builder, frozen):
+        state, tx = mmt.create_state(jax.random.PRNGKey(1), cfg, tcfg,
+                                     params, train_switch=True,
+                                     lora_cfg=lcfg)
+        _, m = step_builder(tx)(state, frozen, batch)
+        return float(m["loss"])
+
+    loss_ref = run(lambda tx: mmt.make_train_step(cfg, tx, lora_cfg=lcfg),
+                   params)
+    loss_pp = run(lambda tx: pp.make_pp_train_step(
+        cfg, tx, pipeline.make_pp_mesh(2), lora_cfg=lcfg),
+        _stacked(params))
+    np.testing.assert_allclose(loss_pp, loss_ref, rtol=2e-5, atol=2e-6)
+
+
 def test_pp_step_trains():
     """Loss decreases over a few PP steps; state stays finite."""
     cfg = _cfg()
@@ -176,3 +204,18 @@ def test_pp_fit_runs_and_checkpoints(tmp_path):
     assert int(out.step) == 3
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree.leaves(out.trainable))
+
+
+def test_pp_shard_frozen_places_layer_blocks():
+    """shard_frozen puts each stage's L/P layer block on its own device
+    (the PP memory contract) and replicates the rest."""
+    cfg = _cfg()
+    params = _stacked(opus.init(jax.random.PRNGKey(0), cfg))
+    mesh = pipeline.make_pp_mesh(2)
+    placed = pp.shard_frozen(mesh, params)
+    leaf = jax.tree.leaves(placed["llm"]["layers_stacked"])[0]
+    # 4 layers over 2 stages: each device holds a (2, ...) block
+    shard_shapes = {s.data.shape for s in leaf.addressable_shards}
+    assert shard_shapes == {(2,) + leaf.shape[1:]}
+    emb = placed["llm"]["embed_tokens"]["embedding"]
+    assert all(s.data.shape == emb.shape for s in emb.addressable_shards)
