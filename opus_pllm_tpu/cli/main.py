@@ -360,7 +360,8 @@ def _train_multimodal(args, *, lora: bool) -> None:
     tcfg = TrainConfig(learning_rate=args.lr, weight_decay=args.wd,
                        batch_size=args.batch_size, num_epochs=args.epochs,
                        ce_chunk=args.ce_chunk,
-                       scan_mode=getattr(args, "scan_mode", "xs"))
+                       scan_mode=getattr(args, "scan_mode", "xs"),
+                       grad_accum=getattr(args, "grad_accum", 1))
     lcfg = LoRAConfig(rank=args.lora_rank) if lora else None
     ds = InstructionDataset(args.train_json)
     state, tx = mmt.create_state(jax.random.PRNGKey(args.seed), cfg, tcfg,
@@ -590,6 +591,12 @@ def build_parser() -> argparse.ArgumentParser:
         t.add_argument("--max-len", type=int, default=512)
         t.add_argument("--lora-rank", type=int, default=16)
         t.add_argument("--train-switch", action="store_true")
+        t.add_argument("--grad-accum", type=int, default=1,
+                       help="gradient accumulation: micro-chunks per "
+                            "optimizer step (effective batch stays "
+                            "--batch-size; activation memory drops to the "
+                            "chunk's; update equals the big-batch step via "
+                            "valid-token weighting)")
         t.add_argument("--ce-chunk", type=int, default=0,
                        help="sequence-chunked cross-entropy: bounds live "
                             "fp32 logits to (B, chunk, V) — use 64 for "

@@ -354,6 +354,12 @@ class TrainConfig:
     # copies to one layer, which is what lets single-chip 8B training fit
     # (the documented ce_chunk + scan_mode="index" recipe, BENCH_NOTES.md)
     scan_mode: str = "xs"
+    # gradient accumulation: split each batch into this many micro-chunks,
+    # one forward/backward per chunk, ONE optimizer update — effective
+    # batch stays batch_size while activation memory drops to the chunk's
+    # (the single-chip counterpart of adding DDP replicas); combined by
+    # valid-token weighting so the update equals the big-batch step
+    grad_accum: int = 1
 
 
 def to_json(cfg: Any) -> str:

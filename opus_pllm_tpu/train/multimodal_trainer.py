@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..core.config import LoRAConfig, OpusConfig, TrainConfig
+from ..core.config import IGNORE_INDEX, LoRAConfig, OpusConfig, TrainConfig
 from ..lora import lora as lora_mod
 from ..models import opus
 from .optim import adamw
@@ -95,23 +95,71 @@ def loss_fn(trainable, frozen, cfg: OpusConfig, batch,
                                            sp.labels, sp.mask, chunk=ce_chunk)
     else:
         loss = opus.next_token_loss(out, sp.labels, sp.mask)
-    return loss, {"loss": loss}
+    # valid-token count: loss is the mean over these, so accumulation
+    # across micro-chunks can reweight exactly (see make_train_step)
+    valid = jnp.sum((sp.labels[:, 1:] != IGNORE_INDEX) & sp.mask[:, 1:])
+    return loss, {"loss": loss, "valid": valid}
 
 
 def make_train_step(cfg: OpusConfig, tx, *, lora_cfg: Optional[LoRAConfig] = None,
                     donate: bool = True, ce_chunk: int = 0,
-                    scan_mode: str = "xs"):
+                    scan_mode: str = "xs", grad_accum: int = 1):
     """Jitted train step. With donate=True (default) the state argument is
     donated: trainable/optimizer buffers are updated in place, halving the
     train-state footprint. The caller must not reuse a state object after
-    passing it in (fit() rebinds each step, so this is safe there)."""
+    passing it in (fit() rebinds each step, so this is safe there).
+
+    grad_accum > 1 splits the batch into that many micro-chunks and runs
+    one forward/backward per chunk under a lax.scan before the single
+    optimizer update — the single-chip counterpart of scaling batch via
+    DDP replicas (activation memory is the B/grad_accum chunk's, the
+    effective batch is B). Chunks are combined by VALID-TOKEN weighting
+    (sum of per-chunk loss-sum gradients / total valid tokens), so the
+    update equals the big-batch step exactly, not just when every chunk
+    has the same number of unpadded tokens."""
     ls = lora_mod.scaling(lora_cfg) if lora_cfg is not None else 1.0
+
+    def grads_of(trainable, frozen, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if grad_accum <= 1:
+            (loss, metrics), grads = grad_fn(trainable, frozen, cfg, batch,
+                                             ls, True, ce_chunk, scan_mode)
+            return loss, metrics, grads
+
+        def split(x):
+            b = x.shape[0]
+            if b % grad_accum:
+                raise ValueError(f"batch {b} not divisible by "
+                                 f"grad_accum={grad_accum}")
+            return x.reshape((grad_accum, b // grad_accum) + x.shape[1:])
+
+        chunks = {k: split(v) for k, v in batch.items()}
+
+        def body(carry, chunk):
+            loss_sum, cnt_sum, gsum = carry
+            (loss, metrics), grads = grad_fn(trainable, frozen, cfg, chunk,
+                                             ls, True, ce_chunk, scan_mode)
+            c = metrics["valid"].astype(jnp.float32)
+            # d(mean)/dw * cnt = d(sum)/dw: accumulate loss-SUM gradients
+            # in fp32, normalize once by the global count below
+            gsum = jax.tree.map(
+                lambda a, g: a + g.astype(jnp.float32) * c, gsum, grads)
+            return (loss_sum + loss * c, cnt_sum + c, gsum), None
+
+        zeros = jax.tree.map(
+            lambda x: jnp.zeros(x.shape, jnp.float32), trainable)
+        init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                zeros)
+        (loss_sum, cnt, gsum), _ = jax.lax.scan(body, init, chunks)
+        denom = jnp.maximum(cnt, 1.0)
+        grads = jax.tree.map(
+            lambda g, p: (g / denom).astype(p.dtype), gsum, trainable)
+        return loss_sum / denom, {"loss": loss_sum / denom,
+                                  "valid": cnt.astype(jnp.int32)}, grads
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: MMTrainState, frozen, batch):
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, metrics), grads = grad_fn(state.trainable, frozen, cfg, batch,
-                                         ls, True, ce_chunk, scan_mode)
+        loss, metrics, grads = grads_of(state.trainable, frozen, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
         new_trainable = optax.apply_updates(state.trainable, updates)
         return MMTrainState(new_trainable, new_opt, state.step + 1), metrics
@@ -165,7 +213,8 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
 
     step_fn = make_train_step(cfg, tx, lora_cfg=lora_cfg,
                               ce_chunk=getattr(tcfg, "ce_chunk", 0),
-                              scan_mode=getattr(tcfg, "scan_mode", "xs"))
+                              scan_mode=getattr(tcfg, "scan_mode", "xs"),
+                              grad_accum=getattr(tcfg, "grad_accum", 1))
     ctx = mesh if mesh is not None else contextlib.nullcontext()
 
     def place(batch):

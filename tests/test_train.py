@@ -114,6 +114,53 @@ def test_chunked_ce_matches_full_loss_and_grads():
         g_full, g_chunk)
 
 
+def test_grad_accum_matches_big_batch_step():
+    """grad_accum=2 over batch 4 equals ONE big-batch step: the chunks are
+    combined by valid-token weighting, so unequal padding per chunk (row 1
+    right-padded here) must not skew the update."""
+    cfg = OpusConfig.tiny()
+    tcfg = TrainConfig(learning_rate=1e-3)
+    lcfg = LoRAConfig(rank=2)
+    frozen = opus.init(jax.random.PRNGKey(0), cfg)
+    batch = _mm_batch(cfg, 4)
+    # make chunk 0 (rows 0-1) carry fewer valid tokens than chunk 1
+    batch["attn_mask"][1, -6:] = False
+    batch["input_ids"][1, -6:] = 0
+    batch["labels"][1, -6:] = IGNORE_INDEX
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def run(grad_accum):
+        state, tx = mmt.create_state(jax.random.PRNGKey(1), cfg, tcfg,
+                                     frozen, train_switch=True,
+                                     lora_cfg=lcfg)
+        step = mmt.make_train_step(cfg, tx, lora_cfg=lcfg,
+                                   grad_accum=grad_accum)
+        new_state, m = step(state, frozen, batch)
+        return float(m["loss"]), new_state
+
+    loss_ref, st_ref = run(1)
+    loss_ga, st_ga = run(2)
+    np.testing.assert_allclose(loss_ga, loss_ref, rtol=2e-6)
+    for a, b in zip(jax.tree.leaves(st_ref.trainable),
+                    jax.tree.leaves(st_ga.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=2e-5)
+
+
+def test_grad_accum_batch_must_divide():
+    import pytest
+
+    cfg = OpusConfig.tiny()
+    tcfg = TrainConfig(learning_rate=1e-3)
+    frozen = opus.init(jax.random.PRNGKey(0), cfg)
+    state, tx = mmt.create_state(jax.random.PRNGKey(1), cfg, tcfg, frozen,
+                                 train_switch=True, lora_cfg=None)
+    step = mmt.make_train_step(cfg, tx, grad_accum=3)
+    batch = {k: jnp.asarray(v) for k, v in _mm_batch(cfg, 4).items()}
+    with pytest.raises(ValueError, match="divisible"):
+        step(state, frozen, batch)
+
+
 def test_multimodal_step_sharded_matches_single_device():
     cfg = OpusConfig.tiny()
     tcfg = TrainConfig(learning_rate=1e-3)
