@@ -287,9 +287,20 @@ def _block(cfg: DecoderConfig, p, x, mask4, cos, sin, layer_cache, index, impl,
     new_cache, a = None, None
     if layer_cache is not None:
         new_cache = _write_cache(layer_cache, k, v, index)
-        if s == 1 and isinstance(new_cache["k"], dict) and impl != "xla":
+        if impl == "ring":
+            # sequence-sharded PREFILL (infer/sp_engine.py): the cache
+            # keeps this device's K/V shard for decode, but attention runs
+            # as ring attention over the freshly computed shard — reading
+            # the whole local cache back would feed ring_attention
+            # capacity-length shards and break its global-index causality
+            pass
+        elif s == 1 and isinstance(new_cache["k"], dict) and \
+                impl not in ("xla", "sp_decode"):
             # fused decode attention over the quantized cache: dequantized
-            # K/V never materialize in HBM (kernels/decode_attention.py)
+            # K/V never materialize in HBM (kernels/decode_attention.py).
+            # (sp_decode must NOT take it: its softmax normalization is
+            # local, the sharded path needs the LSE merge in
+            # ring.sharded_decode_attention)
             from ..kernels import decode_attention as da
             if "q4" in new_cache["k"]:
                 if da.supports_int4(q, new_cache["k"], mask4):
@@ -298,7 +309,7 @@ def _block(cfg: DecoderConfig, p, x, mask4, cos, sin, layer_cache, index, impl,
             elif da.supports(q, new_cache["k"], mask4):
                 a = da.decode_attention_int8(
                     q, new_cache["k"], new_cache["v"], mask4)
-        if a is None:
+        if a is None and impl != "ring":
             k, v = _read_cache(new_cache, x.dtype)
     if a is None:
         a = attention(q, k, v, mask4, impl=impl)

@@ -190,6 +190,13 @@ def attention(q, k, v, mask=None, *, impl: str = "auto"):
         # the ring, matching causal_mask's tril)
         from ..parallel.ring import ring_attention
         return ring_attention(q, k, v, mask, causal=True)
+    if impl == "sp_decode":
+        # sequence-sharded DECODE (infer/sp_engine.py): q replicated,
+        # k/v = this device's cache shard, `mask` the 2-D (B, S_loc) local
+        # validity (a slot valid on exactly one device); partial softmax
+        # merges across shards with the log-sum-exp rule
+        from ..parallel.ring import sharded_decode_attention
+        return sharded_decode_attention(q, k, v, mask)
     if impl == "flash" and jax.default_backend() == "tpu":
         from ..kernels.flash_attention import flash_attention
         return flash_attention(q, k, v, mask)
