@@ -82,6 +82,21 @@ def _gen_args(p: argparse.ArgumentParser) -> None:
                    help="beam search width (run_opus_ddp.py:156-158); >1 "
                         "disables sampling")
     p.add_argument("--length-penalty", type=float, default=1.0)
+    p.add_argument("--seq-shards", type=int, default=0,
+                   help="shard each prompt's KV cache over a ('seq',) mesh "
+                        "of this many devices (ring prefill + LSE-merged "
+                        "decode, infer/sp_engine.py) — for contexts whose "
+                        "cache exceeds one chip; exclusive with --mesh")
+
+
+def _seq_mesh(args):
+    n = getattr(args, "seq_shards", 0)
+    if not n:
+        return None
+    if getattr(args, "mesh", None):
+        raise SystemExit("--seq-shards and --mesh are mutually exclusive")
+    from ..parallel.ring import make_sp_mesh
+    return make_sp_mesh(n)
 
 
 def _build(args):
@@ -184,7 +199,7 @@ def cmd_annotate(args) -> None:
         params, cfg, tok, args.test_json, gen=gen,
         batch_size=args.batch_size, save_path=args.save_path,
         bert_embed_fn=_bert_embed_fn(getattr(args, "biobert", None)),
-        mesh=mesh)
+        mesh=mesh, seq_mesh=_seq_mesh(args))
     print(json.dumps(rep.metrics))
 
 
@@ -217,7 +232,8 @@ def cmd_annotate_all(args) -> None:
                 save = os.path.join(args.save_dir, f"{base}_rep{rep}.json")
             rep_out = runner.run_annotation_eval(
                 params, cfg, tok, test_json, gen=gen,
-                batch_size=args.batch_size, save_path=save, mesh=mesh)
+                batch_size=args.batch_size, save_path=save, mesh=mesh,
+                seq_mesh=_seq_mesh(args))
             runs.append(rep_out.metrics)
         all_metrics[test_json] = runs
     print(json.dumps(all_metrics, indent=1))
@@ -237,7 +253,8 @@ def cmd_mcq(args) -> None:
         length_penalty=getattr(args, "length_penalty", 1.0))
     rep = runner.run_mcq_eval(params, cfg, tok, args.test_json, gen=gen,
                               batch_size=args.batch_size,
-                              save_path=args.save_path, mesh=mesh)
+                              save_path=args.save_path, mesh=mesh,
+                              seq_mesh=_seq_mesh(args))
     print(json.dumps(rep.metrics))
 
 

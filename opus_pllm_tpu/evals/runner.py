@@ -99,19 +99,33 @@ def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
 
 
 def _generate_spliced(params, cfg, tokenizer, ids, mask, esm_toks, gen,
-                      *, impl, batch_index):
+                      *, impl, batch_index, seq_mesh=None):
     sp = opus.splice_prompt(params, cfg, ids, mask, esm_toks, left_pad=True,
                             impl=impl)
     pos = decoder.positions_from_mask(sp.mask)
     rng = jax.random.fold_in(jax.random.PRNGKey(gen.seed),
                              jax.process_index() * 100003 + batch_index)
     if getattr(gen, "num_beams", 1) > 1:
+        if seq_mesh is not None:
+            raise ValueError("beam search over a sequence-sharded cache is "
+                             "not supported (--seq-shards with "
+                             "--num-beams 1 only)")
         out = engine.beam_generate(
             params["llm"], cfg.llm, sp.embeds, sp.mask, pos,
             num_beams=gen.num_beams, max_new_tokens=gen.max_new_tokens,
             eos_token_id=gen.eos_token_id, pad_token_id=gen.pad_token_id,
             length_penalty=gen.length_penalty,
             quantize_cache=gen.quantize_cache, impl=impl)
+    elif seq_mesh is not None:
+        # KV cache sharded over the ("seq",) mesh — ring prefill +
+        # LSE-merged decode (infer/sp_engine.py), the >1-chip-cache path
+        from ..infer.sp_engine import generate_seq_sharded
+        out = generate_seq_sharded(
+            params["llm"], cfg.llm, sp.embeds, sp.mask, pos, rng,
+            mesh=seq_mesh, max_new_tokens=gen.max_new_tokens,
+            temperature=gen.temperature, top_p=gen.top_p,
+            eos_token_id=gen.eos_token_id, pad_token_id=gen.pad_token_id,
+            quantize_cache=gen.quantize_cache)
     else:
         out = engine.generate(
             params["llm"], cfg.llm, sp.embeds, sp.mask, pos, rng,
@@ -134,11 +148,13 @@ def run_annotation_eval(params, cfg: OpusConfig, tokenizer, file_path: str,
                         esm_bucket: int = 128, impl: str = "auto",
                         save_path: Optional[str] = None,
                         examples=None, bert_embed_fn=None,
-                        mesh=None, log_fn=print) -> EvalReport:
+                        mesh=None, seq_mesh=None, log_fn=print) -> EvalReport:
     """Batch annotation eval over one benchmark JSON (≙ run_opus_ddp
     eval_model). `examples` overrides file loading for tests. With `mesh`,
     params must already be mesh-sharded (partition.shard_params) and each
-    batch shards over the "data" axis."""
+    batch shards over the "data" axis. `seq_mesh` (a ("seq",) mesh,
+    ring.make_sp_mesh; exclusive with `mesh`) instead shards each prompt's
+    KV CACHE over the devices — the long-context path, CLI --seq-shards."""
     if examples is None:
         examples = ds.load_annotation_json(file_path)
     examples = examples[local_slice(len(examples))]
@@ -161,7 +177,7 @@ def run_annotation_eval(params, cfg: OpusConfig, tokenizer, file_path: str,
         with ctx:
             texts = _generate_spliced(params, cfg, tokenizer, ids, mask,
                                       esm_toks, gen, impl=impl,
-                                      batch_index=bi)
+                                      batch_index=bi, seq_mesh=seq_mesh)
         results.extend({"ground_truth": e.output, "generated": t}
                        for e, t in zip(chunk[:n_real], texts[:n_real]))
     dt = time.perf_counter() - t0
@@ -219,7 +235,7 @@ def run_mcq_eval(params, cfg: OpusConfig, tokenizer, file_path: str, *,
                  prompt_bucket: int = 64, esm_bucket: int = 128,
                  impl: str = "auto", render_prompt: Optional[Callable] = None,
                  examples=None, save_path: Optional[str] = None,
-                 mesh=None, log_fn=print) -> EvalReport:
+                 mesh=None, seq_mesh=None, log_fn=print) -> EvalReport:
     """MCQ eval (≙ eval_run_multichoice eval_model): chat-template prompt,
     max_new_tokens=50, option-letter accuracy + histogram.
 
@@ -263,7 +279,7 @@ def run_mcq_eval(params, cfg: OpusConfig, tokenizer, file_path: str, *,
         with ctx:
             texts = _generate_spliced(params, cfg, tokenizer, ids, mask,
                                       esm_toks, gen, impl=impl,
-                                      batch_index=bi)
+                                      batch_index=bi, seq_mesh=seq_mesh)
         results.extend({"ground_truth": e.answer, "generated": t}
                        for e, t in zip(chunk[:n_real], texts[:n_real]))
     dt = time.perf_counter() - t0

@@ -175,6 +175,26 @@ def test_annotate_cli_mesh_matches_single(cli_dirs, tmp_path):
     assert mesh == single
 
 
+def test_annotate_cli_seq_shards_matches_single(cli_dirs, tmp_path):
+    """`annotate --seq-shards 4` (KV cache sharded over the ("seq",) mesh,
+    infer/sp_engine.py) produces the identical result file at T=0."""
+    from opus_pllm_tpu.cli.main import main
+
+    out1, out2 = str(tmp_path / "single.json"), str(tmp_path / "sp.json")
+    base = ["annotate", "--model-base", cli_dirs["llm"],
+            "--weights", cli_dirs["weights"], "--esm", cli_dirs["esm"],
+            "--test-json", cli_dirs["test_json"],
+            "--temperature", "0", "--batch-size", "4"]
+    main(base + ["--save-path", out1])
+    main(base + ["--save-path", out2, "--seq-shards", "4"])
+    with open(out1) as f:
+        single = json.load(f)
+    with open(out2) as f:
+        sp = json.load(f)
+    assert len(single) == 6
+    assert sp == single
+
+
 def test_train_lora_cli_mesh(cli_dirs, tmp_path):
     """`train-lora --mesh 4,2` runs the sharded train step (ZeRO-style
     sharded optimizer moments) and saves a restorable trainable tree."""
