@@ -99,6 +99,35 @@ def _seq_mesh(args):
     return make_sp_mesh(n)
 
 
+def _resume_setup(args, state, restore_fn, data):
+    """Shared resume/periodic-save wiring for the train commands: build the
+    resume_state CheckpointManager (a SEPARATE subdir so the final
+    trainable-only save stays the load surface for convert/eval), restore
+    the latest full state with --resume, and skip/bound the batch stream so
+    a killed run resumes exactly. Returns (state, data, rs_mgr, save_every).
+    """
+    import itertools
+
+    from ..core.checkpoint import CheckpointManager
+
+    save_every = getattr(args, "save_every", 0)
+    rs_mgr = None
+    if save_every or getattr(args, "resume", False):
+        import os as _os
+        rs_mgr = CheckpointManager(_os.path.join(args.out, "resume_state"),
+                                   max_to_keep=2)
+    skip = 0
+    if getattr(args, "resume", False) and rs_mgr.latest_step() is not None:
+        state = restore_fn(rs_mgr, state)
+        skip = int(state.step)
+        print(f"resuming from step {skip}")
+    if skip:
+        data = itertools.islice(data, skip, None)
+    if getattr(args, "max_steps", 0):
+        data = itertools.islice(data, max(args.max_steps - skip, 0))
+    return state, data, rs_mgr, save_every
+
+
 def _build(args):
     from ..core import builder
     from ..core.config import OpusConfig, SwitchProjectorConfig
@@ -186,6 +215,9 @@ def cmd_annotate(args) -> None:
     from ..core.config import GenerationConfig
     from ..evals import runner
 
+    # validate the --seq-shards/--mesh conflict BEFORE the (potentially
+    # multi-GB, minutes-long) model load — same order as the train path
+    seq_mesh = _seq_mesh(args)
     cfg, params, tok, mesh = _build(args)
     from ..evals.datasets import max_new_tokens_for
     gen = GenerationConfig(
@@ -199,7 +231,7 @@ def cmd_annotate(args) -> None:
         params, cfg, tok, args.test_json, gen=gen,
         batch_size=args.batch_size, save_path=args.save_path,
         bert_embed_fn=_bert_embed_fn(getattr(args, "biobert", None)),
-        mesh=mesh, seq_mesh=_seq_mesh(args))
+        mesh=mesh, seq_mesh=seq_mesh)
     print(json.dumps(rep.metrics))
 
 
@@ -212,6 +244,7 @@ def cmd_annotate_all(args) -> None:
     from ..evals import runner
     from ..evals.datasets import max_new_tokens_for
 
+    seq_mesh = _seq_mesh(args)   # validate the flag conflict pre-load
     cfg, params, tok, mesh = _build(args)
     all_metrics = {}
     for test_json in args.test_jsons:
@@ -233,7 +266,7 @@ def cmd_annotate_all(args) -> None:
             rep_out = runner.run_annotation_eval(
                 params, cfg, tok, test_json, gen=gen,
                 batch_size=args.batch_size, save_path=save, mesh=mesh,
-                seq_mesh=_seq_mesh(args))
+                seq_mesh=seq_mesh)
             runs.append(rep_out.metrics)
         all_metrics[test_json] = runs
     print(json.dumps(all_metrics, indent=1))
@@ -243,6 +276,7 @@ def cmd_mcq(args) -> None:
     from ..core.config import GenerationConfig
     from ..evals import runner
 
+    seq_mesh = _seq_mesh(args)   # validate the flag conflict pre-load
     cfg, params, tok, mesh = _build(args)
     gen = GenerationConfig(
         max_new_tokens=args.max_new_tokens or 50,
@@ -254,7 +288,7 @@ def cmd_mcq(args) -> None:
     rep = runner.run_mcq_eval(params, cfg, tok, args.test_json, gen=gen,
                               batch_size=args.batch_size,
                               save_path=args.save_path, mesh=mesh,
-                              seq_mesh=_seq_mesh(args))
+                              seq_mesh=seq_mesh)
     print(json.dumps(rep.metrics))
 
 
@@ -264,6 +298,7 @@ def cmd_chat(args) -> None:
     from ..core.config import GenerationConfig
     from ..evals import runner as runner_mod
 
+    seq_mesh = _seq_mesh(args)   # validate the flag conflict pre-load
     cfg, params, tok, mesh = _build(args)
     gen = GenerationConfig(
         max_new_tokens=args.max_new_tokens or 256,
@@ -298,7 +333,7 @@ def cmd_chat(args) -> None:
         texts = runner_mod._generate_batch(
             params, cfg, tok, [prompt], [seq], gen,
             prompt_bucket=64, esm_bucket=128, impl="auto", batch_index=turn,
-            mesh=mesh)
+            mesh=mesh, seq_mesh=seq_mesh)
         turn += 1
         print(texts[0])
 
@@ -323,17 +358,6 @@ def cmd_train_cstp(args) -> None:
     se, te = ds.arrays()
     state, tx = cstp_trainer.create_state(jax.random.PRNGKey(args.seed), cfg,
                                           tcfg)
-    save_every = getattr(args, "save_every", 0)
-    rs_mgr = None
-    if save_every or getattr(args, "resume", False):
-        import os as _os
-        rs_mgr = CheckpointManager(_os.path.join(args.out, "resume_state"),
-                                   max_to_keep=2)
-    skip = 0
-    if getattr(args, "resume", False) and rs_mgr.latest_step() is not None:
-        state = cstp_trainer.restore_state(rs_mgr, state)
-        skip = int(state.step)
-        print(f"resuming from step {skip}")
     mesh = None
     if getattr(args, "mesh", None):
         from ..core.mesh import make_mesh, parse_mesh_flag
@@ -345,12 +369,8 @@ def cmd_train_cstp(args) -> None:
                                   epochs=tcfg.num_epochs):
             yield se[idx], te[idx]
 
-    import itertools
-    data = batches()
-    if skip:
-        data = itertools.islice(data, skip, None)
-    if getattr(args, "max_steps", 0):
-        data = itertools.islice(data, max(args.max_steps - skip, 0))
+    state, data, rs_mgr, save_every = _resume_setup(
+        args, state, cstp_trainer.restore_state, batches())
     state = cstp_trainer.fit(state, tx, cfg, tcfg, data, mesh=mesh,
                              ckpt=rs_mgr, save_every=save_every)
     mgr.save(int(state.step), state.params)
@@ -384,31 +404,14 @@ def _train_multimodal(args, *, lora: bool) -> None:
     state, tx = mmt.create_state(jax.random.PRNGKey(args.seed), cfg, tcfg,
                                  params, train_switch=not lora or args.train_switch,
                                  lora_cfg=lcfg)
-    # periodic full-state checkpoints (trainable + optimizer + step) live
-    # in a SEPARATE subdir so the final trainable-only save below stays
-    # the load surface for convert/eval
-    save_every = getattr(args, "save_every", 0)
-    rs_mgr = None
-    if save_every or getattr(args, "resume", False):
-        import os as _os
-        rs_mgr = CheckpointManager(_os.path.join(args.out, "resume_state"),
-                                   max_to_keep=2)
-    skip = 0
-    if getattr(args, "resume", False) and rs_mgr.latest_step() is not None:
-        state = mmt.restore_state(rs_mgr, state)
-        skip = int(state.step)
-        print(f"resuming from step {skip}")
-    if mesh is not None:
-        state = mmt.shard_state(mesh, state)
-    mgr = CheckpointManager(args.out, max_to_keep=2)
     batches = instruction_batches(ds, tok, tcfg.batch_size, seed=args.seed,
                                   epochs=tcfg.num_epochs,
                                   max_len=args.max_len)
-    import itertools
-    if skip:
-        batches = itertools.islice(batches, skip, None)
-    if getattr(args, "max_steps", 0):
-        batches = itertools.islice(batches, max(args.max_steps - skip, 0))
+    state, batches, rs_mgr, save_every = _resume_setup(
+        args, state, mmt.restore_state, batches)
+    if mesh is not None:
+        state = mmt.shard_state(mesh, state)
+    mgr = CheckpointManager(args.out, max_to_keep=2)
     if seq_shards:
         from ..parallel.ring import make_sp_mesh
         from ..train import sp as sp_mod

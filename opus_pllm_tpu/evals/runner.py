@@ -80,13 +80,14 @@ def _prepare_inputs(tokenizer, prompts, sequences, *, prompt_bucket: int,
 def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
                     gen: GenerationConfig, *, prompt_bucket: int,
                     esm_bucket: int, impl: str, batch_index: int = 0,
-                    mesh=None):
+                    mesh=None, seq_mesh=None):
     """One padded batch through splice -> generate -> decode.
 
     `batch_index` folds into the sampling key — otherwise every batch would
     reuse identical randomness and correlate its samples. With `mesh`, the
     batch shards over the "data" axis (params are already mesh-sharded by
-    the caller) so the whole pipeline runs SPMD.
+    the caller) so the whole pipeline runs SPMD. `seq_mesh` routes decoding
+    through the sequence-sharded KV-cache engine (infer/sp_engine.py).
     """
     ids, mask, esm_toks = _prepare_inputs(
         tokenizer, prompts, sequences, prompt_bucket=prompt_bucket,
@@ -95,7 +96,8 @@ def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
     ctx = mesh if mesh is not None else contextlib.nullcontext()
     with ctx:
         return _generate_spliced(params, cfg, tokenizer, ids, mask, esm_toks,
-                                 gen, impl=impl, batch_index=batch_index)
+                                 gen, impl=impl, batch_index=batch_index,
+                                 seq_mesh=seq_mesh)
 
 
 def _generate_spliced(params, cfg, tokenizer, ids, mask, esm_toks, gen,

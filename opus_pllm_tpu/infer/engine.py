@@ -41,6 +41,52 @@ def make_stop_sequences(token_lists) -> Optional[tuple]:
     return tuple(tuple(int(t) for t in seq) for seq in token_lists if seq)
 
 
+def cache_capacity(cfg: DecoderConfig, l: int, max_new_tokens: int) -> int:
+    """KV-cache capacity for an L-token prompt + max_new_tokens decode.
+
+    Rounds to the flash kernel's KV block so the prefill attention
+    qualifies for the Pallas path (+29% prefill at d=128) — only when the
+    prompt shape can actually take that path; otherwise the exact capacity
+    avoids inflating short-chat caches. Also the dynamic-NTK context bound
+    `forward` derives when ntk_ctx is unset, so any engine that shards or
+    re-buckets the cache must pass cache_capacity(cfg, l, max_new) as
+    ntk_ctx to stay token-identical with generate().
+    """
+    from ..kernels.flash_attention import DEFAULT_BLOCK_K
+
+    cap = l + max_new_tokens
+    if cfg.head_dim % 128 == 0 and l % 8 == 0:
+        cap = -(-cap // DEFAULT_BLOCK_K) * DEFAULT_BLOCK_K
+    return cap
+
+
+def advance_sampling(step, done, cur_logits, key, out, tail, nwritten, *,
+                     temperature, top_p, pad_token_id, eos_token_id,
+                     stop_sequences, tail_len):
+    """One decode step's sampling/stopping bookkeeping, shared by the
+    generate() and generate_seq_sharded() loop bodies so the stopping
+    semantics (EOS, rolling stop-sequence tail, pad-after-done, lengths)
+    cannot silently diverge between the two engines.
+
+    Returns (next_token, new_done, key, out, tail, nwritten).
+    """
+    key, sub = jax.random.split(key)
+    nxt = sample_token(cur_logits, sub, temperature, top_p)
+    nxt = jnp.where(done, pad_token_id, nxt)
+    out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, step))
+    nwritten = nwritten + (~done).astype(jnp.int32)
+    new_done = done | (nxt == eos_token_id)
+    if tail_len > 0:
+        tail = jnp.concatenate([tail[:, 1:], nxt[:, None]], axis=1)
+        for seq in stop_sequences:
+            sl = len(seq)
+            hit = jnp.all(
+                tail[:, tail_len - sl:] == jnp.asarray(seq, jnp.int32),
+                axis=1) & (step + 1 >= sl)
+            new_done = new_done | hit
+    return nxt, new_done, key, out, tail, nwritten
+
+
 def sample_token(logits, key, temperature: float, top_p: float):
     """Temperature + nucleus sampling over (B, V) fp32 logits.
 
@@ -80,18 +126,10 @@ def generate(params, cfg: DecoderConfig, input_embeds, attn_mask, positions,
     footprint/traffic); "int4" = packed 4-bit cache (quarter), for
     batch >= 32 / long contexts.
     """
-    from ..kernels.flash_attention import DEFAULT_BLOCK_K
-
     b, l, h = input_embeds.shape
     tail_len = max((len(s) for s in stop_sequences), default=0) \
         if stop_sequences else 0
-    # cache capacity rounds to the flash kernel's KV block so the prefill
-    # attention qualifies for the Pallas path (+29% prefill at d=128) —
-    # only when the prompt shape can actually take that path; otherwise the
-    # exact capacity avoids inflating short-chat caches
-    cap = l + max_new_tokens
-    if cfg.head_dim % 128 == 0 and l % 8 == 0:
-        cap = -(-cap // DEFAULT_BLOCK_K) * DEFAULT_BLOCK_K
+    cap = cache_capacity(cfg, l, max_new_tokens)
     cache = decoder.init_cache(cfg, b, cap, dtype=cfg.jnp_dtype,
                                stacked="layers_stacked" in params,
                                quantize=quantize_cache)
@@ -118,20 +156,11 @@ def generate(params, cfg: DecoderConfig, input_embeds, attn_mask, positions,
 
     def body(state):
         step, done, cur_logits, cache, key, out, tail, nwritten = state
-        key, sub = jax.random.split(key)
-        nxt = sample_token(cur_logits, sub, temperature, top_p)
-        nxt = jnp.where(done, pad_token_id, nxt)
-        out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, step))
-        nwritten = nwritten + (~done).astype(jnp.int32)
-        new_done = done | (nxt == eos_token_id)
-        if tail_len > 0:
-            tail = jnp.concatenate([tail[:, 1:], nxt[:, None]], axis=1)
-            for seq in stop_sequences:
-                sl = len(seq)
-                hit = jnp.all(
-                    tail[:, tail_len - sl:] == jnp.asarray(seq, jnp.int32),
-                    axis=1) & (step + 1 >= sl)
-                new_done = new_done | hit
+        nxt, new_done, key, out, tail, nwritten = advance_sampling(
+            step, done, cur_logits, key, out, tail, nwritten,
+            temperature=temperature, top_p=top_p, pad_token_id=pad_token_id,
+            eos_token_id=eos_token_id, stop_sequences=stop_sequences,
+            tail_len=tail_len)
 
         emb = decoder.embed_tokens(params, nxt)[:, None].astype(cfg.jnp_dtype)
         pos = (last_pos + 1 + step)[:, None]
@@ -190,10 +219,7 @@ def beam_generate(params, cfg: DecoderConfig, input_embeds, attn_mask,
     # same capacity rounding as generate(): prefill takes the Pallas flash
     # path when the prompt shape qualifies (beam/MCQ prefill previously
     # always fell back to the XLA path)
-    from ..kernels.flash_attention import DEFAULT_BLOCK_K
-    cap = l + max_new_tokens
-    if cfg.head_dim % 128 == 0 and l % 8 == 0:
-        cap = -(-cap // DEFAULT_BLOCK_K) * DEFAULT_BLOCK_K
+    cap = cache_capacity(cfg, l, max_new_tokens)
 
     # prefill once on B rows, then tile everything to B*K beam rows
     cache = decoder.init_cache(cfg, b, cap, dtype=cfg.jnp_dtype,

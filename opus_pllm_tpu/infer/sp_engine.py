@@ -36,7 +36,7 @@ from jax.sharding import PartitionSpec as P
 from ..core.config import DecoderConfig
 from ..models import decoder
 from ..parallel.ring import SEQ_AXIS
-from .engine import GenerateOutput, sample_token
+from .engine import GenerateOutput, advance_sampling, cache_capacity
 
 
 @functools.partial(
@@ -57,6 +57,11 @@ def generate_seq_sharded(params, cfg: DecoderConfig, input_embeds,
     an equal slice."""
     n = mesh.shape[SEQ_AXIS]
     b, l, h = input_embeds.shape
+    # dynamic-NTK bound: what forward() would derive inside the UNsharded
+    # engine.generate (its cache capacity, incl. the flash-block rounding,
+    # from the pre-shard-padding prompt length) — any other bound changes
+    # the RoPE base on use_dynamic_ntk models and breaks token-identity
+    ctx = cache_capacity(cfg, l, max_new_tokens)
     l_pad = -(-l // n) * n
     if l_pad != l:
         pz = l_pad - l
@@ -65,7 +70,6 @@ def generate_seq_sharded(params, cfg: DecoderConfig, input_embeds,
         positions = jnp.pad(positions, ((0, 0), (pz, 0)))
     l_loc = l_pad // n
     cap_loc = l_loc + max_new_tokens
-    ctx = l_pad + max_new_tokens          # global dynamic-NTK bound
     tail_len = max((len(s) for s in stop_sequences), default=0) \
         if stop_sequences else 0
 
@@ -98,21 +102,11 @@ def generate_seq_sharded(params, cfg: DecoderConfig, input_embeds,
 
         def body(state):
             step, done, cur_logits, cache, key, out, tail, nwritten = state
-            key, sub = jax.random.split(key)
-            nxt = sample_token(cur_logits, sub, temperature, top_p)
-            nxt = jnp.where(done, pad_token_id, nxt)
-            out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, step))
-            nwritten = nwritten + (~done).astype(jnp.int32)
-            new_done = done | (nxt == eos_token_id)
-            if tail_len > 0:
-                tail = jnp.concatenate([tail[:, 1:], nxt[:, None]], axis=1)
-                for seq in stop_sequences:
-                    ln = len(seq)
-                    hit = jnp.all(
-                        tail[:, tail_len - ln:] ==
-                        jnp.asarray(seq, jnp.int32), axis=1) & \
-                        (step + 1 >= ln)
-                    new_done = new_done | hit
+            nxt, new_done, key, out, tail, nwritten = advance_sampling(
+                step, done, cur_logits, key, out, tail, nwritten,
+                temperature=temperature, top_p=top_p,
+                pad_token_id=pad_token_id, eos_token_id=eos_token_id,
+                stop_sequences=stop_sequences, tail_len=tail_len)
 
             emb1 = decoder.embed_tokens(params, nxt)[:, None].astype(
                 cfg.jnp_dtype)

@@ -29,6 +29,7 @@ import optax
 
 from ..bridge import cstp, losses
 from ..core.config import CSTPConfig, TrainConfig
+from .multimodal_trainer import finish_saves, maybe_save
 from .optim import adamw
 
 
@@ -145,22 +146,23 @@ def fit(state: CSTPTrainState, tx, cfg: CSTPConfig, tcfg: TrainConfig,
         from ..utils.prefetch import prefetch_to_device
         batches = prefetch_to_device(batches, size=prefetch, place=place)
         place = lambda b: b  # noqa: E731 — already staged by the producer
+    # host-side step mirror: int(state.step) each iteration would force a
+    # device sync per step and defeat async-dispatch runahead
+    start = int(state.step)
     with ctx:
         for i, (se, te) in enumerate(map(place, batches)):
             state, metrics = step_fn(state, se, te)
-            if ckpt is not None and save_every and \
-                    int(state.step) % save_every == 0:
-                ckpt.save(int(state.step), state._asdict(), wait=False)
+            step_no = start + i + 1
+            maybe_save(ckpt, save_every, step_no, state)
             if tcfg.log_every and i % tcfg.log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
-                log_fn(f"step {int(state.step)}: " +
+                log_fn(f"step {step_no}: " +
                        " ".join(f"{k}={v:.4f}" for k, v in m.items()))
                 if val_batches_fn is not None:
                     vm = evaluate(state.params, cfg, val_batches_fn())
                     log_fn("  val: " + " ".join(f"{k}={v:.4f}"
                                                 for k, v in vm.items()))
-    if ckpt is not None and save_every:
-        ckpt.wait()
+    finish_saves(ckpt, save_every)
     return state
 
 

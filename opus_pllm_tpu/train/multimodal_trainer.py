@@ -63,6 +63,19 @@ def create_state(key, cfg: OpusConfig, tcfg: TrainConfig, frozen_params, *,
     return state, tx
 
 
+def maybe_save(ckpt, save_every: int, step_no: int, state) -> None:
+    """Periodic full-state save gate shared by every fit loop (here, sp.py,
+    pp.py, cstp_trainer.py) — one place owns the interval semantics."""
+    if ckpt is not None and save_every and step_no % save_every == 0:
+        ckpt.save(step_no, state._asdict(), wait=False)
+
+
+def finish_saves(ckpt, save_every: int) -> None:
+    """Drain any in-flight async saves before the fit loop returns."""
+    if ckpt is not None and save_every:
+        ckpt.wait()
+
+
 def _assemble(frozen, trainable):
     params = dict(frozen)
     if "switch" in trainable:
@@ -228,17 +241,18 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
         from ..utils.prefetch import prefetch_to_device
         batches = prefetch_to_device(batches, size=prefetch, place=place)
         place = lambda b: b  # noqa: E731 — already staged by the producer
+    # host-side step mirror: int(state.step) each iteration would force a
+    # device sync per step and defeat async-dispatch runahead
+    start = int(state.step)
     with ctx:
         for i, batch in enumerate(batches):
             state, metrics = step_fn(state, frozen, place(batch))
+            step_no = start + i + 1
             if tcfg.log_every and i % tcfg.log_every == 0:
-                log_fn(f"step {int(state.step)}: "
+                log_fn(f"step {step_no}: "
                        f"loss={float(metrics['loss']):.4f}")
-            if ckpt is not None and save_every and \
-                    int(state.step) % save_every == 0:
-                ckpt.save(int(state.step), state._asdict(), wait=False)
-    if ckpt is not None and save_every:
-        ckpt.wait()
+            maybe_save(ckpt, save_every, step_no, state)
+    finish_saves(ckpt, save_every)
     return state
 
 

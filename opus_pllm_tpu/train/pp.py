@@ -42,7 +42,8 @@ from ..lora import lora as lora_mod
 from ..models import decoder, opus
 from ..models.layers import causal_mask
 from ..parallel.pipeline import PIPE_AXIS, pipeline_apply
-from .multimodal_trainer import MMTrainState, _assemble
+from .multimodal_trainer import (MMTrainState, _assemble, finish_saves,
+                                 maybe_save)
 
 
 def _split_llm(frozen):
@@ -103,7 +104,7 @@ def make_pp_train_step(cfg: OpusConfig, tx, mesh, *,
                        lora_cfg: Optional[LoRAConfig] = None,
                        donate: bool = True, ce_chunk: int = 0,
                        n_micro: Optional[int] = None, remat: bool = True,
-                       impl: str = "auto"):
+                       impl: str = "auto", grad_accum: int = 1):
     """Jitted pipeline-parallel train step over `mesh` (a ("pipe",) mesh,
     pipeline.make_pp_mesh). Same state/batch surface as
     multimodal_trainer.make_train_step — the trainable tree keeps its
@@ -112,7 +113,11 @@ def make_pp_train_step(cfg: OpusConfig, tx, mesh, *,
     single-device step up to float reassociation.
 
     n_micro: microbatches the batch splits into (default: the stage count).
-    Bubble fraction is (P-1)/(n_micro+P-1) — raise n_micro to amortize."""
+    Bubble fraction is (P-1)/(n_micro+P-1) — raise n_micro to amortize.
+    grad_accum > 1 scans micro-chunks of the batch (each running a full
+    pipeline schedule) with valid-token weighting, exactly as in
+    multimodal_trainer.make_train_step — the update equals the big-batch
+    step; n_micro must divide the per-chunk batch."""
     ls = lora_mod.scaling(lora_cfg) if lora_cfg is not None else 1.0
     n_pipe = mesh.shape[PIPE_AXIS]
     # 2-D ("data","pipe") mesh = DPxPP: independent pipeline replicas over
@@ -124,13 +129,13 @@ def make_pp_train_step(cfg: OpusConfig, tx, mesh, *,
     def local_grads(tr_rest, lora_stack, frozen_rest, layer_stack, batch):
         stage = jax.lax.axis_index(PIPE_AXIS)
 
-        def loss_of(tr):
+        def loss_of(tr, chunk):
             tr_rest_, lora_stack_ = tr
             params = _assemble(frozen_rest, tr_rest_)
             sp = opus.splice_prompt(
-                params, cfg, batch["input_ids"], batch["attn_mask"],
-                batch.get("esm_tokens"), batch["labels"], left_pad=False,
-                pooled_emb=batch.get("pooled_emb"))
+                params, cfg, chunk["input_ids"], chunk["attn_mask"],
+                chunk.get("esm_tokens"), chunk["labels"], left_pad=False,
+                pooled_emb=chunk.get("pooled_emb"))
             emb = sp.embeds.astype(cfg.llm.jnp_dtype)
             bsz, s, h = emb.shape    # per-replica batch under DPxPP
             m = n_micro if n_micro else n_pipe
@@ -165,10 +170,42 @@ def make_pp_train_step(cfg: OpusConfig, tx, mesh, *,
             last = stage == n_pipe - 1
             tot = jax.lax.psum(jnp.where(last, tot, 0.0), all_axes)
             cnt = jax.lax.psum(jnp.where(last, cnt, 0), all_axes)
-            return tot / jnp.maximum(cnt, 1)
+            return tot / jnp.maximum(cnt, 1), cnt
 
-        loss, (g_rest, g_lora) = jax.value_and_grad(loss_of)(
-            (tr_rest, lora_stack))
+        gfn = jax.value_and_grad(loss_of, has_aux=True)
+        tr0 = (tr_rest, lora_stack)
+        if grad_accum <= 1:
+            (loss, _), (g_rest, g_lora) = gfn(tr0, batch)
+        else:
+            def split(x):
+                b = x.shape[0]
+                if b % grad_accum:
+                    raise ValueError(f"batch {b} not divisible by "
+                                     f"grad_accum={grad_accum}")
+                return x.reshape((grad_accum, b // grad_accum) + x.shape[1:])
+
+            chunks = {k: split(v) for k, v in batch.items()}
+
+            def body(carry, chunk):
+                loss_sum, cnt_sum, gsum = carry
+                (l, cnt), grads = gfn(tr0, chunk)
+                c = cnt.astype(jnp.float32)   # GLOBAL count (psum'd above)
+                gsum = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32) * c, gsum, grads)
+                return (loss_sum + l * c, cnt_sum + c, gsum), None
+
+            # x * 0, not jnp.zeros: the LoRA stack is VARYING over "pipe"
+            # under shard_map, and the scan carry's init must carry the
+            # same varying-axes type as the accumulated grads
+            zeros = jax.tree.map(
+                lambda x: x.astype(jnp.float32) * 0.0, tr0)
+            init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                    zeros)
+            (loss_sum, cnt, gsum), _ = jax.lax.scan(body, init, chunks)
+            denom = jnp.maximum(cnt, 1.0)
+            g_rest, g_lora = jax.tree.map(
+                lambda g, p: (g / denom).astype(p.dtype), gsum, tr0)
+            loss = loss_sum / denom
         # switch grads flow only through stage 0's stream feed (zeros
         # elsewhere) — the psum assembles the global gradient; each stage's
         # LoRA slice grads are already that shard of the global gradient
@@ -224,7 +261,8 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg, frozen, batches,
     frozen = shard_frozen(mesh, frozen)
     step_fn = make_pp_train_step(cfg, tx, mesh, lora_cfg=lora_cfg,
                                  ce_chunk=getattr(tcfg, "ce_chunk", 0),
-                                 n_micro=n_micro)
+                                 n_micro=n_micro,
+                                 grad_accum=getattr(tcfg, "grad_accum", 1))
 
     def place(batch):
         return {k: jnp.asarray(v) for k, v in batch.items()}
@@ -233,14 +271,15 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg, frozen, batches,
         from ..utils.prefetch import prefetch_to_device
         batches = prefetch_to_device(batches, size=prefetch, place=place)
         place = lambda b: b  # noqa: E731 — already staged by the producer
+    # host-side step mirror: int(state.step) each iteration would force a
+    # device sync per step and defeat async-dispatch runahead
+    start = int(state.step)
     for i, batch in enumerate(batches):
         state, metrics = step_fn(state, frozen, place(batch))
+        step_no = start + i + 1
         if tcfg.log_every and i % tcfg.log_every == 0:
-            log_fn(f"step {int(state.step)}: "
+            log_fn(f"step {step_no}: "
                    f"loss={float(metrics['loss']):.4f}")
-        if ckpt is not None and save_every and \
-                int(state.step) % save_every == 0:
-            ckpt.save(int(state.step), state._asdict(), wait=False)
-    if ckpt is not None and save_every:
-        ckpt.wait()
+        maybe_save(ckpt, save_every, step_no, state)
+    finish_saves(ckpt, save_every)
     return state

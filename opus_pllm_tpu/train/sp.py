@@ -38,7 +38,8 @@ from ..core.config import IGNORE_INDEX, LoRAConfig, OpusConfig
 from ..lora import lora as lora_mod
 from ..models import decoder, opus
 from ..parallel.ring import SEQ_AXIS
-from .multimodal_trainer import MMTrainState, _assemble
+from .multimodal_trainer import (MMTrainState, _assemble, finish_saves,
+                                 maybe_save)
 
 
 def _local_ce(llm_params, llm_cfg, hid, tg, valid, chunk: int):
@@ -60,11 +61,15 @@ def _local_ce(llm_params, llm_cfg, hid, tg, valid, chunk: int):
 def make_sp_train_step(cfg: OpusConfig, tx, mesh, *,
                        lora_cfg: Optional[LoRAConfig] = None,
                        donate: bool = True, ce_chunk: int = 0,
-                       remat: bool = True, scan_mode: str = "xs"):
+                       remat: bool = True, scan_mode: str = "xs",
+                       grad_accum: int = 1):
     """Jitted sequence-parallel train step over `mesh` (a ("seq",) mesh,
     ring.make_sp_mesh). Same state/batch surface as
     multimodal_trainer.make_train_step; loss and updated state equal the
-    single-device step up to float reassociation."""
+    single-device step up to float reassociation. grad_accum > 1 scans
+    micro-chunks of the batch with valid-token weighting exactly as in
+    multimodal_trainer.make_train_step (the chunk's psum'd token count is
+    the weight, so the update equals the big-batch step)."""
     ls = lora_mod.scaling(lora_cfg) if lora_cfg is not None else 1.0
     n_seq = mesh.shape[SEQ_AXIS]
     from jax.sharding import PartitionSpec as P
@@ -112,16 +117,44 @@ def make_sp_train_step(cfg: OpusConfig, tx, mesh, *,
                              ce_chunk)
         tot = jax.lax.psum(tot, SEQ_AXIS)
         cnt = jax.lax.psum(cnt, SEQ_AXIS)
-        return tot / jnp.maximum(cnt, 1)
+        return tot / jnp.maximum(cnt, 1), cnt
 
     def local_grads(trainable, frozen, batch):
-        loss, grads = jax.value_and_grad(local_loss)(trainable, frozen,
-                                                     batch)
-        # each device's backward covers its own tokens; the sum is the
-        # global gradient (the splice front is replicated compute, but its
-        # cotangent arrives only through this device's shard slice, so no
-        # token is double-counted)
-        return loss, jax.lax.psum(grads, SEQ_AXIS)
+        # each device's backward covers its own tokens; the psum of local
+        # grads is the global gradient (the splice front is replicated
+        # compute, but its cotangent arrives only through this device's
+        # shard slice, so no token is double-counted)
+        gfn = jax.value_and_grad(local_loss, has_aux=True)
+        if grad_accum <= 1:
+            (loss, _), grads = gfn(trainable, frozen, batch)
+            return loss, jax.lax.psum(grads, SEQ_AXIS)
+
+        def split(x):
+            b = x.shape[0]
+            if b % grad_accum:
+                raise ValueError(f"batch {b} not divisible by "
+                                 f"grad_accum={grad_accum}")
+            return x.reshape((grad_accum, b // grad_accum) + x.shape[1:])
+
+        chunks = {k: split(v) for k, v in batch.items()}
+
+        def body(carry, chunk):
+            loss_sum, cnt_sum, gsum = carry
+            (loss, cnt), grads = gfn(trainable, frozen, chunk)
+            c = cnt.astype(jnp.float32)   # GLOBAL count (psum'd in the loss)
+            gsum = jax.tree.map(
+                lambda a, g: a + g.astype(jnp.float32) * c, gsum, grads)
+            return (loss_sum + loss * c, cnt_sum + c, gsum), None
+
+        zeros = jax.tree.map(
+            lambda x: jnp.zeros(x.shape, jnp.float32), trainable)
+        init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                zeros)
+        (loss_sum, cnt, gsum), _ = jax.lax.scan(body, init, chunks)
+        denom = jnp.maximum(cnt, 1.0)
+        grads = jax.tree.map(
+            lambda g, p: (g / denom).astype(p.dtype), gsum, trainable)
+        return loss_sum / denom, jax.lax.psum(grads, SEQ_AXIS)
 
     sharded = jax.shard_map(local_grads, mesh=mesh,
                             in_specs=(P(), P(), P()),
@@ -146,7 +179,8 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg, frozen, batches,
     happens along the sequence inside the step."""
     step_fn = make_sp_train_step(cfg, tx, mesh, lora_cfg=lora_cfg,
                                  ce_chunk=getattr(tcfg, "ce_chunk", 0),
-                                 scan_mode=getattr(tcfg, "scan_mode", "xs"))
+                                 scan_mode=getattr(tcfg, "scan_mode", "xs"),
+                                 grad_accum=getattr(tcfg, "grad_accum", 1))
 
     def place(batch):
         return {k: jnp.asarray(v) for k, v in batch.items()}
@@ -155,14 +189,15 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg, frozen, batches,
         from ..utils.prefetch import prefetch_to_device
         batches = prefetch_to_device(batches, size=prefetch, place=place)
         place = lambda b: b  # noqa: E731 — already staged by the producer
+    # host-side step mirror: int(state.step) each iteration would force a
+    # device sync per step and defeat async-dispatch runahead
+    start = int(state.step)
     for i, batch in enumerate(batches):
         state, metrics = step_fn(state, frozen, place(batch))
+        step_no = start + i + 1
         if tcfg.log_every and i % tcfg.log_every == 0:
-            log_fn(f"step {int(state.step)}: "
+            log_fn(f"step {step_no}: "
                    f"loss={float(metrics['loss']):.4f}")
-        if ckpt is not None and save_every and \
-                int(state.step) % save_every == 0:
-            ckpt.save(int(state.step), state._asdict(), wait=False)
-    if ckpt is not None and save_every:
-        ckpt.wait()
+        maybe_save(ckpt, save_every, step_no, state)
+    finish_saves(ckpt, save_every)
     return state

@@ -18,6 +18,15 @@
 #SBATCH --ntasks-per-node=1
 set -eu
 
+# sbatch executes the batch script ONCE on the first node; srun re-enters
+# this script one task per node (SLURM_STEP_ID marks the srun step, and
+# only under srun is SLURM_PROCID per-task) — without this fan-out a
+# single process would block forever in jax.distributed.initialize
+# waiting for the other JAX_NUM_PROCESSES-1 processes
+if [ -n "${SLURM_JOB_ID:-}" ] && [ -z "${SLURM_STEP_ID:-}" ]; then
+    exec srun --ntasks-per-node=1 "$0" "$@"
+fi
+
 if [ -n "${SLURM_JOB_ID:-}" ]; then
     head=$(scontrol show hostnames "$SLURM_JOB_NODELIST" | head -n1)
     export JAX_COORDINATOR_ADDRESS="${head}:8476"

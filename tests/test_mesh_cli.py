@@ -340,3 +340,22 @@ def test_train_lora_cli_save_every_and_resume(cli_dirs, tmp_path):
     got = CheckpointManager(out).restore()
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chat_cli_seq_shards_matches_single(cli_dirs, monkeypatch, capsys):
+    """`chat --seq-shards 4` routes generation through the sequence-sharded
+    engine (the flag was previously accepted and silently ignored) and the
+    reply matches the single-device run at T=0."""
+    from opus_pllm_tpu.cli.main import main
+
+    def run(extra):
+        feeds = iter(["Where is this protein located?", "MKTAYIAKQR", ""])
+        monkeypatch.setattr("builtins.input", lambda *_: next(feeds))
+        main(["chat", "--model-base", cli_dirs["llm"],
+              "--weights", cli_dirs["weights"], "--esm", cli_dirs["esm"],
+              "--temperature", "0", "--max-new-tokens", "8"] + extra)
+        return capsys.readouterr().out.strip().splitlines()[-1]
+
+    single = run([])
+    sp = run(["--seq-shards", "4"])
+    assert sp == single

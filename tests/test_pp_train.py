@@ -219,3 +219,32 @@ def test_pp_shard_frozen_places_layer_blocks():
     assert shard_shapes == {(2,) + leaf.shape[1:]}
     emb = placed["llm"]["embed_tokens"]["embedding"]
     assert all(s.data.shape == emb.shape for s in emb.addressable_shards)
+
+
+def test_pp_grad_accum_matches_full_batch():
+    """grad_accum=2 on the PP step (each chunk running a full pipeline
+    schedule) equals the same PP step without accumulation."""
+    cfg = _cfg()
+    lcfg = LoRAConfig(rank=2)
+    tcfg = TrainConfig(learning_rate=1e-3)
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, b=4, seed=5)
+    mesh = pipeline.make_pp_mesh(2)
+    frozen = _stacked(params)
+
+    def run(ga):
+        state, tx = mmt.create_state(jax.random.PRNGKey(1), cfg, tcfg,
+                                     params, train_switch=True,
+                                     lora_cfg=lcfg)
+        step = pp.make_pp_train_step(cfg, tx, mesh, lora_cfg=lcfg,
+                                     n_micro=2, grad_accum=ga)
+        new_state, m = step(state, frozen, batch)
+        return float(m["loss"]), new_state
+
+    loss1, st1 = run(1)
+    loss2, st2 = run(2)
+    np.testing.assert_allclose(loss2, loss1, rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(st1.trainable),
+                    jax.tree.leaves(st2.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)

@@ -84,6 +84,28 @@ def test_sp_generate_sampled_runs_and_quantized_cache():
     assert (np.asarray(got.lengths) == 6).all()
 
 
+def test_sp_generate_dynamic_ntk_matches_single_device():
+    """use_dynamic_ntk active (context exceeds the trained window) + prompt
+    length not a multiple of the shard count: the sharded engine must pin
+    ntk_ctx to the UNsharded engine's derived context (engine.cache_capacity
+    of the pre-padding length — which generate_seq_sharded now calls
+    directly), or the RoPE bases diverge. Token equality on a tiny random
+    model is a coarse check; the structural guard is the shared
+    cache_capacity derivation."""
+    import dataclasses
+    cfg, params, emb, mask, pos = _setup(l=13, seed=7)
+    cfg = dataclasses.replace(cfg, use_dynamic_ntk=True,
+                              max_position_embeddings=16)
+    kw = dict(max_new_tokens=16, temperature=0.0, eos_token_id=-1)
+    ref = engine.generate(params, cfg, emb, mask, pos,
+                          jax.random.PRNGKey(1), **kw)
+    got = sp_engine.generate_seq_sharded(
+        params, cfg, emb, mask, pos, jax.random.PRNGKey(1),
+        mesh=ring.make_sp_mesh(4), **kw)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(got.tokens))
+
+
 def test_sp_generate_prompt_not_multiple_of_shards():
     """L=13 over 4 shards: the engine left-pads to 16 internally and the
     output still matches single-device greedy."""

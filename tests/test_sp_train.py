@@ -115,3 +115,32 @@ def test_sp_step_matches_single_device_dynamic_ntk():
         loss_sp = run(lambda tx: sp.make_sp_train_step(
             cfg, tx, ring.make_sp_mesh(n_seq), lora_cfg=lcfg))
         np.testing.assert_allclose(loss_sp, loss_ref, rtol=2e-5, atol=2e-6)
+
+
+def test_sp_grad_accum_matches_full_batch():
+    """grad_accum=2 on the SP step equals the same SP step without
+    accumulation (valid-token weighting makes the update exact even with
+    uneven padding across chunks)."""
+    cfg = OpusConfig.tiny("llama")
+    lcfg = LoRAConfig(rank=2)
+    tcfg = TrainConfig(learning_rate=1e-3)
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg, b=4, seed=5)
+    mesh = ring.make_sp_mesh(2)
+
+    def run(ga):
+        state, tx = mmt.create_state(jax.random.PRNGKey(1), cfg, tcfg,
+                                     params, train_switch=True,
+                                     lora_cfg=lcfg)
+        step = sp.make_sp_train_step(cfg, tx, mesh, lora_cfg=lcfg,
+                                     grad_accum=ga)
+        new_state, m = step(state, params, batch)
+        return float(m["loss"]), new_state
+
+    loss1, st1 = run(1)
+    loss2, st2 = run(2)
+    np.testing.assert_allclose(loss2, loss1, rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(st1.trainable),
+                    jax.tree.leaves(st2.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
