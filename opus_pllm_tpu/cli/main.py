@@ -544,6 +544,26 @@ def cmd_bench(args) -> None:
     runpy.run_path(bench, run_name="__main__")
 
 
+def cmd_serve(args) -> None:
+    """HTTP serving daemon over the continuous-batching engine
+    (serve/engine.py + serve/server.py) — the deployment surface the
+    reference never shipped; its only online path is the REPL."""
+    cfg, params, tok, mesh = _build(args)
+    if mesh is not None:
+        raise SystemExit("serve runs single-device; drop --mesh")
+    from ..serve.server import OpusServer
+
+    srv = OpusServer(
+        params, cfg, tok, chat_template=getattr(args, "chat_template", False),
+        default_max_new=args.max_new_tokens or 256,
+        max_slots=args.max_slots, max_len=args.max_len,
+        steps_per_tick=args.steps_per_tick,
+        admit_min_free=args.admit_min_free,
+        quantize_cache=getattr(args, "quantize_cache", False),
+        seed=getattr(args, "seed", 0))
+    srv.serve_forever(args.host, args.port)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="opus-pllm-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -575,6 +595,31 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--chat-template", action="store_true",
                    help="chat-template prompting (Evol models)")
     c.set_defaults(fn=cmd_chat)
+
+    sv = sub.add_parser("serve", help="HTTP serving daemon (continuous "
+                        "batching over one compiled decode step)")
+    _model_args(sv)
+    sv.add_argument("--host", default="0.0.0.0")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--max-slots", type=int, default=16,
+                    help="concurrent sequences (the compiled decode batch)")
+    sv.add_argument("--max-len", type=int, default=1024,
+                    help="per-slot KV capacity (prompt + generation)")
+    sv.add_argument("--steps-per-tick", type=int, default=8,
+                    help="decode steps per compiled call (dispatch "
+                         "amortization; raise when the host is remote "
+                         "from the chip)")
+    sv.add_argument("--admit-min-free", type=int, default=1,
+                    help="batch admissions until this many slots are free "
+                         "(fewer prefill dispatches at the cost of "
+                         "time-to-first-token)")
+    sv.add_argument("--max-new-tokens", type=int, default=None,
+                    help="default per-request budget (requests can "
+                         "override)")
+    sv.add_argument("--seed", type=int, default=0)
+    sv.add_argument("--chat-template", action="store_true",
+                    help="chat-template prompting (Evol models)")
+    sv.set_defaults(fn=cmd_serve)
 
     tc = sub.add_parser("train-cstp", help="stage (a): contrastive adapter")
     tc.add_argument("--vec-pickle", required=True)

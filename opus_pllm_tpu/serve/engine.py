@@ -410,6 +410,12 @@ class ServingEngine:
     # scheduler (host-side mirror of the device transition rules)
     # ------------------------------------------------------------------
 
+    @property
+    def busy(self) -> bool:
+        """Work pending: queued requests or occupied slots (the server
+        thread polls this to know whether step() would make progress)."""
+        return bool(self._queue or self._slot_req)
+
     def submit(self, req: ServeRequest) -> None:
         """Validate eagerly — a request that cannot be served must fail
         HERE, not mid-admission where it would take already-dequeued

@@ -1,0 +1,295 @@
+"""HTTP serving front for the continuous-batching engine.
+
+Makes `serve/engine.ServingEngine` user-reachable: `cli serve` starts a
+stdlib-only (http.server) JSON endpoint over one engine instance — the
+deployment surface the reference never shipped (SURVEY §1: "no serving
+daemon"; its only online path is the run_opus_online.py REPL). The
+multimodal front mirrors that REPL's contract (professor prompt, amino-acid
+validation, '###' truncation, run_opus_online.py:12-54) while the engine
+underneath gives continuous batching: requests admit into slots mid-stream
+and decode together in one compiled step.
+
+Endpoints (JSON):
+  POST /v1/annotate  {"instruction", "sequence", "max_new_tokens"?,
+                      "temperature"?}            -> {"text", ...}
+  POST /v1/generate  {"prompt", "max_new_tokens"?, "temperature"?}
+                      (text-only, no protein)    -> {"text", ...}
+  GET  /health                                   -> engine counters
+
+Threading model: HTTP handlers (ThreadingHTTPServer) never touch the
+engine — they enqueue a ServeRequest and block on a per-request event; ONE
+engine thread owns submit()/step(), so the engine needs no locking and the
+compiled decode tick batches every in-flight request regardless of which
+connection it arrived on.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..core.config import OpusConfig
+from ..core.util import round_up
+from ..infer.conversation import VICUNA_V0, VICUNA_V3, annotation_prompt, \
+    truncate_at_sep
+from ..infer.tokenization import pad_batch, tokenize_with_seq
+from ..models import esm2, opus
+from .engine import Completion, ServeRequest, ServingEngine
+
+STANDARD_AA = set("ACDEFGHIKLMNPQRSTVWY")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _splice_jit(params, cfg: OpusConfig, ids, mask, esm_tokens):
+    """One request's prompt -> left-padded spliced embeddings. Jitted and
+    bucket-shaped so the per-request front compiles once per
+    (prompt_bucket, esm_bucket) pair, not per request."""
+    return opus.splice_prompt(params, cfg, ids, mask, esm_tokens,
+                              left_pad=True)
+
+
+class OpusServer:
+    """Multimodal request front + engine thread + HTTP plumbing.
+
+    params/cfg/tokenizer as produced by core.builder (the full
+    {esm,cstp,switch,llm} tree); engine kwargs pass through to
+    ServingEngine (slots, capacity, buckets, steps_per_tick,
+    quantize_cache).
+    """
+
+    def __init__(self, params, cfg: OpusConfig, tokenizer, *,
+                 chat_template: bool = False, prompt_bucket: int = 64,
+                 esm_bucket: int = 128, default_max_new: int = 256,
+                 **engine_kwargs):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.chat_template = chat_template
+        self.prompt_bucket = prompt_bucket
+        self.esm_bucket = esm_bucket
+        self.default_max_new = default_max_new
+        self.engine = ServingEngine(params["llm"], cfg.llm, **engine_kwargs)
+
+        self._pending: "queue.Queue[ServeRequest]" = queue.Queue()
+        self._events: Dict[Any, threading.Event] = {}
+        self._results: Dict[Any, Completion] = {}
+        self._next_id = 0
+        self._id_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="opus-serve-engine")
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    # request fronts
+    # ------------------------------------------------------------------
+
+    def _prompt_for(self, instruction: str) -> str:
+        if self.chat_template:
+            return self.tok.apply_chat_template(
+                [{"role": "system", "content": VICUNA_V3.system},
+                 {"role": "user", "content": "<seq>\n" + instruction}],
+                add_generation_prompt=True)
+        return annotation_prompt("<seq>\n" + instruction, VICUNA_V0)
+
+    def embed_annotate(self, instruction: str, sequence: str) -> np.ndarray:
+        """Instruction + protein -> exact-length (P, H) prompt embeddings:
+        bucket-padded splice (one compile per bucket pair), then the valid
+        left-padded tail is sliced out so the engine packs slots tightly."""
+        ids_l = tokenize_with_seq(self._prompt_for(instruction),
+                                  self.tok.encode,
+                                  getattr(self.tok, "bos_token_id", None))
+        ids, mask = pad_batch([ids_l], self.tok.pad_token_id, left=True,
+                              max_len=round_up(len(ids_l),
+                                               self.prompt_bucket))
+        esm_toks, _ = esm2.tokenize(
+            [sequence], max_len=round_up(len(sequence) + 2, self.esm_bucket))
+        sp = _splice_jit(self.params, self.cfg, np.asarray(ids),
+                         np.asarray(mask), np.asarray(esm_toks)[:, None])
+        emb = np.asarray(sp.embeds[0], np.float32)
+        valid = np.asarray(sp.mask[0])
+        return emb[valid]
+
+    def token_ids_generate(self, prompt: str) -> np.ndarray:
+        ids = self.tok.encode(prompt)
+        bos = getattr(self.tok, "bos_token_id", None)
+        if bos is not None and (not ids or ids[0] != bos):
+            ids = [bos] + list(ids)
+        return np.asarray(ids, np.int32)
+
+    # ------------------------------------------------------------------
+    # engine thread
+    # ------------------------------------------------------------------
+
+    def _deliver(self, rid, result) -> None:
+        """Hand a Completion (or the exception that doomed the request)
+        to its waiting handler thread."""
+        self._results[rid] = result
+        ev = self._events.pop(rid, None)
+        if ev is not None:
+            ev.set()
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            moved = False
+            while True:
+                try:
+                    req = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                moved = True
+                try:
+                    self.engine.submit(req)
+                except Exception as e:   # invalid request: fail IT, not
+                    self._deliver(req.request_id, e)  # the engine thread
+            if self.engine.busy:
+                try:
+                    for c in self.engine.step():
+                        self._deliver(c.request_id, c)
+                except Exception as e:
+                    # an engine fault strands every in-flight request —
+                    # fail them all loudly rather than hanging waiters
+                    for rid in list(self._events):
+                        self._deliver(rid, e)
+                moved = True
+            if not moved:
+                # idle: park until the next submission (or shutdown)
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+
+    def submit_and_wait(self, *, embeds=None, token_ids=None,
+                        max_new_tokens: int, temperature: float,
+                        timeout: Optional[float] = None) -> Completion:
+        with self._id_lock:
+            rid = self._next_id
+            self._next_id += 1
+        ev = threading.Event()
+        self._events[rid] = ev
+        self._pending.put(ServeRequest(
+            rid, embeds=embeds, token_ids=token_ids,
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            eos_token_id=self.tok.eos_token_id))
+        self._wake.set()
+        if not ev.wait(timeout):
+            self._events.pop(rid, None)
+            raise TimeoutError(f"request {rid} timed out")
+        out = self._results.pop(rid)
+        if isinstance(out, Exception):   # engine-side rejection
+            raise out
+        return out
+
+    def close(self) -> None:
+        self._stop.set()
+        self._wake.set()
+        self._thread.join(timeout=10)
+
+    # ------------------------------------------------------------------
+    # request handlers (shared by HTTP and tests)
+    # ------------------------------------------------------------------
+
+    def handle_annotate(self, body: dict) -> dict:
+        instruction = body.get("instruction", "").strip()
+        sequence = body.get("sequence", "").strip().upper()
+        if not instruction or not sequence:
+            raise ValueError("'instruction' and 'sequence' are required")
+        bad = set(sequence) - STANDARD_AA
+        if bad:
+            raise ValueError(
+                f"invalid amino acids: {''.join(sorted(bad))} "
+                f"(allowed: {''.join(sorted(STANDARD_AA))})")
+        emb = self.embed_annotate(instruction, sequence)
+        c = self.submit_and_wait(
+            embeds=emb,
+            max_new_tokens=int(body.get("max_new_tokens",
+                                        self.default_max_new)),
+            temperature=float(body.get("temperature", 0.0)),
+            timeout=body.get("_timeout"))
+        text = truncate_at_sep(self.tok.decode(
+            [t for t in c.tokens if t != self.tok.eos_token_id]))
+        return {"text": text, "finish_reason": c.finish_reason,
+                "tokens": len(c.tokens)}
+
+    def handle_generate(self, body: dict) -> dict:
+        prompt = body.get("prompt", "")
+        if not prompt:
+            raise ValueError("'prompt' is required")
+        c = self.submit_and_wait(
+            token_ids=self.token_ids_generate(prompt),
+            max_new_tokens=int(body.get("max_new_tokens",
+                                        self.default_max_new)),
+            temperature=float(body.get("temperature", 0.0)),
+            timeout=body.get("_timeout"))
+        text = self.tok.decode(
+            [t for t in c.tokens if t != self.tok.eos_token_id])
+        return {"text": text, "finish_reason": c.finish_reason,
+                "tokens": len(c.tokens)}
+
+    def health(self) -> dict:
+        return {"status": "ok",
+                "slots": self.engine.max_slots,
+                "active": int(np.sum(self.engine.state["active"])),
+                "queued": self._pending.qsize()}
+
+    # ------------------------------------------------------------------
+    # HTTP
+    # ------------------------------------------------------------------
+
+    def make_http_server(self, host: str, port: int) -> ThreadingHTTPServer:
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _send(self, code: int, payload: dict) -> None:
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):            # noqa: N802 (http.server API)
+                if self.path == "/health":
+                    self._send(200, outer.health())
+                else:
+                    self._send(404, {"error": "unknown path"})
+
+            def do_POST(self):           # noqa: N802
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/v1/annotate":
+                        self._send(200, outer.handle_annotate(body))
+                    elif self.path == "/v1/generate":
+                        self._send(200, outer.handle_generate(body))
+                    else:
+                        self._send(404, {"error": "unknown path"})
+                except (ValueError, KeyError) as e:
+                    self._send(400, {"error": str(e)})
+                except TimeoutError as e:
+                    self._send(504, {"error": str(e)})
+                except Exception as e:   # noqa: BLE001 — HTTP boundary
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+            def log_message(self, fmt, *args):   # quiet access log
+                pass
+
+        return ThreadingHTTPServer((host, port), Handler)
+
+    def serve_forever(self, host: str = "0.0.0.0", port: int = 8000) -> None:
+        httpd = self.make_http_server(host, port)
+        print(f"opus-pllm-tpu serving on http://{host}:{port} "
+              f"({self.engine.max_slots} slots, cap {self.engine.max_len})")
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.shutdown()
+            self.close()
