@@ -63,6 +63,10 @@ class ServeRequest:
     temperature: float = 0.0
     eos_token_id: int = -1
     prefix_id: Optional[Any] = None
+    # streaming: called from the engine thread with each batch of newly
+    # accepted tokens (EOS never included, so the concatenation of all
+    # deltas equals Completion.tokens exactly)
+    on_tokens: Optional[Any] = None
 
 
 @dataclasses.dataclass
@@ -509,6 +513,8 @@ class ServingEngine:
             st["temperature"][slot] = req.temperature
             self._slot_req[slot] = req
             self._slot_tokens[slot] = [tok]
+            if req.on_tokens is not None and tok != req.eos_token_id:
+                req.on_tokens([tok])
             if tok == req.eos_token_id:
                 self._finish(slot, "eos")
             elif req.max_new_tokens <= 1:
@@ -561,11 +567,17 @@ class ServingEngine:
         st["last_token"][idx] = T[consumed[idx] - 1, idx]
         for slot in idx:
             c = int(consumed[slot])
-            self._slot_tokens[slot].extend(T[:c, slot].tolist())
-            if any_fin[slot] and first_fin[slot] < K:
-                self._finish(int(slot),
-                             "eos" if eos_hit[first_fin[slot], slot]
-                             else "length")
+            new = T[:c, slot].tolist()
+            self._slot_tokens[slot].extend(new)
+            fin = bool(any_fin[slot]) and first_fin[slot] < K
+            by_eos = fin and bool(eos_hit[first_fin[slot], slot])
+            cb = self._slot_req[slot].on_tokens
+            if cb is not None:
+                delta = new[:-1] if by_eos else new   # never stream EOS
+                if delta:
+                    cb(delta)
+            if fin:
+                self._finish(int(slot), "eos" if by_eos else "length")
         out, self._completions = self._completions, []
         return out
 

@@ -29,6 +29,7 @@ import functools
 import json
 import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
@@ -186,6 +187,49 @@ class OpusServer:
             raise out
         return out
 
+    def submit_streaming(self, *, embeds=None, token_ids=None,
+                         max_new_tokens: int, temperature: float,
+                         timeout: Optional[float] = None):
+        """Generator of token-id delta lists; the Completion is the
+        generator's return value (StopIteration.value). Deltas are pushed
+        from the engine thread per decode tick, so the consumer sees
+        tokens as they are produced; their concatenation equals
+        Completion.tokens exactly (the engine never streams EOS)."""
+        with self._id_lock:
+            rid = self._next_id
+            self._next_id += 1
+        ev = threading.Event()
+        self._events[rid] = ev
+        q: "queue.Queue[list]" = queue.Queue()
+        self._pending.put(ServeRequest(
+            rid, embeds=embeds, token_ids=token_ids,
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            eos_token_id=self.tok.eos_token_id, on_tokens=q.put))
+        self._wake.set()
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            try:
+                yield q.get(timeout=0.05)
+                continue
+            except queue.Empty:
+                pass
+            if ev.is_set():
+                # deltas are enqueued before the completion is delivered
+                # (same engine thread), so a final drain loses nothing
+                while True:
+                    try:
+                        yield q.get_nowait()
+                    except queue.Empty:
+                        break
+                break
+            if deadline is not None and time.monotonic() > deadline:
+                self._events.pop(rid, None)
+                raise TimeoutError(f"request {rid} timed out")
+        out = self._results.pop(rid)
+        if isinstance(out, Exception):
+            raise out
+        return out
+
     def close(self) -> None:
         self._stop.set()
         self._wake.set()
@@ -232,6 +276,65 @@ class OpusServer:
         return {"text": text, "finish_reason": c.finish_reason,
                 "tokens": len(c.tokens)}
 
+    def _stream_events(self, gen, *, truncate: bool):
+        """Wrap a submit_streaming generator into SSE-able event dicts:
+        one {"text": <new chars>, "token_ids": [...]} per delta (text via
+        incremental re-decode, so BPE/byte merges across delta boundaries
+        render correctly), then a final {"done": true, ...} carrying the
+        post-processed full text (the '###' truncation is a whole-string
+        rule, so it applies at the end, as the REPL does)."""
+        toks: list = []
+        sent = ""
+        gi = iter(gen)
+        while True:
+            try:
+                delta = next(gi)
+            except StopIteration as s:
+                c = s.value
+                full = self.tok.decode(toks)
+                if truncate:
+                    full = truncate_at_sep(full)
+                yield {"done": True, "text": full,
+                       "finish_reason": c.finish_reason, "tokens": len(toks)}
+                return
+            toks.extend(delta)
+            text = self.tok.decode(toks)
+            if text.startswith(sent):
+                new, sent = text[len(sent):], text
+            else:                      # a merge rewrote earlier chars —
+                new, sent = text, text  # resend from scratch (rare)
+            yield {"text": new, "token_ids": list(delta)}
+
+    def stream_annotate(self, body: dict):
+        instruction = body.get("instruction", "").strip()
+        sequence = body.get("sequence", "").strip().upper()
+        if not instruction or not sequence:
+            raise ValueError("'instruction' and 'sequence' are required")
+        bad = set(sequence) - STANDARD_AA
+        if bad:
+            raise ValueError(
+                f"invalid amino acids: {''.join(sorted(bad))} "
+                f"(allowed: {''.join(sorted(STANDARD_AA))})")
+        gen = self.submit_streaming(
+            embeds=self.embed_annotate(instruction, sequence),
+            max_new_tokens=int(body.get("max_new_tokens",
+                                        self.default_max_new)),
+            temperature=float(body.get("temperature", 0.0)),
+            timeout=body.get("_timeout"))
+        return self._stream_events(gen, truncate=True)
+
+    def stream_generate(self, body: dict):
+        prompt = body.get("prompt", "")
+        if not prompt:
+            raise ValueError("'prompt' is required")
+        gen = self.submit_streaming(
+            token_ids=self.token_ids_generate(prompt),
+            max_new_tokens=int(body.get("max_new_tokens",
+                                        self.default_max_new)),
+            temperature=float(body.get("temperature", 0.0)),
+            timeout=body.get("_timeout"))
+        return self._stream_events(gen, truncate=False)
+
     def health(self) -> dict:
         return {"status": "ok",
                 "slots": self.engine.max_slots,
@@ -260,14 +363,40 @@ class OpusServer:
                 else:
                     self._send(404, {"error": "unknown path"})
 
+            def _send_sse(self, events) -> None:
+                """Server-sent events; HTTP/1.0 connection-close framing
+                (no Content-Length), flushed per event so clients see
+                tokens as the engine produces them."""
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                try:
+                    for ev in events:
+                        self.wfile.write(
+                            b"data: " + json.dumps(ev).encode() + b"\n\n")
+                        self.wfile.flush()
+                except Exception as e:   # noqa: BLE001 — mid-stream fault
+                    self.wfile.write(
+                        b"data: " + json.dumps(
+                            {"error": f"{type(e).__name__}: {e}"}).encode()
+                        + b"\n\n")
+
             def do_POST(self):           # noqa: N802
                 n = int(self.headers.get("Content-Length", 0))
                 try:
                     body = json.loads(self.rfile.read(n) or b"{}")
+                    stream = bool(body.get("stream"))
                     if self.path == "/v1/annotate":
-                        self._send(200, outer.handle_annotate(body))
+                        if stream:
+                            self._send_sse(outer.stream_annotate(body))
+                        else:
+                            self._send(200, outer.handle_annotate(body))
                     elif self.path == "/v1/generate":
-                        self._send(200, outer.handle_generate(body))
+                        if stream:
+                            self._send_sse(outer.stream_generate(body))
+                        else:
+                            self._send(200, outer.handle_generate(body))
                     else:
                         self._send(404, {"error": "unknown path"})
                 except (ValueError, KeyError) as e:

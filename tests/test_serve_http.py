@@ -102,6 +102,53 @@ def test_concurrent_requests_batch(served):
     assert results[0]["text"] == results[4]["text"]
 
 
+def test_streaming_matches_blocking(served):
+    """SSE-style streaming yields per-tick deltas whose concatenation
+    equals the blocking handler's result exactly at T=0 (the engine never
+    streams EOS, and the final event carries the '###'-truncated text)."""
+    _, _, tok, srv = served
+    body = {"instruction": INSTR, "sequence": SEQ,
+            "max_new_tokens": 8, "temperature": 0.0}
+    blocking = srv.handle_annotate(dict(body))
+
+    events = list(srv.stream_annotate(dict(body)))
+    assert events, "no events streamed"
+    final = events[-1]
+    assert final.get("done") is True
+    assert final["text"] == blocking["text"]
+    assert final["finish_reason"] == blocking["finish_reason"]
+    assert final["tokens"] == blocking["tokens"]
+    deltas = events[:-1]
+    all_ids = [t for e in deltas for t in e["token_ids"]]
+    assert len(all_ids) == blocking["tokens"]
+    # incremental text re-decodes consistently
+    assert "".join(e["text"] for e in deltas) == tok.decode(all_ids)
+
+
+def test_streaming_http_sse(served):
+    _, _, _, srv = served
+    httpd = srv.make_http_server("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"prompt": "Hello", "max_new_tokens": 5,
+                           "stream": True}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            events = [json.loads(line[len(b"data: "):])
+                      for line in r.read().split(b"\n\n")
+                      if line.startswith(b"data: ")]
+        assert events[-1]["done"] is True
+        assert events[-1]["tokens"] == sum(
+            len(e["token_ids"]) for e in events[:-1])
+    finally:
+        httpd.shutdown()
+
+
 def test_http_round_trip(served):
     _, _, _, srv = served
     httpd = srv.make_http_server("127.0.0.1", 0)
