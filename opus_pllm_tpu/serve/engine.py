@@ -416,9 +416,10 @@ class ServingEngine:
 
     @property
     def busy(self) -> bool:
-        """Work pending: queued requests or occupied slots (the server
-        thread polls this to know whether step() would make progress)."""
-        return bool(self._queue or self._slot_req)
+        """Work pending: queued requests, occupied slots, or unharvested
+        completions (the server thread polls this to know whether step()
+        would make progress)."""
+        return bool(self._queue or self._slot_req or self._completions)
 
     def submit(self, req: ServeRequest) -> None:
         """Validate eagerly — a request that cannot be served must fail
@@ -447,6 +448,29 @@ class ServingEngine:
                 f"max_len={self.max_len}; writes past capacity would be "
                 "silently dropped")
         self._queue.append(req)
+
+    def cancel(self, request_id: Any) -> bool:
+        """Abandon a request (client went away): drop it from the queue,
+        or free its slot so the next tick stops decoding it. Must be
+        called from the thread that owns submit()/step(), like them.
+        Returns True if the request was found (a completion with
+        finish_reason='cancelled' is emitted), False if it already
+        finished."""
+        for i, q in enumerate(self._queue):
+            if q.request_id == request_id:
+                del self._queue[i]
+                self._completions.append(
+                    Completion(request_id, [], "cancelled"))
+                return True
+        for slot, req in self._slot_req.items():
+            if req.request_id == request_id:
+                toks = self._slot_tokens.pop(slot)
+                self._slot_req.pop(slot)
+                self.state["active"][slot] = False
+                self._completions.append(
+                    Completion(request_id, toks, "cancelled"))
+                return True
+        return False
 
     def _free_slots(self) -> List[int]:
         return [i for i in range(self.max_slots)

@@ -79,6 +79,8 @@ class OpusServer:
         self.engine = ServingEngine(params["llm"], cfg.llm, **engine_kwargs)
 
         self._pending: "queue.Queue[ServeRequest]" = queue.Queue()
+        self._cancels: "queue.Queue[Any]" = queue.Queue()
+        self._cancelled: set = set()
         self._events: Dict[Any, threading.Event] = {}
         self._results: Dict[Any, Completion] = {}
         self._next_id = 0
@@ -133,6 +135,9 @@ class OpusServer:
     def _deliver(self, rid, result) -> None:
         """Hand a Completion (or the exception that doomed the request)
         to its waiting handler thread."""
+        if rid in self._cancelled:     # requester is gone: drop, don't leak
+            self._cancelled.discard(rid)
+            return
         self._results[rid] = result
         ev = self._events.pop(rid, None)
         if ev is not None:
@@ -141,6 +146,18 @@ class OpusServer:
     def _loop(self) -> None:
         while not self._stop.is_set():
             moved = False
+            while True:
+                try:
+                    rid = self._cancels.get_nowait()
+                except queue.Empty:
+                    break
+                moved = True
+                if self.engine.cancel(rid):
+                    # its 'cancelled' Completion surfaces at the next
+                    # harvest — mark it so _deliver drops it
+                    self._cancelled.add(rid)
+                self._events.pop(rid, None)
+                self._results.pop(rid, None)
             while True:
                 try:
                     req = self._pending.get_nowait()
@@ -180,7 +197,7 @@ class OpusServer:
             eos_token_id=self.tok.eos_token_id))
         self._wake.set()
         if not ev.wait(timeout):
-            self._events.pop(rid, None)
+            self._cancel(rid)
             raise TimeoutError(f"request {rid} timed out")
         out = self._results.pop(rid)
         if isinstance(out, Exception):   # engine-side rejection
@@ -207,28 +224,41 @@ class OpusServer:
             eos_token_id=self.tok.eos_token_id, on_tokens=q.put))
         self._wake.set()
         deadline = None if timeout is None else time.monotonic() + timeout
-        while True:
-            try:
-                yield q.get(timeout=0.05)
-                continue
-            except queue.Empty:
-                pass
-            if ev.is_set():
-                # deltas are enqueued before the completion is delivered
-                # (same engine thread), so a final drain loses nothing
-                while True:
-                    try:
-                        yield q.get_nowait()
-                    except queue.Empty:
-                        break
-                break
-            if deadline is not None and time.monotonic() > deadline:
-                self._events.pop(rid, None)
-                raise TimeoutError(f"request {rid} timed out")
+        try:
+            while True:
+                try:
+                    yield q.get(timeout=0.05)
+                    continue
+                except queue.Empty:
+                    pass
+                if ev.is_set():
+                    # deltas are enqueued before the completion is
+                    # delivered (same engine thread), so a final drain
+                    # loses nothing
+                    while True:
+                        try:
+                            yield q.get_nowait()
+                        except queue.Empty:
+                            break
+                    break
+                if deadline is not None and time.monotonic() > deadline:
+                    self._cancel(rid)
+                    raise TimeoutError(f"request {rid} timed out")
+        except GeneratorExit:
+            # consumer went away mid-stream (e.g. client disconnect):
+            # free the slot instead of decoding to budget
+            self._cancel(rid)
+            raise
         out = self._results.pop(rid)
         if isinstance(out, Exception):
             raise out
         return out
+
+    def _cancel(self, rid) -> None:
+        """Route a cancellation through the engine thread (which owns all
+        engine state) and wake it."""
+        self._cancels.put(rid)
+        self._wake.set()
 
     def close(self) -> None:
         self._stop.set()
@@ -286,24 +316,28 @@ class OpusServer:
         toks: list = []
         sent = ""
         gi = iter(gen)
-        while True:
-            try:
-                delta = next(gi)
-            except StopIteration as s:
-                c = s.value
-                full = self.tok.decode(toks)
-                if truncate:
-                    full = truncate_at_sep(full)
-                yield {"done": True, "text": full,
-                       "finish_reason": c.finish_reason, "tokens": len(toks)}
-                return
-            toks.extend(delta)
-            text = self.tok.decode(toks)
-            if text.startswith(sent):
-                new, sent = text[len(sent):], text
-            else:                      # a merge rewrote earlier chars —
-                new, sent = text, text  # resend from scratch (rare)
-            yield {"text": new, "token_ids": list(delta)}
+        try:
+            while True:
+                try:
+                    delta = next(gi)
+                except StopIteration as s:
+                    c = s.value
+                    full = self.tok.decode(toks)
+                    if truncate:
+                        full = truncate_at_sep(full)
+                    yield {"done": True, "text": full,
+                           "finish_reason": c.finish_reason,
+                           "tokens": len(toks)}
+                    return
+                toks.extend(delta)
+                text = self.tok.decode(toks)
+                if text.startswith(sent):
+                    new, sent = text[len(sent):], text
+                else:                      # a merge rewrote earlier chars —
+                    new, sent = text, text  # resend from scratch (rare)
+                yield {"text": new, "token_ids": list(delta)}
+        finally:
+            gi.close()   # closing us cancels the underlying request
 
     def stream_annotate(self, body: dict):
         instruction = body.get("instruction", "").strip()
@@ -373,14 +407,24 @@ class OpusServer:
                 self.end_headers()
                 try:
                     for ev in events:
+                        try:
+                            self.wfile.write(b"data: "
+                                             + json.dumps(ev).encode()
+                                             + b"\n\n")
+                            self.wfile.flush()
+                        except OSError:   # client disconnected: closing
+                            return        # the generator cancels decoding
+                except Exception as e:   # noqa: BLE001 — producer fault
+                    try:
                         self.wfile.write(
-                            b"data: " + json.dumps(ev).encode() + b"\n\n")
-                        self.wfile.flush()
-                except Exception as e:   # noqa: BLE001 — mid-stream fault
-                    self.wfile.write(
-                        b"data: " + json.dumps(
-                            {"error": f"{type(e).__name__}: {e}"}).encode()
-                        + b"\n\n")
+                            b"data: " + json.dumps(
+                                {"error":
+                                 f"{type(e).__name__}: {e}"}).encode()
+                            + b"\n\n")
+                    except OSError:
+                        pass
+                finally:
+                    events.close()
 
             def do_POST(self):           # noqa: N802
                 n = int(self.headers.get("Content-Length", 0))

@@ -4,6 +4,7 @@ through one engine, and the stdlib HTTP surface round-trips JSON."""
 
 import json
 import threading
+import time
 import urllib.request
 
 import jax
@@ -123,6 +124,29 @@ def test_streaming_matches_blocking(served):
     assert len(all_ids) == blocking["tokens"]
     # incremental text re-decodes consistently
     assert "".join(e["text"] for e in deltas) == tok.decode(all_ids)
+
+
+def test_stream_cancel_frees_slot(served):
+    """Closing a streaming consumer (client disconnect) cancels the
+    request: the slot frees without decoding to budget, and the engine
+    keeps serving."""
+    _, _, _, srv = served
+    g = srv.stream_annotate({"instruction": INSTR, "sequence": SEQ,
+                             "max_new_tokens": 200, "temperature": 0.0})
+    first = next(g)
+    assert first["token_ids"]
+    g.close()                          # disconnect after one delta
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if not srv.engine.busy and not np.any(srv.engine.state["active"]):
+            break
+        time.sleep(0.1)
+    assert not np.any(srv.engine.state["active"])
+    # no leaked bookkeeping for the cancelled request
+    assert not srv._events and not srv._results
+    out = srv.handle_annotate({"instruction": INSTR, "sequence": SEQ,
+                               "max_new_tokens": 4, "_timeout": 300})
+    assert out["tokens"] > 0
 
 
 def test_streaming_http_sse(served):
