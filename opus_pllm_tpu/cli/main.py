@@ -227,11 +227,21 @@ def cmd_annotate(args) -> None:
         seed=args.seed, quantize_cache=getattr(args, "quantize_cache", False),
         num_beams=getattr(args, "num_beams", 1),
         length_penalty=getattr(args, "length_penalty", 1.0))
-    rep = runner.run_annotation_eval(
-        params, cfg, tok, args.test_json, gen=gen,
-        batch_size=args.batch_size, save_path=args.save_path,
-        bert_embed_fn=_bert_embed_fn(getattr(args, "biobert", None)),
-        mesh=mesh, seq_mesh=seq_mesh)
+    if getattr(args, "engine", False):
+        if mesh is not None or seq_mesh is not None:
+            raise SystemExit("--engine runs single-device; drop "
+                             "--mesh/--seq-shards")
+        rep = runner.run_annotation_eval_engine(
+            params, cfg, tok, args.test_json, gen=gen,
+            max_slots=args.max_slots, steps_per_tick=args.steps_per_tick,
+            splice_batch=args.batch_size, save_path=args.save_path,
+            bert_embed_fn=_bert_embed_fn(getattr(args, "biobert", None)))
+    else:
+        rep = runner.run_annotation_eval(
+            params, cfg, tok, args.test_json, gen=gen,
+            batch_size=args.batch_size, save_path=args.save_path,
+            bert_embed_fn=_bert_embed_fn(getattr(args, "biobert", None)),
+            mesh=mesh, seq_mesh=seq_mesh)
     print(json.dumps(rep.metrics))
 
 
@@ -574,6 +584,16 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--save-path", default=None)
     a.add_argument("--biobert", default=None,
                    help="local BioBERT dir for BERTScore (function sets)")
+    a.add_argument("--engine", action="store_true",
+                   help="continuous-batching engine instead of static "
+                        "batches: per-sequence finish + mid-stream "
+                        "admission (T=0 token-identical; T>0 needs "
+                        "--top-p 1)")
+    a.add_argument("--max-slots", type=int, default=16,
+                   help="engine slots (--engine only)")
+    a.add_argument("--steps-per-tick", type=int, default=4,
+                   help="decode steps per compiled engine call "
+                        "(--engine only)")
     a.set_defaults(fn=cmd_annotate)
 
     aa = sub.add_parser("annotate-all",

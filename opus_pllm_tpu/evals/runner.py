@@ -17,6 +17,7 @@ TPU specifics:
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 from dataclasses import dataclass
@@ -182,6 +183,103 @@ def run_annotation_eval(params, cfg: OpusConfig, tokenizer, file_path: str,
                                       batch_index=bi, seq_mesh=seq_mesh)
         results.extend({"ground_truth": e.output, "generated": t}
                        for e, t in zip(chunk[:n_real], texts[:n_real]))
+    dt = time.perf_counter() - t0
+
+    results = _allgather_results(results)
+    eps = len(results) / dt if dt > 0 else 0.0
+    metrics = {}
+    if jax.process_index() == 0:
+        log_fn(f"entries/sec: {eps:.3f}, time elapsed: {dt:.1f}s")
+        if save_path:
+            with open(save_path, "w") as f:
+                json.dump(results, f, indent=1)
+        metrics = compute_metrics(results, file_path,
+                                  bert_embed_fn=bert_embed_fn)
+        log_fn(str(metrics))
+    return EvalReport(results, metrics, eps, dt)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _splice_left_jit(params, cfg, ids, mask, esm_toks):
+    return opus.splice_prompt(params, cfg, ids, mask, esm_toks,
+                              left_pad=True)
+
+
+def run_annotation_eval_engine(params, cfg: OpusConfig, tokenizer,
+                               file_path: str, *,
+                               gen: Optional[GenerationConfig] = None,
+                               max_slots: int = 16, steps_per_tick: int = 4,
+                               splice_batch: int = 8, prompt_bucket: int = 64,
+                               esm_bucket: int = 128,
+                               save_path: Optional[str] = None,
+                               examples=None, bert_embed_fn=None,
+                               log_fn=print) -> EvalReport:
+    """Annotation eval driven through the continuous-batching serving
+    engine (CLI `annotate --engine`) instead of static batches.
+
+    Why: the static path decodes each batch until its LONGEST member
+    finishes (run_opus_ddp-style), so a batch mixing an early-EOS
+    localization answer with a 256-token function description wastes most
+    of its slots. The engine ends every sequence individually and admits
+    the next prompt into the freed slot mid-stream, so device utilization
+    tracks actual tokens, not per-batch maxima. T=0 output is
+    token-identical to run_annotation_eval (tests/test_engine_eval.py);
+    sampling is temperature-only (the slot decode step has no top-p), so
+    T>0 requires top_p=1.
+    """
+    from ..serve.engine import ServeRequest, ServingEngine
+
+    if examples is None:
+        examples = ds.load_annotation_json(file_path)
+    examples = examples[local_slice(len(examples))]
+    gen = gen or GenerationConfig(
+        max_new_tokens=ds.max_new_tokens_for(file_path),
+        eos_token_id=getattr(tokenizer, "eos_token_id", -1),
+        pad_token_id=getattr(tokenizer, "pad_token_id", 0))
+    if gen.do_sample and gen.top_p < 1.0:
+        raise ValueError("the engine eval path samples with temperature "
+                         "only; pass top_p=1 (or temperature 0)")
+    if getattr(gen, "num_beams", 1) > 1:
+        raise ValueError("beam search needs the static path (drop --engine)")
+
+    t0 = time.perf_counter()
+    # 1) splice every prompt in static-shape batches (compiles once per
+    #    bucket pair), then slice each row's valid left-padded tail so
+    #    slots pack exact prompt lengths
+    embeds: List[np.ndarray] = []
+    for s in range(0, len(examples), splice_batch):
+        chunk, n_real = _pad_chunk(examples[s:s + splice_batch],
+                                   splice_batch)
+        prompts = [annotation_prompt(ds.instruction_for(e, file_path),
+                                     VICUNA_V0) for e in chunk]
+        ids, mask, esm_toks = _prepare_inputs(
+            tokenizer, prompts, [e.sequence for e in chunk],
+            prompt_bucket=prompt_bucket, esm_bucket=esm_bucket)
+        sp = _splice_left_jit(params, cfg, ids, mask, esm_toks)
+        emb = np.asarray(sp.embeds, np.float32)
+        msk = np.asarray(sp.mask)
+        embeds.extend(emb[r][msk[r]] for r in range(n_real))
+
+    # 2) size the engine to the workload: buckets up to the longest
+    #    prompt, capacity = largest bucket + the per-task budget
+    longest = max(e.shape[0] for e in embeds)
+    buckets = tuple(b for b in (64, 128, 256, 512, 1024, 2048)
+                    if b < longest) + (round_up(longest, 64),)
+    eng = ServingEngine(
+        params["llm"], cfg.llm, max_slots=max_slots,
+        max_len=buckets[-1] + gen.max_new_tokens,
+        prefill_buckets=buckets, steps_per_tick=steps_per_tick,
+        quantize_cache=gen.quantize_cache, seed=gen.seed)
+    done = eng.run([ServeRequest(i, embeds=e,
+                                 max_new_tokens=gen.max_new_tokens,
+                                 temperature=gen.temperature,
+                                 eos_token_id=gen.eos_token_id)
+                    for i, e in enumerate(embeds)])
+
+    results = [{"ground_truth": e.output,
+                "generated": truncate_at_sep(
+                    tokenizer.decode(done[i].tokens))}
+               for i, e in enumerate(examples)]
     dt = time.perf_counter() - t0
 
     results = _allgather_results(results)

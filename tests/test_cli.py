@@ -12,8 +12,11 @@ def test_parser_covers_all_commands():
     p = build_parser()
     for argv in (
         ["annotate", "--test-json", "x.json"],
+        ["annotate", "--test-json", "x.json", "--engine",
+         "--max-slots", "8", "--steps-per-tick", "2"],
         ["mcq", "--test-json", "x.json"],
         ["chat"],
+        ["serve", "--port", "8001", "--max-slots", "4"],
         ["train-cstp", "--vec-pickle", "v.pkl", "--out", "o"],
         ["train-projector", "--train-json", "t.json", "--out", "o"],
         ["train-lora", "--train-json", "t.json", "--out", "o"],

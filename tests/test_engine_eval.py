@@ -1,0 +1,69 @@
+"""Engine-backed annotation eval (runner.run_annotation_eval_engine):
+T=0 results and metrics identical to the static-batch runner, mixed
+per-example prompt lengths pack correctly, and guardrails reject
+unsupported sampling modes."""
+
+import jax
+import pytest
+
+from opus_pllm_tpu.core.config import GenerationConfig, OpusConfig
+from opus_pllm_tpu.evals import runner
+from opus_pllm_tpu.evals.datasets import AnnotationExample
+from opus_pllm_tpu.infer.tokenization import ByteTokenizer
+from opus_pllm_tpu.models import opus
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = OpusConfig.tiny("llama")
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    # mixed instruction/sequence lengths so prompts land in different
+    # buckets and finish at different ticks
+    examples = [
+        AnnotationExample(instruction="What is the subcellular location?",
+                          sequence="MKTAYIAKQR", output="membrane"),
+        AnnotationExample(instruction="Name the function.",
+                          sequence="MKTAYIAKQRMKTAYIAKQR", output="enzyme"),
+        AnnotationExample(instruction="Predict the EC number for this "
+                          "enzyme sequence as precisely as possible.",
+                          sequence="MKTAY", output="1.1.1.1"),
+        AnnotationExample(instruction="Keywords?",
+                          sequence="ACDEFGHIKLMNPQRSTVWY", output="binding"),
+        AnnotationExample(instruction="Where is it located in the cell?",
+                          sequence="MKTAYIAKQRACDEFG", output="nucleus"),
+    ]
+    return cfg, params, tok, examples
+
+
+def _gen(tok, n=8):
+    return GenerationConfig(max_new_tokens=n, temperature=0.0,
+                            eos_token_id=tok.eos_token_id,
+                            pad_token_id=tok.pad_token_id)
+
+
+def test_engine_eval_matches_static_runner(setup):
+    cfg, params, tok, examples = setup
+    static = runner.run_annotation_eval(
+        params, cfg, tok, "mini_localization.json", gen=_gen(tok),
+        batch_size=2, examples=list(examples))
+    eng = runner.run_annotation_eval_engine(
+        params, cfg, tok, "mini_localization.json", gen=_gen(tok),
+        max_slots=3, steps_per_tick=2, splice_batch=2,
+        examples=list(examples))
+    assert [r["generated"] for r in eng.results] == \
+        [r["generated"] for r in static.results]
+    assert [r["ground_truth"] for r in eng.results] == \
+        [r["ground_truth"] for r in static.results]
+    assert eng.metrics == static.metrics
+
+
+def test_engine_eval_rejects_top_p_sampling(setup):
+    cfg, params, tok, examples = setup
+    gen = GenerationConfig(max_new_tokens=4, temperature=0.5, top_p=0.7,
+                           eos_token_id=tok.eos_token_id,
+                           pad_token_id=tok.pad_token_id)
+    with pytest.raises(ValueError, match="temperature only"):
+        runner.run_annotation_eval_engine(
+            params, cfg, tok, "mini_localization.json", gen=gen,
+            examples=list(examples))
