@@ -99,6 +99,43 @@ def _seq_mesh(args):
     return make_sp_mesh(n)
 
 
+def _adapter_bank(args, cfg) -> dict:
+    """--adapter NAME=PATH (repeatable) -> {name: folded unmerged tree}.
+
+    Each entry loads an UNMERGED PEFT adapter; per-adapter alpha/rank
+    scaling folds into B (lora.fold_scaling) so one bank serves mixed
+    recipes under the engine's single lora_scale=1.0. Serve requests pick
+    one via {"adapter": name}; annotate-all maps test sets to adapters by
+    name (the ablation protocol's per-task adapters,
+    eval_total_ablation.sh — which reloads the whole model per adapter)."""
+    bank = {}
+    if getattr(args, "adapter", None):
+        from ..core import builder
+        from ..lora.lora import fold_scaling
+        for spec in args.adapter:
+            name, _, path = spec.partition("=")
+            if not name or not path:
+                raise SystemExit(f"--adapter expects name=path, got {spec!r}")
+            tree, scale = builder.load_peft_adapter(path, cfg.llm.num_layers)
+            bank[name] = fold_scaling(tree, scale)
+    return bank
+
+
+def _adapter_for(names, test_json: str) -> Optional[str]:
+    """The bank adapter a test set runs under: the unique NAME that is a
+    substring of the set's basename (nucleus/…/test_localization.json
+    matches adapter 'localization'). No match -> base weights; two
+    matches -> ambiguous, refuse (longest-name tiebreak would silently
+    mask typos like go/go_bp)."""
+    import os
+    base = os.path.basename(test_json)
+    hits = [n for n in names if n in base]
+    if len(hits) > 1:
+        raise SystemExit(f"test set {base!r} matches multiple adapters "
+                         f"{sorted(hits)}; rename adapters uniquely")
+    return hits[0] if hits else None
+
+
 def _resume_setup(args, state, restore_fn, data):
     """Shared resume/periodic-save wiring for the train commands: build the
     resume_state CheckpointManager (a SEPARATE subdir so the final
@@ -215,9 +252,12 @@ def cmd_annotate(args) -> None:
     from ..core.config import GenerationConfig
     from ..evals import runner
 
-    # validate the --seq-shards/--mesh conflict BEFORE the (potentially
-    # multi-GB, minutes-long) model load — same order as the train path
+    # validate the --seq-shards/--mesh conflict and the adapter flags
+    # BEFORE the (potentially multi-GB, minutes-long) model load
     seq_mesh = _seq_mesh(args)
+    if getattr(args, "adapter", None) and not getattr(args, "engine", False):
+        raise SystemExit("--adapter needs --engine (the static path merges "
+                         "adapters via --weights instead)")
     cfg, params, tok, mesh = _build(args)
     from ..evals.datasets import max_new_tokens_for
     gen = GenerationConfig(
@@ -227,14 +267,21 @@ def cmd_annotate(args) -> None:
         seed=args.seed, quantize_cache=getattr(args, "quantize_cache", False),
         num_beams=getattr(args, "num_beams", 1),
         length_penalty=getattr(args, "length_penalty", 1.0))
+    bank = _adapter_bank(args, cfg)
     if getattr(args, "engine", False):
         if mesh is not None or seq_mesh is not None:
             raise SystemExit("--engine runs single-device; drop "
                              "--mesh/--seq-shards")
+        aid = getattr(args, "use_adapter", None) or (
+            _adapter_for(bank, args.test_json) if bank else None)
+        if aid is not None and aid not in bank:
+            raise SystemExit(f"--use-adapter {aid!r} is not in the bank "
+                             f"({sorted(bank) or 'empty'})")
         rep = runner.run_annotation_eval_engine(
             params, cfg, tok, args.test_json, gen=gen,
             max_slots=args.max_slots, steps_per_tick=args.steps_per_tick,
             splice_batch=args.batch_size, save_path=args.save_path,
+            lora_bank=bank or None, adapter_id=aid,
             bert_embed_fn=_bert_embed_fn(getattr(args, "biobert", None)))
     else:
         rep = runner.run_annotation_eval(
@@ -254,10 +301,23 @@ def cmd_annotate_all(args) -> None:
     from ..evals import runner
     from ..evals.datasets import max_new_tokens_for
 
-    seq_mesh = _seq_mesh(args)   # validate the flag conflict pre-load
+    seq_mesh = _seq_mesh(args)   # validate the flag conflicts pre-load
+    use_engine = getattr(args, "engine", False)
+    if getattr(args, "adapter", None) and not use_engine:
+        raise SystemExit("--adapter needs --engine")
     cfg, params, tok, mesh = _build(args)
+    bank = _adapter_bank(args, cfg)
+    if use_engine and (mesh is not None or seq_mesh is not None):
+        raise SystemExit("--engine runs single-device; drop "
+                         "--mesh/--seq-shards")
     all_metrics = {}
     for test_json in args.test_jsons:
+        # the ablation protocol: this set's per-task adapter, from the
+        # bank loaded ONCE (the reference reloads the 8B model per task)
+        aid = _adapter_for(bank, test_json) if bank else None
+        if bank:
+            print(f"{os.path.basename(test_json)}: adapter "
+                  f"{aid or '<base weights>'}")
         runs = []
         for rep in range(args.repeats):
             gen = GenerationConfig(
@@ -273,10 +333,18 @@ def cmd_annotate_all(args) -> None:
                 os.makedirs(args.save_dir, exist_ok=True)
                 base = os.path.splitext(os.path.basename(test_json))[0]
                 save = os.path.join(args.save_dir, f"{base}_rep{rep}.json")
-            rep_out = runner.run_annotation_eval(
-                params, cfg, tok, test_json, gen=gen,
-                batch_size=args.batch_size, save_path=save, mesh=mesh,
-                seq_mesh=seq_mesh)
+            if use_engine:
+                rep_out = runner.run_annotation_eval_engine(
+                    params, cfg, tok, test_json, gen=gen,
+                    max_slots=args.max_slots,
+                    steps_per_tick=args.steps_per_tick,
+                    splice_batch=args.batch_size, save_path=save,
+                    lora_bank=bank or None, adapter_id=aid)
+            else:
+                rep_out = runner.run_annotation_eval(
+                    params, cfg, tok, test_json, gen=gen,
+                    batch_size=args.batch_size, save_path=save, mesh=mesh,
+                    seq_mesh=seq_mesh)
             runs.append(rep_out.metrics)
         all_metrics[test_json] = runs
     print(json.dumps(all_metrics, indent=1))
@@ -563,6 +631,7 @@ def cmd_serve(args) -> None:
         raise SystemExit("serve runs single-device; drop --mesh")
     from ..serve.server import OpusServer
 
+    bank = _adapter_bank(args, cfg)
     srv = OpusServer(
         params, cfg, tok, chat_template=getattr(args, "chat_template", False),
         default_max_new=args.max_new_tokens or 256,
@@ -570,7 +639,8 @@ def cmd_serve(args) -> None:
         steps_per_tick=args.steps_per_tick,
         admit_min_free=args.admit_min_free,
         quantize_cache=getattr(args, "quantize_cache", False),
-        seed=getattr(args, "seed", 0))
+        seed=getattr(args, "seed", 0),
+        lora_bank=bank or None)
     srv.serve_forever(args.host, args.port)
 
 
@@ -594,6 +664,12 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--steps-per-tick", type=int, default=4,
                    help="decode steps per compiled engine call "
                         "(--engine only)")
+    a.add_argument("--adapter", action="append", metavar="NAME=PATH",
+                   help="named UNMERGED LoRA adapter for the engine bank "
+                        "(repeatable, --engine only); auto-matched to the "
+                        "test set by basename, or forced via --use-adapter")
+    a.add_argument("--use-adapter", default=None, metavar="NAME",
+                   help="run the whole set under this bank adapter")
     a.set_defaults(fn=cmd_annotate)
 
     aa = sub.add_parser("annotate-all",
@@ -602,6 +678,21 @@ def build_parser() -> argparse.ArgumentParser:
     aa.add_argument("--test-jsons", nargs="+", required=True)
     aa.add_argument("--repeats", type=int, default=5)
     aa.add_argument("--save-dir", default=None)
+    aa.add_argument("--engine", action="store_true",
+                    help="continuous-batching engine instead of static "
+                         "batches (see annotate --engine)")
+    aa.add_argument("--max-slots", type=int, default=16,
+                    help="engine slots (--engine only)")
+    aa.add_argument("--steps-per-tick", type=int, default=4,
+                    help="decode steps per compiled engine call "
+                         "(--engine only)")
+    aa.add_argument("--adapter", action="append", metavar="NAME=PATH",
+                    help="named UNMERGED LoRA adapter (repeatable, --engine "
+                         "only): each test set runs under the adapter whose "
+                         "NAME appears in its basename — the ablation "
+                         "protocol's per-task adapters from ONE loaded "
+                         "base, where eval_total_ablation.sh reloads the "
+                         "model per adapter")
     aa.set_defaults(fn=cmd_annotate_all)
 
     m = sub.add_parser("mcq", help="multiple-choice eval")
@@ -637,6 +728,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="default per-request budget (requests can "
                          "override)")
     sv.add_argument("--seed", type=int, default=0)
+    sv.add_argument("--adapter", action="append", metavar="NAME=PATH",
+                    help="serve a named UNMERGED LoRA adapter from the "
+                         "bank (repeatable; PEFT dir or weights dir with "
+                         "lora_adapter/); requests select one with "
+                         '{"adapter": NAME} — the ablation protocol\'s '
+                         "per-task adapters served concurrently")
     sv.add_argument("--chat-template", action="store_true",
                     help="chat-template prompting (Evol models)")
     sv.set_defaults(fn=cmd_serve)

@@ -231,17 +231,7 @@ def load_pretrained(model_base: Optional[str], weights_dir: Optional[str],
     unmerged = None
     lora_dir = weights_dir and os.path.join(weights_dir, LORA_DIR)
     if lora_dir and os.path.isdir(lora_dir):
-        files = [f for f in os.listdir(lora_dir)
-                 if f.endswith((".bin", ".safetensors"))]
-        sd: Dict[str, Any] = {}
-        for f in files:
-            p = os.path.join(lora_dir, f)
-            if f.endswith(".safetensors"):
-                from safetensors.numpy import load_file
-                sd.update(load_file(p))
-            else:
-                sd.update(convert.load_torch_file(p))
-        tree = convert.lora_from_peft(sd)
+        tree = convert.lora_from_peft(_load_peft_sd(lora_dir))
         scale = _peft_scaling(lora_dir, lora_cfg)
         if merge_lora:
             params["llm"] = convert.merge_lora_into_decoder(
@@ -262,6 +252,37 @@ def load_pretrained(model_base: Optional[str], weights_dir: Optional[str],
     elif quantize is not None:
         raise ValueError(f"unknown quantize mode: {quantize}")
     return params, unmerged
+
+
+def _load_peft_sd(lora_dir: str) -> Dict[str, Any]:
+    sd: Dict[str, Any] = {}
+    for f in os.listdir(lora_dir):
+        if not f.endswith((".bin", ".safetensors")):
+            continue
+        p = os.path.join(lora_dir, f)
+        if f.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+            sd.update(load_file(p))
+        else:
+            sd.update(convert.load_torch_file(p))
+    return sd
+
+
+def load_peft_adapter(lora_dir: str, num_layers: int):
+    """PEFT adapter dir -> ({"layers": [...]} tree, scaling): the UNMERGED
+    form, for multi-LoRA serving (ServingEngine lora_bank). Accepts either
+    the adapter dir itself or a weights dir containing lora_adapter/."""
+    sub = os.path.join(lora_dir, LORA_DIR)
+    if os.path.isdir(sub):
+        lora_dir = sub
+    sd = _load_peft_sd(lora_dir)
+    if not sd:
+        raise ValueError(f"no .bin/.safetensors adapter weights in "
+                         f"{lora_dir}")
+    from ..lora.lora import tree_from_flat
+    flat = convert.lora_from_peft(sd)
+    return (tree_from_flat(flat, num_layers),
+            _peft_scaling(lora_dir, None))
 
 
 def _peft_scaling(lora_dir: str, lora_cfg: Optional[LoRAConfig]) -> float:

@@ -396,8 +396,13 @@ def lora_to_peft(lora_tree, *, family: str = "llama") -> Dict[str, np.ndarray]:
     for i, lp in enumerate(layers):
         for proj, ab in lp.items():
             base = path_of(i, proj)
-            sd[f"{base}.lora_A.weight"] = np.asarray(ab["A"], np.float32).T
-            sd[f"{base}.lora_B.weight"] = np.asarray(ab["B"], np.float32).T
+            # ascontiguousarray, not a .T view: safetensors save_file
+            # writes the raw buffer and silently corrupts non-contiguous
+            # arrays (observed — layer-1 MLP adapters came back permuted)
+            sd[f"{base}.lora_A.weight"] = np.ascontiguousarray(
+                np.asarray(ab["A"], np.float32).T)
+            sd[f"{base}.lora_B.weight"] = np.ascontiguousarray(
+                np.asarray(ab["B"], np.float32).T)
     return sd
 
 

@@ -213,9 +213,16 @@ def run_annotation_eval_engine(params, cfg: OpusConfig, tokenizer,
                                esm_bucket: int = 128,
                                save_path: Optional[str] = None,
                                examples=None, bert_embed_fn=None,
+                               lora_bank=None, adapter_id: Optional[str] = None,
                                log_fn=print) -> EvalReport:
     """Annotation eval driven through the continuous-batching serving
     engine (CLI `annotate --engine`) instead of static batches.
+
+    `lora_bank` ({name: folded unmerged-adapter tree}) + `adapter_id`
+    runs the whole set under one named bank adapter — the ablation
+    protocol's per-task adapters (eval_total_ablation.sh reloads the
+    full model per adapter; here the base loads once and each set picks
+    its adapter inside the compiled steps).
 
     Why: the static path decodes each batch until its LONGEST member
     finishes (run_opus_ddp-style), so a batch mixing an early-EOS
@@ -269,11 +276,13 @@ def run_annotation_eval_engine(params, cfg: OpusConfig, tokenizer,
         params["llm"], cfg.llm, max_slots=max_slots,
         max_len=buckets[-1] + gen.max_new_tokens,
         prefill_buckets=buckets, steps_per_tick=steps_per_tick,
-        quantize_cache=gen.quantize_cache, seed=gen.seed)
+        quantize_cache=gen.quantize_cache, seed=gen.seed,
+        lora_bank=lora_bank)
     done = eng.run([ServeRequest(i, embeds=e,
                                  max_new_tokens=gen.max_new_tokens,
                                  temperature=gen.temperature,
-                                 eos_token_id=gen.eos_token_id)
+                                 eos_token_id=gen.eos_token_id,
+                                 adapter_id=adapter_id)
                     for i, e in enumerate(embeds)])
 
     results = [{"ground_truth": e.output,

@@ -93,3 +93,54 @@ def merge(params, lora_tree, lora_cfg: LoRAConfig):
 
 def num_params(lora_tree) -> int:
     return sum(x.size for x in jax.tree.leaves(lora_tree))
+
+
+def tree_from_flat(flat: Dict[Any, Dict[str, Any]], num_layers: int,
+                   dtype=jnp.float32) -> dict:
+    """{(layer, proj): {A, B}} (convert.lora_from_peft's output) ->
+    the {"layers": [...]} adapter tree the forward takes."""
+    layers: list = [{} for _ in range(num_layers)]
+    for (li, proj), ab in flat.items():
+        layers[li][proj] = {"A": jnp.asarray(ab["A"], dtype),
+                            "B": jnp.asarray(ab["B"], dtype)}
+    return {"layers": layers}
+
+
+def fold_scaling(tree: dict, s: float) -> dict:
+    """Fold a PER-ADAPTER scaling into B (B' = s*B, delta unchanged), so
+    adapters trained at different alpha/rank serve from one bank under
+    the engine's single lora_scale=1.0."""
+    out = {"layers": []}
+    for lp in tree["layers"]:
+        out["layers"].append({t: {"A": ab["A"], "B": ab["B"] * s}
+                              for t, ab in lp.items()})
+    return out
+
+
+def make_bank(adapters: Dict[str, dict]):
+    """Stack named adapter trees into a multi-LoRA serving bank.
+
+    Returns ({leaves (num_layers, N+1, in, r)}, {name: index}): index N
+    (one past the last adapter) is an all-zero adapter, so base-only
+    requests gather an exact no-op delta instead of branching the
+    compiled decode step. All adapters must target the same projections
+    at the same rank (they stack into one gatherable tensor)."""
+    if not adapters:
+        raise ValueError("empty adapter bank")
+    names = list(adapters)
+    stacks = []
+    for name, t in adapters.items():
+        st = (t["layers_stacked"] if "layers_stacked" in t else
+              jax.tree.map(lambda *xs: jnp.stack(xs), *t["layers"]))
+        stacks.append(st)
+    ref = jax.tree.structure(stacks[0])
+    ref_shapes = [x.shape for x in jax.tree.leaves(stacks[0])]
+    for name, s in zip(names[1:], stacks[1:]):
+        if (jax.tree.structure(s) != ref
+                or [x.shape for x in jax.tree.leaves(s)] != ref_shapes):
+            raise ValueError(
+                f"adapter {name!r} targets different projections or rank "
+                f"than {names[0]!r}; a bank needs a uniform shape to stack")
+    zero = jax.tree.map(jnp.zeros_like, stacks[0])
+    bank = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *stacks, zero)
+    return bank, {n: i for i, n in enumerate(names)}

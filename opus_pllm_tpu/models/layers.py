@@ -82,9 +82,20 @@ def lora_dense(params, lora, x, scaling: float = 1.0):
 
 def lora_delta(lora, x, scaling: float = 1.0):
     """fp32 LoRA delta scaling * (xA)B alone — for fused-projection blocks
-    that apply per-projection adapters onto slices of one fused matmul."""
-    a = jnp.dot(x, lora["A"].astype(x.dtype), preferred_element_type=jnp.float32)
-    d = jnp.dot(a, lora["B"].astype(x.dtype), preferred_element_type=jnp.float32)
+    that apply per-projection adapters onto slices of one fused matmul.
+
+    A 3-d A/B ((B, in, r) / (B, r, out)) carries one adapter PER ROW of
+    x (B, L, in) — the multi-LoRA serving path, where each slot of the
+    decode batch runs its own adapter gathered from a bank."""
+    A, Bm = lora["A"], lora["B"]
+    if A.ndim == 3:
+        a = jnp.einsum("blh,bhr->blr", x, A.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        d = jnp.einsum("blr,bro->blo", a, Bm.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        return scaling * d
+    a = jnp.dot(x, A.astype(x.dtype), preferred_element_type=jnp.float32)
+    d = jnp.dot(a, Bm.astype(x.dtype), preferred_element_type=jnp.float32)
     return scaling * d
 
 

@@ -67,6 +67,9 @@ class ServeRequest:
     # accepted tokens (EOS never included, so the concatenation of all
     # deltas equals Completion.tokens exactly)
     on_tokens: Optional[Any] = None
+    # multi-LoRA serving: name of a bank adapter (engine lora_bank) to
+    # apply to THIS request; None decodes with the base weights
+    adapter_id: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -97,9 +100,24 @@ class ServingEngine:
                  max_len: int = 512,
                  prefill_buckets: Tuple[int, ...] = (64, 128, 256),
                  quantize_cache=False, seed: int = 0,
-                 steps_per_tick: int = 1, admit_min_free: int = 1):
+                 steps_per_tick: int = 1, admit_min_free: int = 1,
+                 lora_bank=None, lora_scale: float = 1.0):
         self.params = params
         self.cfg = cfg
+        # multi-LoRA: a {name: adapter tree} bank stacks into ONE
+        # gatherable tensor per projection; each slot gathers its own
+        # adapter inside the compiled step, so requests for different
+        # adapters decode together in the same tick (the reference's
+        # ablation protocol reloads the model per adapter — here the
+        # per-task adapters serve concurrently from one base)
+        if lora_bank:
+            from ..lora.lora import make_bank
+            self._lora_bank, self._adapter_index = make_bank(lora_bank)
+            self._zero_adapter = len(self._adapter_index)
+        else:
+            self._lora_bank, self._adapter_index = None, {}
+            self._zero_adapter = 0
+        self.lora_scale = float(lora_scale)
         self.max_slots = max_slots
         self.max_len = max_len
         self.steps_per_tick = int(steps_per_tick)
@@ -135,6 +153,7 @@ class ServingEngine:
             "remaining": z(np.int32),      # new-token budget left
             "eos": np.full((nrows,), -1, np.int32),
             "temperature": z(np.float32),
+            "adapter": np.full((nrows,), self._zero_adapter, np.int32),
         }
         self._key = jax.random.PRNGKey(seed)
         self._tick = 0
@@ -210,16 +229,19 @@ class ServingEngine:
                         np.zeros((n, bucket, self.cfg.hidden_size),
                                  np.float32),
                         self._dummy_meta(n))
-        packed = np.zeros((6, self.max_slots + 1), np.float32)
+        packed = np.zeros((7, self.max_slots + 1), np.float32)
         packed[4] = -1.0
+        packed[6] = self._zero_adapter
         self._key, k = jax.random.split(self._key)
         self.cache, _ = self._decode(self.params, self.cache,
-                                     jnp.asarray(packed), k)
+                                     jnp.asarray(packed), k,
+                                     self._lora_bank)
 
     def _dummy_meta(self, n: int) -> np.ndarray:
-        meta = np.zeros((3, n), np.float32)
+        meta = np.zeros((4, n), np.float32)
         meta[0, :] = 1.0                    # dummy rows: length 1
         meta[2, :] = self.max_slots         # dummy rows: trash slot
+        meta[3, :] = self._zero_adapter     # dummy rows: base adapter
         return meta
 
     def _run_prefill(self, bucket: int, n: int, embs, meta):
@@ -229,19 +251,34 @@ class ServingEngine:
         self._key, k = jax.random.split(self._key)
         self.cache, first = self._prefills[key](
             self.params, self.cache, jnp.asarray(embs, self.cfg.jnp_dtype),
-            jnp.asarray(meta), k)
+            jnp.asarray(meta), k, self._lora_bank)
         return np.asarray(first)
 
     # ------------------------------------------------------------------
     # compiled pieces
     # ------------------------------------------------------------------
 
+    def _gather_lora(self, bank, aidx):
+        """Per-row adapter tree for the compiled steps: each row gathers
+        its own adapter from the bank (leaves (layers, N+1, in, r) ->
+        (layers, rows, in, r)); index N is the all-zero base adapter.
+        `bank` is threaded as a jit ARGUMENT (not closed over) so the
+        adapter tensors are shared across every compiled prefill/decode
+        variant instead of baked into each as constants."""
+        if bank is None:
+            return None
+        if self.stacked:
+            return {"layers_stacked":
+                    jax.tree.map(lambda w: w[:, aidx], bank)}
+        return {"layers": [jax.tree.map(lambda w: w[i, aidx], bank)
+                           for i in range(self.cfg.num_layers)]}
+
     def _build_decode_step(self):
         cfg = self.cfg
         L = self.max_len
         K = self.steps_per_tick
 
-        def one(params, carry, key):
+        def one(params, la, carry, key):
             cache, active, length, last_token, remaining, eos, temp = carry
             emb = decoder.embed_tokens(params, jnp.maximum(last_token, 0)
                                        ).astype(cfg.jnp_dtype)[:, None]
@@ -252,7 +289,7 @@ class ServingEngine:
             mask4 = valid[:, None, None, :]
             logits, cache = decoder.forward(
                 params, cfg, emb, pos, mask4, cache=cache,
-                ntk_ctx=self.max_len)
+                lora=la, lora_scale=self.lora_scale, ntk_ctx=self.max_len)
             lg = logits[:, -1].astype(jnp.float32)
             greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
             sampled = jax.random.categorical(
@@ -268,8 +305,8 @@ class ServingEngine:
             return (cache, active, length, nxt, remaining, eos, temp), nxt
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def step(params, cache, packed, key):
-            # packed (6, B) fp32 — ONE host->device transfer per tick
+        def step(params, cache, packed, key, bank):
+            # packed (7, B) fp32 — ONE host->device transfer per tick
             # (int slot state round-trips exactly through fp32 < 2^24)
             active = packed[0] > 0
             length = packed[1].astype(jnp.int32)
@@ -277,22 +314,25 @@ class ServingEngine:
             remaining = packed[3].astype(jnp.int32)
             eos = packed[4].astype(jnp.int32)
             temp = packed[5]
+            # per-row adapters are fixed for the whole tick: gather once,
+            # not once per scanned step
+            la = self._gather_lora(bank, packed[6].astype(jnp.int32))
             # the host owns the slot state: trust ITS length vector, not
             # whatever the cache carried from the previous tick
             cache = dict(cache, index=length)
             carry = (cache, active, length, last_token, remaining, eos, temp)
             if K == 1:
-                carry, nxt = one(params, carry, key)
+                carry, nxt = one(params, la, carry, key)
                 return carry[0], nxt[None]
             carry, toks = jax.lax.scan(
-                lambda c, k: one(params, c, k), carry,
+                lambda c, k: one(params, la, c, k), carry,
                 jax.random.split(key, K))
             return carry[0], toks                      # (K, B)
 
         return step
 
     def _prefill_merge_body(self, plen, bucket, params, big, pref_layers,
-                            embs, meta, key):
+                            embs, meta, key, bank):
         """Shared prefill+merge graph: prefill an n-request group (suffix
         tokens at global positions plen + j, attending the optional pinned
         prefix KV + causal-suffix), scatter the contiguous
@@ -307,11 +347,12 @@ class ServingEngine:
         quantized = self._quantized
         stacked = self.stacked
 
-        # meta (3, n) fp32: [prompt_len, temperature, slot] — one small
-        # transfer; masks/positions derive in-graph
+        # meta (4, n) fp32: [prompt_len, temperature, slot, adapter] — one
+        # small transfer; masks/positions derive in-graph
         n_valid = meta[0].astype(jnp.int32)
         temps = meta[1]
         slots = meta[2].astype(jnp.int32)
+        la = self._gather_lora(bank, meta[3].astype(jnp.int32))
         ar = jnp.arange(bucket)
         mask = ar[None, :] < n_valid[:, None]
         pos = (plen + ar)[None, :] * mask
@@ -349,6 +390,7 @@ class ServingEngine:
         # step's query base
         hid, rows = decoder.forward(
             params, cfg, embs, pos, mask4, cache=cache,
+            lora=la, lora_scale=self.lora_scale,
             return_hidden=True, ntk_ctx=self.max_len)
         last_h = jnp.take_along_axis(
             hid, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)
@@ -377,8 +419,8 @@ class ServingEngine:
         body = self._prefill_merge_body
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def prefill_merge(params, big, embs, meta, key):
-            return body(0, bucket, params, big, None, embs, meta, key)
+        def prefill_merge(params, big, embs, meta, key, bank):
+            return body(0, bucket, params, big, None, embs, meta, key, bank)
 
         return prefill_merge
 
@@ -391,9 +433,9 @@ class ServingEngine:
         body = self._prefill_merge_body
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def prefill_merge(params, big, pref_layers, embs, meta, key):
+        def prefill_merge(params, big, pref_layers, embs, meta, key, bank):
             return body(plen, bucket, params, big, pref_layers, embs, meta,
-                        key)
+                        key, bank)
 
         return prefill_merge
 
@@ -407,7 +449,8 @@ class ServingEngine:
         self._key, k = jax.random.split(self._key)
         self.cache, first = self._prefills[key](
             self.params, self.cache, pref["layers"],
-            jnp.asarray(embs, self.cfg.jnp_dtype), jnp.asarray(meta), k)
+            jnp.asarray(embs, self.cfg.jnp_dtype), jnp.asarray(meta), k,
+            self._lora_bank)
         return np.asarray(first)
 
     # ------------------------------------------------------------------
@@ -447,7 +490,21 @@ class ServingEngine:
                 f"({req.max_new_tokens}) exceeds per-slot KV capacity "
                 f"max_len={self.max_len}; writes past capacity would be "
                 "silently dropped")
+        if req.adapter_id is not None:
+            if req.adapter_id not in self._adapter_index:
+                raise ValueError(
+                    f"unknown adapter {req.adapter_id!r} "
+                    f"(bank has: {sorted(self._adapter_index) or 'none'})")
+            if req.prefix_id is not None:
+                raise ValueError(
+                    "adapter_id with prefix_id is unsupported: the pinned "
+                    "prefix KV was computed with base weights, so an "
+                    "adapted suffix would attend inconsistent state")
         self._queue.append(req)
+
+    def _adapter_of(self, req: ServeRequest) -> int:
+        return (self._zero_adapter if req.adapter_id is None
+                else self._adapter_index[req.adapter_id])
 
     def cancel(self, request_id: Any) -> bool:
         """Abandon a request (client went away): drop it from the queue,
@@ -517,7 +574,8 @@ class ServingEngine:
         meta = self._dummy_meta(n)
         for r, (slot, req, emb, _) in enumerate(group):
             embs[r, :emb.shape[0]] = emb
-            meta[:, r] = (emb.shape[0], req.temperature, slot)
+            meta[:, r] = (emb.shape[0], req.temperature, slot,
+                          self._adapter_of(req))
         if prefix_id is not None:
             first_h = self._run_prefill_prefix(prefix_id, bucket, n,
                                                embs, meta)
@@ -535,6 +593,7 @@ class ServingEngine:
             st["remaining"][slot] = req.max_new_tokens - 1
             st["eos"][slot] = req.eos_token_id
             st["temperature"][slot] = req.temperature
+            st["adapter"][slot] = self._adapter_of(req)
             self._slot_req[slot] = req
             self._slot_tokens[slot] = [tok]
             if req.on_tokens is not None and tok != req.eos_token_id:
@@ -562,11 +621,12 @@ class ServingEngine:
             return out
         st = self.state
         packed = np.stack([st["active"], st["length"], st["last_token"],
-                           st["remaining"], st["eos"],
-                           st["temperature"]]).astype(np.float32)
+                           st["remaining"], st["eos"], st["temperature"],
+                           st["adapter"]]).astype(np.float32)
         self._key, k = jax.random.split(self._key)
         self.cache, toks = self._decode(
-            self.params, self.cache, jnp.asarray(packed), k)
+            self.params, self.cache, jnp.asarray(packed), k,
+            self._lora_bank)
         toks_h = np.asarray(toks)                      # the ONE fetch
         self._tick += 1
 

@@ -185,6 +185,7 @@ class OpusServer:
 
     def submit_and_wait(self, *, embeds=None, token_ids=None,
                         max_new_tokens: int, temperature: float,
+                        adapter: Optional[str] = None,
                         timeout: Optional[float] = None) -> Completion:
         with self._id_lock:
             rid = self._next_id
@@ -194,7 +195,7 @@ class OpusServer:
         self._pending.put(ServeRequest(
             rid, embeds=embeds, token_ids=token_ids,
             max_new_tokens=max_new_tokens, temperature=temperature,
-            eos_token_id=self.tok.eos_token_id))
+            eos_token_id=self.tok.eos_token_id, adapter_id=adapter))
         self._wake.set()
         if not ev.wait(timeout):
             self._cancel(rid)
@@ -206,6 +207,7 @@ class OpusServer:
 
     def submit_streaming(self, *, embeds=None, token_ids=None,
                          max_new_tokens: int, temperature: float,
+                         adapter: Optional[str] = None,
                          timeout: Optional[float] = None):
         """Generator of token-id delta lists; the Completion is the
         generator's return value (StopIteration.value). Deltas are pushed
@@ -221,7 +223,8 @@ class OpusServer:
         self._pending.put(ServeRequest(
             rid, embeds=embeds, token_ids=token_ids,
             max_new_tokens=max_new_tokens, temperature=temperature,
-            eos_token_id=self.tok.eos_token_id, on_tokens=q.put))
+            eos_token_id=self.tok.eos_token_id, on_tokens=q.put,
+            adapter_id=adapter))
         self._wake.set()
         deadline = None if timeout is None else time.monotonic() + timeout
         try:
@@ -285,6 +288,7 @@ class OpusServer:
             max_new_tokens=int(body.get("max_new_tokens",
                                         self.default_max_new)),
             temperature=float(body.get("temperature", 0.0)),
+            adapter=body.get("adapter"),
             timeout=body.get("_timeout"))
         text = truncate_at_sep(self.tok.decode(
             [t for t in c.tokens if t != self.tok.eos_token_id]))
@@ -300,6 +304,7 @@ class OpusServer:
             max_new_tokens=int(body.get("max_new_tokens",
                                         self.default_max_new)),
             temperature=float(body.get("temperature", 0.0)),
+            adapter=body.get("adapter"),
             timeout=body.get("_timeout"))
         text = self.tok.decode(
             [t for t in c.tokens if t != self.tok.eos_token_id])
@@ -354,6 +359,7 @@ class OpusServer:
             max_new_tokens=int(body.get("max_new_tokens",
                                         self.default_max_new)),
             temperature=float(body.get("temperature", 0.0)),
+            adapter=body.get("adapter"),
             timeout=body.get("_timeout"))
         return self._stream_events(gen, truncate=True)
 
@@ -366,6 +372,7 @@ class OpusServer:
             max_new_tokens=int(body.get("max_new_tokens",
                                         self.default_max_new)),
             temperature=float(body.get("temperature", 0.0)),
+            adapter=body.get("adapter"),
             timeout=body.get("_timeout"))
         return self._stream_events(gen, truncate=False)
 

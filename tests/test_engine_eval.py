@@ -67,3 +67,64 @@ def test_engine_eval_rejects_top_p_sampling(setup):
         runner.run_annotation_eval_engine(
             params, cfg, tok, "mini_localization.json", gen=gen,
             examples=list(examples))
+
+
+def test_engine_eval_adapter_matches_merged_static(setup):
+    """lora_bank + adapter_id: the whole set under one bank adapter equals
+    the static runner on that adapter MERGED into the weights — the
+    ablation protocol's per-task eval without the per-adapter reload."""
+    from opus_pllm_tpu.core.config import LoRAConfig
+    from opus_pllm_tpu.lora import lora as lora_mod
+
+    cfg, params, tok, examples = setup
+    lcfg = LoRAConfig(rank=4, alpha=8.0)
+    t = lora_mod.init(jax.random.PRNGKey(3), cfg.llm, lcfg)
+    t = jax.tree.map(
+        lambda x: x if x.shape[-1] == lcfg.rank else
+        0.3 * jax.random.normal(jax.random.PRNGKey(13), x.shape), t)
+    merged = dict(params)
+    merged["llm"] = lora_mod.merge(params["llm"], t, lcfg)
+    static = runner.run_annotation_eval(
+        merged, cfg, tok, "mini_localization.json", gen=_gen(tok),
+        batch_size=2, examples=list(examples))
+    base_static = runner.run_annotation_eval(
+        params, cfg, tok, "mini_localization.json", gen=_gen(tok),
+        batch_size=2, examples=list(examples))
+    assert [r["generated"] for r in static.results] != \
+        [r["generated"] for r in base_static.results], \
+        "adapter must change the output or this test proves nothing"
+
+    bank = {"localization": lora_mod.fold_scaling(t, lora_mod.scaling(lcfg))}
+    eng = runner.run_annotation_eval_engine(
+        params, cfg, tok, "mini_localization.json", gen=_gen(tok),
+        max_slots=3, steps_per_tick=2, splice_batch=2,
+        examples=list(examples), lora_bank=bank, adapter_id="localization")
+    assert [r["generated"] for r in eng.results] == \
+        [r["generated"] for r in static.results]
+    assert eng.metrics == static.metrics
+
+
+def test_adapter_for_set_matching():
+    """annotate-all maps each test set to the unique adapter whose name
+    is a substring of the basename; ambiguity refuses."""
+    from opus_pllm_tpu.cli.main import _adapter_for
+
+    names = {"localization": 1, "function": 2}
+    assert _adapter_for(names, "/d/test_localization_x.json") == \
+        "localization"
+    assert _adapter_for(names, "/d/test_go_terms.json") is None
+    with pytest.raises(SystemExit, match="multiple adapters"):
+        _adapter_for({"go", "go_bp"}, "/d/test_go_bp.json")
+
+
+def test_annotate_parser_adapter_flags():
+    from opus_pllm_tpu.cli.main import build_parser
+
+    p = build_parser()
+    args = p.parse_args(["annotate", "--test-json", "t.json", "--engine",
+                         "--adapter", "loc=/a", "--use-adapter", "loc"])
+    assert args.adapter == ["loc=/a"] and args.use_adapter == "loc"
+    args = p.parse_args(["annotate-all", "--test-jsons", "a.json", "b.json",
+                         "--engine", "--adapter", "loc=/a",
+                         "--adapter", "go=/b"])
+    assert args.adapter == ["loc=/a", "go=/b"] and args.engine
