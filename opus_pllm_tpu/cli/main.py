@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from typing import Optional
 
@@ -99,8 +100,27 @@ def _seq_mesh(args):
     return make_sp_mesh(n)
 
 
-def _adapter_bank(args, cfg) -> dict:
-    """--adapter NAME=PATH (repeatable) -> {name: folded unmerged tree}.
+def _adapter_specs(args) -> dict:
+    """--adapter NAME=PATH (repeatable) -> {name: path}, validated BEFORE
+    the model load: format, duplicate names (the last one silently winning
+    would evaluate the wrong weights), and that each path exists."""
+    import os
+    specs: dict = {}
+    for spec in getattr(args, "adapter", None) or ():
+        name, _, path = spec.partition("=")
+        if not name or not path:
+            raise SystemExit(f"--adapter expects name=path, got {spec!r}")
+        if name in specs:
+            raise SystemExit(f"duplicate --adapter name {name!r} "
+                             f"({specs[name]} and {path})")
+        if not os.path.isdir(path):
+            raise SystemExit(f"--adapter {name}: no such directory {path}")
+        specs[name] = path
+    return specs
+
+
+def _adapter_bank(specs: dict, cfg) -> dict:
+    """{name: path} -> {name: folded unmerged tree}.
 
     Each entry loads an UNMERGED PEFT adapter; per-adapter alpha/rank
     scaling folds into B (lora.fold_scaling) so one bank serves mixed
@@ -108,16 +128,12 @@ def _adapter_bank(args, cfg) -> dict:
     one via {"adapter": name}; annotate-all maps test sets to adapters by
     name (the ablation protocol's per-task adapters,
     eval_total_ablation.sh — which reloads the whole model per adapter)."""
+    from ..core import builder
+    from ..lora.lora import fold_scaling
     bank = {}
-    if getattr(args, "adapter", None):
-        from ..core import builder
-        from ..lora.lora import fold_scaling
-        for spec in args.adapter:
-            name, _, path = spec.partition("=")
-            if not name or not path:
-                raise SystemExit(f"--adapter expects name=path, got {spec!r}")
-            tree, scale = builder.load_peft_adapter(path, cfg.llm.num_layers)
-            bank[name] = fold_scaling(tree, scale)
+    for name, path in specs.items():
+        tree, scale = builder.load_peft_adapter(path, cfg.llm.num_layers)
+        bank[name] = fold_scaling(tree, scale)
     return bank
 
 
@@ -126,14 +142,45 @@ def _adapter_for(names, test_json: str) -> Optional[str]:
     substring of the set's basename (nucleus/…/test_localization.json
     matches adapter 'localization'). No match -> base weights; two
     matches -> ambiguous, refuse (longest-name tiebreak would silently
-    mask typos like go/go_bp)."""
+    mask typos like go/go_bp); --map resolves it explicitly."""
     import os
     base = os.path.basename(test_json)
     hits = [n for n in names if n in base]
     if len(hits) > 1:
         raise SystemExit(f"test set {base!r} matches multiple adapters "
-                         f"{sorted(hits)}; rename adapters uniquely")
+                         f"{sorted(hits)}; pick one with "
+                         f"--map {base}=NAME")
     return hits[0] if hits else None
+
+
+def _adapter_map(names, test_jsons, map_flags) -> dict:
+    """The FULL set->adapter mapping, computed and printed up front (before
+    the model load) so an ambiguity or a surprising match fails/surfaces
+    before hours of eval, not mid-loop after earlier sets already ran.
+
+    --map BASENAME=NAME (repeatable) overrides the substring match for one
+    set; NAME "" (i.e. --map file.json=) forces base weights."""
+    import os
+    overrides = {}
+    for spec in map_flags or ():
+        base, _, name = spec.partition("=")
+        if not base:
+            raise SystemExit(f"--map expects basename=adapter, got {spec!r}")
+        if name and name not in names:
+            raise SystemExit(f"--map {spec!r}: {name!r} is not a bank "
+                             f"adapter ({sorted(names)})")
+        overrides[base] = name or None
+    bases = [os.path.basename(t) for t in test_jsons]
+    unknown = set(overrides) - set(bases)
+    if unknown:
+        raise SystemExit(f"--map names test sets not in --test-jsons: "
+                         f"{sorted(unknown)}")
+    mapping = {}
+    for tj, base in zip(test_jsons, bases):
+        mapping[tj] = (overrides[base] if base in overrides
+                       else _adapter_for(names, tj))
+        print(f"{base}: adapter {mapping[tj] or '<base weights>'}")
+    return mapping
 
 
 def _resume_setup(args, state, restore_fn, data):
@@ -255,9 +302,24 @@ def cmd_annotate(args) -> None:
     # validate the --seq-shards/--mesh conflict and the adapter flags
     # BEFORE the (potentially multi-GB, minutes-long) model load
     seq_mesh = _seq_mesh(args)
-    if getattr(args, "adapter", None) and not getattr(args, "engine", False):
-        raise SystemExit("--adapter needs --engine (the static path merges "
-                         "adapters via --weights instead)")
+    use_engine = getattr(args, "engine", False)
+    specs = _adapter_specs(args)
+    if (specs or getattr(args, "use_adapter", None)) and not use_engine:
+        raise SystemExit("--adapter/--use-adapter need --engine (the "
+                         "static path merges adapters via --weights "
+                         "instead)")
+    aid = None
+    if specs:
+        aid = getattr(args, "use_adapter", None)
+        if aid is not None and aid not in specs:
+            raise SystemExit(f"--use-adapter {aid!r} is not in the bank "
+                             f"({sorted(specs)})")
+        if aid is None:
+            aid = _adapter_for(specs, args.test_json)
+        print(f"{os.path.basename(args.test_json)}: adapter "
+              f"{aid or '<base weights>'}")
+    elif getattr(args, "use_adapter", None):
+        raise SystemExit("--use-adapter needs --adapter NAME=PATH entries")
     cfg, params, tok, mesh = _build(args)
     from ..evals.datasets import max_new_tokens_for
     gen = GenerationConfig(
@@ -267,16 +329,11 @@ def cmd_annotate(args) -> None:
         seed=args.seed, quantize_cache=getattr(args, "quantize_cache", False),
         num_beams=getattr(args, "num_beams", 1),
         length_penalty=getattr(args, "length_penalty", 1.0))
-    bank = _adapter_bank(args, cfg)
-    if getattr(args, "engine", False):
+    bank = _adapter_bank(specs, cfg)
+    if use_engine:
         if mesh is not None or seq_mesh is not None:
             raise SystemExit("--engine runs single-device; drop "
                              "--mesh/--seq-shards")
-        aid = getattr(args, "use_adapter", None) or (
-            _adapter_for(bank, args.test_json) if bank else None)
-        if aid is not None and aid not in bank:
-            raise SystemExit(f"--use-adapter {aid!r} is not in the bank "
-                             f"({sorted(bank) or 'empty'})")
         rep = runner.run_annotation_eval_engine(
             params, cfg, tok, args.test_json, gen=gen,
             max_slots=args.max_slots, steps_per_tick=args.steps_per_tick,
@@ -303,21 +360,25 @@ def cmd_annotate_all(args) -> None:
 
     seq_mesh = _seq_mesh(args)   # validate the flag conflicts pre-load
     use_engine = getattr(args, "engine", False)
-    if getattr(args, "adapter", None) and not use_engine:
-        raise SystemExit("--adapter needs --engine")
+    specs = _adapter_specs(args)
+    if (specs or getattr(args, "map", None)) and not use_engine:
+        raise SystemExit("--adapter/--map need --engine")
+    # the ablation protocol: each set's per-task adapter, from the bank
+    # loaded ONCE (the reference reloads the 8B model per task). The FULL
+    # mapping is computed, printed, and ambiguity-checked HERE — before
+    # the model load and the hours-long loop, not mid-run per set.
+    adapter_map = (_adapter_map(specs, args.test_jsons,
+                                getattr(args, "map", None))
+                   if specs else {})
     cfg, params, tok, mesh = _build(args)
-    bank = _adapter_bank(args, cfg)
+    bank = _adapter_bank(specs, cfg)
     if use_engine and (mesh is not None or seq_mesh is not None):
         raise SystemExit("--engine runs single-device; drop "
                          "--mesh/--seq-shards")
+    engine_cache: dict = {}
     all_metrics = {}
     for test_json in args.test_jsons:
-        # the ablation protocol: this set's per-task adapter, from the
-        # bank loaded ONCE (the reference reloads the 8B model per task)
-        aid = _adapter_for(bank, test_json) if bank else None
-        if bank:
-            print(f"{os.path.basename(test_json)}: adapter "
-                  f"{aid or '<base weights>'}")
+        aid = adapter_map.get(test_json)
         runs = []
         for rep in range(args.repeats):
             gen = GenerationConfig(
@@ -339,7 +400,8 @@ def cmd_annotate_all(args) -> None:
                     max_slots=args.max_slots,
                     steps_per_tick=args.steps_per_tick,
                     splice_batch=args.batch_size, save_path=save,
-                    lora_bank=bank or None, adapter_id=aid)
+                    lora_bank=bank or None, adapter_id=aid,
+                    engine_cache=engine_cache)
             else:
                 rep_out = runner.run_annotation_eval(
                     params, cfg, tok, test_json, gen=gen,
@@ -626,12 +688,13 @@ def cmd_serve(args) -> None:
     """HTTP serving daemon over the continuous-batching engine
     (serve/engine.py + serve/server.py) — the deployment surface the
     reference never shipped; its only online path is the REPL."""
+    specs = _adapter_specs(args)     # validate the flags pre-load
     cfg, params, tok, mesh = _build(args)
     if mesh is not None:
         raise SystemExit("serve runs single-device; drop --mesh")
     from ..serve.server import OpusServer
 
-    bank = _adapter_bank(args, cfg)
+    bank = _adapter_bank(specs, cfg)
     srv = OpusServer(
         params, cfg, tok, chat_template=getattr(args, "chat_template", False),
         default_max_new=args.max_new_tokens or 256,
@@ -692,7 +755,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "NAME appears in its basename — the ablation "
                          "protocol's per-task adapters from ONE loaded "
                          "base, where eval_total_ablation.sh reloads the "
-                         "model per adapter")
+                         "model per adapter; the full mapping prints and "
+                         "validates before the model load")
+    aa.add_argument("--map", action="append", metavar="BASENAME=NAME",
+                    help="override the substring match for one test set "
+                         "(resolves ambiguity like go/go_bp); "
+                         "BASENAME= (empty NAME) forces base weights")
     aa.set_defaults(fn=cmd_annotate_all)
 
     m = sub.add_parser("mcq", help="multiple-choice eval")

@@ -281,6 +281,13 @@ def load_peft_adapter(lora_dir: str, num_layers: int):
                          f"{lora_dir}")
     from ..lora.lora import tree_from_flat
     flat = convert.lora_from_peft(sd)
+    # the bank path has no LoRAConfig fallback from the caller: a missing
+    # adapter_config.json would silently fold the hardcoded 2.0 scaling
+    # into B (half/double-strength deltas, no warning) — refuse instead
+    if not os.path.exists(os.path.join(lora_dir, "adapter_config.json")):
+        raise ValueError(
+            f"{lora_dir} has no adapter_config.json; the bank needs the "
+            "trained lora_alpha/r to fold the per-adapter scaling")
     return (tree_from_flat(flat, num_layers),
             _peft_scaling(lora_dir, None))
 

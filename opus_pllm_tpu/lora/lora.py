@@ -130,9 +130,24 @@ def make_bank(adapters: Dict[str, dict]):
     names = list(adapters)
     stacks = []
     for name, t in adapters.items():
-        st = (t["layers_stacked"] if "layers_stacked" in t else
-              jax.tree.map(lambda *xs: jnp.stack(xs), *t["layers"]))
-        stacks.append(st)
+        if "layers_stacked" in t:
+            stacks.append(t["layers_stacked"])
+            continue
+        # name the adapter in the cross-layer uniformity error: the raw
+        # tree.map "structs did not match" from a layers_to_transform-style
+        # adapter (some layers untargeted) names nothing
+        first = t["layers"][0]
+        for li, lp in enumerate(t["layers"]):
+            if (set(lp) != set(first)
+                    or any(lp[p]["A"].shape != first[p]["A"].shape
+                           for p in lp)):
+                raise ValueError(
+                    f"adapter {name!r} layer {li} targets "
+                    f"{sorted(lp)} at "
+                    f"{[lp[p]['A'].shape for p in sorted(lp)]}, layer 0 "
+                    f"has {sorted(first)}: the bank needs every layer to "
+                    "target the same projections at the same rank")
+        stacks.append(jax.tree.map(lambda *xs: jnp.stack(xs), *t["layers"]))
     ref = jax.tree.structure(stacks[0])
     ref_shapes = [x.shape for x in jax.tree.leaves(stacks[0])]
     for name, s in zip(names[1:], stacks[1:]):

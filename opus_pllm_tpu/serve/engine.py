@@ -665,6 +665,12 @@ class ServingEngine:
         out, self._completions = self._completions, []
         return out
 
+    def reseed(self, seed: int) -> None:
+        """Reset the sampling PRNG stream — for engine reuse across eval
+        repeats (annotate-all --repeats varies the seed per rep; rebuilding
+        the engine just for a new key would recompile every step)."""
+        self._key = jax.random.PRNGKey(seed)
+
     def run(self, requests: List[ServeRequest],
             max_ticks: Optional[int] = None) -> Dict[Any, Completion]:
         """Drive the queue to completion; returns {request_id: Completion}."""

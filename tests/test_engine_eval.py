@@ -117,6 +117,68 @@ def test_adapter_for_set_matching():
         _adapter_for({"go", "go_bp"}, "/d/test_go_bp.json")
 
 
+def test_adapter_map_upfront_and_overrides(capsys):
+    """The full set->adapter mapping computes/prints before the model
+    load; --map resolves ambiguity, forces base weights, and rejects
+    unknown adapter or set names."""
+    from opus_pllm_tpu.cli.main import _adapter_map
+
+    names = {"go", "go_bp", "loc"}
+    sets = ["/d/test_go.json", "/d/test_go_bp.json", "/d/test_loc.json"]
+    # unresolved ambiguity (test_go_bp matches go AND go_bp) fails fast
+    with pytest.raises(SystemExit, match="multiple adapters"):
+        _adapter_map(names, sets, None)
+    m = _adapter_map(names, sets, ["test_go_bp.json=go_bp",
+                                   "test_loc.json="])
+    assert m == {"/d/test_go.json": "go",
+                 "/d/test_go_bp.json": "go_bp",
+                 "/d/test_loc.json": None}   # forced base weights
+    out = capsys.readouterr().out
+    assert "test_go.json: adapter go" in out
+    assert "test_loc.json: adapter <base weights>" in out
+    with pytest.raises(SystemExit, match="not a bank adapter"):
+        _adapter_map(names, sets, ["test_go_bp.json=nope"])
+    with pytest.raises(SystemExit, match="not in --test-jsons"):
+        _adapter_map(names, sets, ["other.json=go"])
+
+
+def test_adapter_specs_validation(tmp_path):
+    """Duplicate --adapter names and missing paths refuse pre-load."""
+    import argparse
+
+    from opus_pllm_tpu.cli.main import _adapter_specs
+
+    d = str(tmp_path)
+    ns = argparse.Namespace(adapter=[f"go={d}", f"go={d}"])
+    with pytest.raises(SystemExit, match="duplicate"):
+        _adapter_specs(ns)
+    ns = argparse.Namespace(adapter=["go=/no/such/dir"])
+    with pytest.raises(SystemExit, match="no such directory"):
+        _adapter_specs(ns)
+    ns = argparse.Namespace(adapter=[f"go={d}"])
+    assert _adapter_specs(ns) == {"go": d}
+
+
+def test_engine_cache_reuses_engine(setup):
+    """annotate-all's engine_cache: the second run of the same workload
+    shape reuses the SAME engine (no recompile) and still matches."""
+    cfg, params, tok, examples = setup
+    cache = {}
+    r1 = runner.run_annotation_eval_engine(
+        params, cfg, tok, "mini_localization.json", gen=_gen(tok),
+        max_slots=3, splice_batch=2, examples=list(examples),
+        engine_cache=cache)
+    assert len(cache) == 1
+    eng = next(iter(cache.values()))
+    r2 = runner.run_annotation_eval_engine(
+        params, cfg, tok, "mini_localization.json", gen=_gen(tok),
+        max_slots=3, splice_batch=2, examples=list(examples),
+        engine_cache=cache)
+    assert cache and next(iter(cache.values())) is eng
+    assert [r["generated"] for r in r1.results] == \
+        [r["generated"] for r in r2.results]
+
+
 def test_annotate_parser_adapter_flags():
     from opus_pllm_tpu.cli.main import build_parser
 

@@ -185,3 +185,30 @@ def test_rank_mismatch_rejected(setup):
                           LoRAConfig(rank=8, alpha=16.0))
     with pytest.raises(ValueError, match="rank"):
         lora_mod.make_bank({"a": adapters["loc"], "b": other})
+
+
+def test_nonuniform_layers_named_error(setup):
+    """A layers_to_transform-style adapter (some layers untargeted) gets a
+    named error, not a raw jax tree-structure mismatch."""
+    cfg, params, lcfg, adapters = setup
+    partial = {"layers": [dict(adapters["loc"]["layers"][0]), {}]}
+    with pytest.raises(ValueError, match="'partial' layer 1"):
+        lora_mod.make_bank({"partial": partial})
+
+
+def test_load_peft_adapter_requires_config(tmp_path, setup):
+    """A bank adapter dir without adapter_config.json refuses instead of
+    silently folding the fallback 2.0 scaling into B."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from opus_pllm_tpu.core import builder, convert
+
+    cfg, params, lcfg, adapters = setup
+    sd = convert.lora_to_peft(adapters["loc"], family="llama")
+    d = tmp_path / "lora_adapter"
+    d.mkdir()
+    save_file({k: np.asarray(v) for k, v in sd.items()},
+              str(d / "adapter_model.safetensors"))
+    with pytest.raises(ValueError, match="adapter_config.json"):
+        builder.load_peft_adapter(str(tmp_path), cfg.num_layers)
