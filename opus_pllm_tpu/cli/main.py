@@ -703,6 +703,7 @@ def cmd_serve(args) -> None:
         admit_min_free=args.admit_min_free,
         quantize_cache=getattr(args, "quantize_cache", False),
         seed=getattr(args, "seed", 0),
+        model_id=getattr(args, "served_model_name", None) or "opus-pllm-tpu",
         lora_bank=bank or None)
     srv.serve_forever(args.host, args.port)
 
@@ -802,6 +803,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "lora_adapter/); requests select one with "
                          '{"adapter": NAME} — the ablation protocol\'s '
                          "per-task adapters served concurrently")
+    sv.add_argument("--served-model-name", default=None,
+                    help="the `model` name the OpenAI-compatible endpoints "
+                         "(/v1/chat/completions, /v1/completions, "
+                         "/v1/models) serve the base weights under; bank "
+                         "adapters route by their --adapter names")
     sv.add_argument("--chat-template", action="store_true",
                     help="chat-template prompting (Evol models)")
     sv.set_defaults(fn=cmd_serve)

@@ -665,6 +665,11 @@ class ServingEngine:
         out, self._completions = self._completions, []
         return out
 
+    @property
+    def adapters(self) -> tuple:
+        """Names of the bank adapters this engine serves (empty: base only)."""
+        return tuple(self._adapter_index)
+
     def reseed(self, seed: int) -> None:
         """Reset the sampling PRNG stream — for engine reuse across eval
         repeats (annotate-all --repeats varies the seed per rep; rebuilding

@@ -68,6 +68,7 @@ class OpusServer:
     def __init__(self, params, cfg: OpusConfig, tokenizer, *,
                  chat_template: bool = False, prompt_bucket: int = 64,
                  esm_bucket: int = 128, default_max_new: int = 256,
+                 model_id: str = "opus-pllm-tpu",
                  **engine_kwargs):
         self.params = params
         self.cfg = cfg
@@ -76,6 +77,7 @@ class OpusServer:
         self.prompt_bucket = prompt_bucket
         self.esm_bucket = esm_bucket
         self.default_max_new = default_max_new
+        self.model_id = model_id   # the OpenAI-API served model name
         self.engine = ServingEngine(params["llm"], cfg.llm, **engine_kwargs)
 
         self._pending: "queue.Queue[ServeRequest]" = queue.Queue()
@@ -104,11 +106,16 @@ class OpusServer:
         return annotation_prompt("<seq>\n" + instruction, VICUNA_V0)
 
     def embed_annotate(self, instruction: str, sequence: str) -> np.ndarray:
-        """Instruction + protein -> exact-length (P, H) prompt embeddings:
-        bucket-padded splice (one compile per bucket pair), then the valid
-        left-padded tail is sliced out so the engine packs slots tightly."""
-        ids_l = tokenize_with_seq(self._prompt_for(instruction),
-                                  self.tok.encode,
+        """Instruction + protein -> exact-length (P, H) prompt embeddings
+        under the REPL's professor prompt (or the chat template)."""
+        return self.embed_prompt(self._prompt_for(instruction), sequence)
+
+    def embed_prompt(self, prompt: str, sequence: str) -> np.ndarray:
+        """Any prompt carrying the <seq> marker + protein -> exact-length
+        (P, H) spliced embeddings: bucket-padded splice (one compile per
+        bucket pair), then the valid left-padded tail is sliced out so the
+        engine packs slots tightly."""
+        ids_l = tokenize_with_seq(prompt, self.tok.encode,
                                   getattr(self.tok, "bos_token_id", None))
         ids, mask = pad_batch([ids_l], self.tok.pad_token_id, left=True,
                               max_len=round_up(len(ids_l),
@@ -272,16 +279,21 @@ class OpusServer:
     # request handlers (shared by HTTP and tests)
     # ------------------------------------------------------------------
 
-    def handle_annotate(self, body: dict) -> dict:
-        instruction = body.get("instruction", "").strip()
-        sequence = body.get("sequence", "").strip().upper()
-        if not instruction or not sequence:
-            raise ValueError("'instruction' and 'sequence' are required")
+    @staticmethod
+    def validate_sequence(sequence: str) -> None:
+        """The REPL's amino-acid gate (run_opus_online.py contract)."""
         bad = set(sequence) - STANDARD_AA
         if bad:
             raise ValueError(
                 f"invalid amino acids: {''.join(sorted(bad))} "
                 f"(allowed: {''.join(sorted(STANDARD_AA))})")
+
+    def handle_annotate(self, body: dict) -> dict:
+        instruction = body.get("instruction", "").strip()
+        sequence = body.get("sequence", "").strip().upper()
+        if not instruction or not sequence:
+            raise ValueError("'instruction' and 'sequence' are required")
+        self.validate_sequence(sequence)
         emb = self.embed_annotate(instruction, sequence)
         c = self.submit_and_wait(
             embeds=emb,
@@ -349,11 +361,7 @@ class OpusServer:
         sequence = body.get("sequence", "").strip().upper()
         if not instruction or not sequence:
             raise ValueError("'instruction' and 'sequence' are required")
-        bad = set(sequence) - STANDARD_AA
-        if bad:
-            raise ValueError(
-                f"invalid amino acids: {''.join(sorted(bad))} "
-                f"(allowed: {''.join(sorted(STANDARD_AA))})")
+        self.validate_sequence(sequence)
         gen = self.submit_streaming(
             embeds=self.embed_annotate(instruction, sequence),
             max_new_tokens=int(body.get("max_new_tokens",
@@ -401,6 +409,9 @@ class OpusServer:
             def do_GET(self):            # noqa: N802 (http.server API)
                 if self.path == "/health":
                     self._send(200, outer.health())
+                elif self.path == "/v1/models":
+                    from . import openai_api
+                    self._send(200, openai_api.list_models(outer))
                 else:
                     self._send(404, {"error": "unknown path"})
 
@@ -414,10 +425,12 @@ class OpusServer:
                 self.end_headers()
                 try:
                     for ev in events:
+                        # a raw string event frames verbatim — the OpenAI
+                        # stream terminator `data: [DONE]`
+                        data = (ev.encode() if isinstance(ev, str)
+                                else json.dumps(ev).encode())
                         try:
-                            self.wfile.write(b"data: "
-                                             + json.dumps(ev).encode()
-                                             + b"\n\n")
+                            self.wfile.write(b"data: " + data + b"\n\n")
                             self.wfile.flush()
                         except OSError:   # client disconnected: closing
                             return        # the generator cancels decoding
@@ -435,6 +448,11 @@ class OpusServer:
 
             def do_POST(self):           # noqa: N802
                 n = int(self.headers.get("Content-Length", 0))
+                # OpenAI endpoints use OpenAI's nested error shape
+                oai = self.path in ("/v1/chat/completions",
+                                    "/v1/completions")
+                err = ((lambda m, t: {"error": {"message": m, "type": t}})
+                       if oai else (lambda m, t: {"error": m}))
                 try:
                     body = json.loads(self.rfile.read(n) or b"{}")
                     stream = bool(body.get("stream"))
@@ -448,14 +466,32 @@ class OpusServer:
                             self._send_sse(outer.stream_generate(body))
                         else:
                             self._send(200, outer.handle_generate(body))
+                    elif self.path == "/v1/chat/completions":
+                        from . import openai_api
+                        if stream:
+                            self._send_sse(openai_api.stream_chat(
+                                outer, body))
+                        else:
+                            self._send(200, openai_api.handle_chat(
+                                outer, body))
+                    elif self.path == "/v1/completions":
+                        from . import openai_api
+                        if stream:
+                            self._send_sse(openai_api.stream_completion(
+                                outer, body))
+                        else:
+                            self._send(200, openai_api.handle_completion(
+                                outer, body))
                     else:
-                        self._send(404, {"error": "unknown path"})
+                        self._send(404, err("unknown path",
+                                            "invalid_request_error"))
                 except (ValueError, KeyError) as e:
-                    self._send(400, {"error": str(e)})
+                    self._send(400, err(str(e), "invalid_request_error"))
                 except TimeoutError as e:
-                    self._send(504, {"error": str(e)})
+                    self._send(504, err(str(e), "timeout_error"))
                 except Exception as e:   # noqa: BLE001 — HTTP boundary
-                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                    self._send(500, err(f"{type(e).__name__}: {e}",
+                                        "internal_error"))
 
             def log_message(self, fmt, *args):   # quiet access log
                 pass

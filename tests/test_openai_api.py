@@ -1,0 +1,250 @@
+"""OpenAI-compatible API (serve/openai_api.py): /v1/chat/completions and
+/v1/completions produce standard response objects over the same engine as
+the native front (text equal to the native handlers on identical prompts),
+`model` routes bank adapters, protein content-parts splice, streaming
+chunks concatenate to the blocking result and end with [DONE]."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import pytest
+
+from opus_pllm_tpu.core.config import LoRAConfig, OpusConfig
+from opus_pllm_tpu.infer.conversation import VICUNA_V0, truncate_at_sep
+from opus_pllm_tpu.infer.tokenization import ByteTokenizer
+from opus_pllm_tpu.lora import lora as lora_mod
+from opus_pllm_tpu.models import opus
+from opus_pllm_tpu.serve import openai_api
+from opus_pllm_tpu.serve.server import OpusServer
+
+INSTR = "What is the subcellular localization?"
+SEQ = "MKTAYIAKQR"
+
+
+@pytest.fixture(scope="module")
+def served():
+    cfg = OpusConfig.tiny("llama")
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    srv = OpusServer(params, cfg, tok, max_slots=4, max_len=512,
+                     prefill_buckets=(64, 128, 256, 384),
+                     default_max_new=8, model_id="opus-test")
+    yield cfg, params, tok, srv
+    srv.close()
+
+
+def test_completion_matches_generate(served):
+    _, _, _, srv = served
+    body = {"prompt": "Hello there", "max_tokens": 6, "temperature": 0.0}
+    ref = srv.handle_generate({"prompt": "Hello there", "max_new_tokens": 6,
+                               "temperature": 0.0})
+    out = openai_api.handle_completion(srv, dict(body))
+    assert out["object"] == "text_completion"
+    assert out["choices"][0]["text"] == ref["text"]
+    assert out["choices"][0]["finish_reason"] in ("stop", "length")
+    u = out["usage"]
+    assert u["completion_tokens"] == ref["tokens"]
+    assert u["total_tokens"] == u["prompt_tokens"] + u["completion_tokens"]
+    assert out["model"] == "opus-test"
+
+
+def test_chat_completion_text_only_matches_generate(served):
+    """The non-chat-template path assembles the professor conversation;
+    the same prompt through /v1/generate produces the same text."""
+    _, _, _, srv = served
+    messages = [{"role": "user", "content": "Name three amino acids."}]
+    prompt = (VICUNA_V0.system + "\n\n"
+              "### Student: Name three amino acids.\n### Professor:")
+    ref = srv.handle_generate({"prompt": prompt,
+                               "max_new_tokens": 6, "temperature": 0.0})
+    out = openai_api.handle_chat(srv, {"messages": messages,
+                                       "max_tokens": 6,
+                                       "temperature": 0.0})
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"] == {
+        "role": "assistant", "content": ref["text"]}
+
+
+def test_chat_completion_protein_part_matches_annotate(served):
+    """A {"type": "protein"} content part splices the sequence exactly like
+    the native /v1/annotate front (same prompt layout -> same tokens)."""
+    _, _, _, srv = served
+    ref = srv.handle_annotate({"instruction": INSTR, "sequence": SEQ,
+                               "max_new_tokens": 8, "temperature": 0.0})
+    out = openai_api.handle_chat(srv, {
+        "messages": [{"role": "user", "content": [
+            {"type": "protein", "sequence": SEQ},
+            {"type": "text", "text": INSTR}]}],
+        "max_tokens": 8, "temperature": 0.0})
+    assert truncate_at_sep(out["choices"][0]["message"]["content"]) == \
+        ref["text"]
+    # invalid amino acids reject through the same gate as the REPL
+    with pytest.raises(ValueError, match="invalid amino acids"):
+        openai_api.handle_chat(srv, {
+            "messages": [{"role": "user", "content": [
+                {"type": "protein", "sequence": "MKT123"},
+                {"type": "text", "text": INSTR}]}],
+            "max_tokens": 4})
+
+
+def test_stream_chat_concatenates_and_terminates(served):
+    _, _, _, srv = served
+    body = {"messages": [{"role": "user", "content": "Hello"}],
+            "max_tokens": 6, "temperature": 0.0}
+    blocking = openai_api.handle_chat(srv, dict(body))
+    events = list(openai_api.stream_chat(srv, dict(body, stream=True)))
+    assert events[-1] == "[DONE]"
+    chunks = events[:-1]
+    assert chunks[0]["choices"][0]["delta"]["role"] == "assistant"
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    text = "".join(c["choices"][0]["delta"].get("content", "")
+                   for c in chunks)
+    assert text == blocking["choices"][0]["message"]["content"]
+    assert chunks[-1]["choices"][0]["finish_reason"] == \
+        blocking["choices"][0]["finish_reason"]
+    assert all(c["choices"][0]["finish_reason"] is None
+               for c in chunks[:-1])
+
+
+def test_stream_completion_concatenates(served):
+    _, _, _, srv = served
+    body = {"prompt": "Hello", "max_tokens": 5, "temperature": 0.0}
+    blocking = openai_api.handle_completion(srv, dict(body))
+    events = list(openai_api.stream_completion(srv, dict(body)))
+    assert events[-1] == "[DONE]"
+    text = "".join(c["choices"][0]["text"] for c in events[:-1])
+    assert text == blocking["choices"][0]["text"]
+
+
+def test_stop_strings_posthoc(served):
+    _, _, _, srv = served
+    full = openai_api.handle_completion(
+        srv, {"prompt": "Hello", "max_tokens": 8, "temperature": 0.0})
+    text = full["choices"][0]["text"]
+    assert len(text) >= 2, "need output to truncate"
+    stop = text[1]
+    out = openai_api.handle_completion(
+        srv, {"prompt": "Hello", "max_tokens": 8, "temperature": 0.0,
+              "stop": stop})
+    assert out["choices"][0]["text"] == text[:text.find(stop)]
+    assert out["choices"][0]["finish_reason"] == "stop"
+
+
+def test_unsupported_params_reject(served):
+    _, _, _, srv = served
+    msgs = [{"role": "user", "content": "hi"}]
+    with pytest.raises(ValueError, match="top_p"):
+        openai_api.handle_chat(srv, {"messages": msgs, "top_p": 0.9})
+    with pytest.raises(ValueError, match="n>1"):
+        openai_api.handle_chat(srv, {"messages": msgs, "n": 2})
+    with pytest.raises(ValueError, match="logprobs"):
+        openai_api.handle_chat(srv, {"messages": msgs, "logprobs": True})
+    with pytest.raises(ValueError, match="echo"):
+        openai_api.handle_completion(srv, {"prompt": "x", "echo": True})
+    with pytest.raises(ValueError, match="role"):
+        openai_api.handle_chat(srv, {"messages": [{"role": "tool",
+                                                   "content": "x"}]})
+    with pytest.raises(ValueError, match="stop strings"):
+        list(openai_api.stream_chat(srv, {"messages": msgs, "stop": "x"}))
+
+
+def test_model_routes_adapters():
+    """`model`=adapter-name selects the bank adapter (vLLM convention):
+    output equals a base-model server with that adapter merged in, and
+    /v1/models lists base + adapters."""
+    cfg = OpusConfig.tiny("llama")
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    lcfg = LoRAConfig(rank=4, alpha=8.0)
+    t = lora_mod.init(jax.random.PRNGKey(11), cfg.llm, lcfg)
+    t = jax.tree.map(
+        lambda x: x if x.shape[-1] == lcfg.rank else
+        0.3 * jax.random.normal(jax.random.PRNGKey(21), x.shape), t)
+    tok = ByteTokenizer()
+    body = {"messages": [{"role": "user", "content": "Hello"}],
+            "max_tokens": 6, "temperature": 0.0, "_timeout": 300}
+
+    merged = dict(params)
+    merged["llm"] = lora_mod.merge(params["llm"], t, lcfg)
+    ref_srv = OpusServer(merged, cfg, tok, max_slots=2, max_len=512,
+                         prefill_buckets=(64, 128, 256, 384),
+                         default_max_new=8)
+    try:
+        ref = openai_api.handle_chat(ref_srv, dict(body))
+    finally:
+        ref_srv.close()
+
+    srv = OpusServer(params, cfg, tok, max_slots=2, max_len=512,
+                     prefill_buckets=(64, 128, 256, 384), default_max_new=8,
+                     model_id="opus-test", lora_bank={"loc": t},
+                     lora_scale=lora_mod.scaling(lcfg))
+    try:
+        models = openai_api.list_models(srv)
+        assert [m["id"] for m in models["data"]] == ["opus-test", "loc"]
+        out = openai_api.handle_chat(srv, dict(body, model="loc"))
+        base = openai_api.handle_chat(srv, dict(body, model="opus-test"))
+        assert out["choices"][0]["message"]["content"] == \
+            ref["choices"][0]["message"]["content"]
+        assert base["choices"][0]["message"]["content"] != \
+            out["choices"][0]["message"]["content"]
+        with pytest.raises(ValueError, match="not found"):
+            openai_api.handle_chat(srv, dict(body, model="nope"))
+    finally:
+        srv.close()
+
+
+def test_http_openai_round_trip(served):
+    """Real HTTP: chat completion (blocking + SSE), completion, models,
+    and the OpenAI nested error shape on a bad request."""
+    _, _, _, srv = served
+    httpd = srv.make_http_server("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, payload, timeout=300):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        return urllib.request.urlopen(req, timeout=timeout)
+
+    try:
+        with urllib.request.urlopen(base + "/v1/models") as r:
+            models = json.loads(r.read())
+        assert models["object"] == "list"
+        assert models["data"][0]["id"] == "opus-test"
+
+        with post("/v1/chat/completions",
+                  {"messages": [{"role": "user", "content": "Hello"}],
+                   "max_tokens": 5, "temperature": 0.0}) as r:
+            out = json.loads(r.read())
+        assert out["object"] == "chat.completion"
+        assert out["usage"]["completion_tokens"] > 0
+
+        with post("/v1/completions",
+                  {"prompt": "Hello", "max_tokens": 4}) as r:
+            out = json.loads(r.read())
+        assert out["object"] == "text_completion"
+
+        with post("/v1/chat/completions",
+                  {"messages": [{"role": "user", "content": "Hello"}],
+                   "max_tokens": 4, "temperature": 0.0,
+                   "stream": True}) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            frames = [f[len(b"data: "):] for f in r.read().split(b"\n\n")
+                      if f.startswith(b"data: ")]
+        assert frames[-1] == b"[DONE]"
+        assert json.loads(frames[0])["object"] == "chat.completion.chunk"
+
+        try:
+            post("/v1/chat/completions", {"messages": [], "model": "nope"},
+                 timeout=60)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            err = json.loads(e.read())["error"]
+            assert err["type"] == "invalid_request_error"
+    finally:
+        httpd.shutdown()
