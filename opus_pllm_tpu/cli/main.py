@@ -416,7 +416,15 @@ def cmd_mcq(args) -> None:
     from ..core.config import GenerationConfig
     from ..evals import runner
 
-    seq_mesh = _seq_mesh(args)   # validate the flag conflict pre-load
+    seq_mesh = _seq_mesh(args)   # validate the flag conflicts pre-load
+    use_engine = getattr(args, "engine", False)
+    specs = _adapter_specs(args)
+    if (specs or getattr(args, "use_adapter", None)) and not use_engine:
+        raise SystemExit("--adapter/--use-adapter need --engine")
+    aid = getattr(args, "use_adapter", None)
+    if aid is not None and aid not in specs:
+        raise SystemExit(f"--use-adapter {aid!r} is not in the bank "
+                         f"({sorted(specs) or 'empty'})")
     cfg, params, tok, mesh = _build(args)
     gen = GenerationConfig(
         max_new_tokens=args.max_new_tokens or 50,
@@ -425,10 +433,21 @@ def cmd_mcq(args) -> None:
         seed=args.seed, quantize_cache=getattr(args, "quantize_cache", False),
         num_beams=getattr(args, "num_beams", 1),
         length_penalty=getattr(args, "length_penalty", 1.0))
-    rep = runner.run_mcq_eval(params, cfg, tok, args.test_json, gen=gen,
-                              batch_size=args.batch_size,
-                              save_path=args.save_path, mesh=mesh,
-                              seq_mesh=seq_mesh)
+    if use_engine:
+        if mesh is not None or seq_mesh is not None:
+            raise SystemExit("--engine runs single-device; drop "
+                             "--mesh/--seq-shards")
+        bank = _adapter_bank(specs, cfg)
+        rep = runner.run_mcq_eval_engine(
+            params, cfg, tok, args.test_json, gen=gen,
+            max_slots=args.max_slots, steps_per_tick=args.steps_per_tick,
+            splice_batch=args.batch_size, save_path=args.save_path,
+            lora_bank=bank or None, adapter_id=aid)
+    else:
+        rep = runner.run_mcq_eval(params, cfg, tok, args.test_json, gen=gen,
+                                  batch_size=args.batch_size,
+                                  save_path=args.save_path, mesh=mesh,
+                                  seq_mesh=seq_mesh)
     print(json.dumps(rep.metrics))
 
 
@@ -768,6 +787,19 @@ def build_parser() -> argparse.ArgumentParser:
     _model_args(m); _gen_args(m)
     m.add_argument("--test-json", required=True)
     m.add_argument("--save-path", default=None)
+    m.add_argument("--engine", action="store_true",
+                   help="continuous-batching engine instead of static "
+                        "batches (see annotate --engine)")
+    m.add_argument("--max-slots", type=int, default=16,
+                   help="engine slots (--engine only)")
+    m.add_argument("--steps-per-tick", type=int, default=4,
+                   help="decode steps per compiled engine call "
+                        "(--engine only)")
+    m.add_argument("--adapter", action="append", metavar="NAME=PATH",
+                   help="named UNMERGED LoRA adapter for the engine bank "
+                        "(repeatable, --engine only)")
+    m.add_argument("--use-adapter", default=None, metavar="NAME",
+                   help="run the whole set under this bank adapter")
     m.set_defaults(fn=cmd_mcq)
 
     c = sub.add_parser("chat", help="interactive annotation REPL")

@@ -205,63 +205,35 @@ def _splice_left_jit(params, cfg, ids, mask, esm_toks):
                               left_pad=True)
 
 
-def run_annotation_eval_engine(params, cfg: OpusConfig, tokenizer,
-                               file_path: str, *,
-                               gen: Optional[GenerationConfig] = None,
-                               max_slots: int = 16, steps_per_tick: int = 4,
-                               splice_batch: int = 8, prompt_bucket: int = 64,
-                               esm_bucket: int = 128,
-                               save_path: Optional[str] = None,
-                               examples=None, bert_embed_fn=None,
-                               lora_bank=None, adapter_id: Optional[str] = None,
-                               engine_cache: Optional[dict] = None,
-                               log_fn=print) -> EvalReport:
-    """Annotation eval driven through the continuous-batching serving
-    engine (CLI `annotate --engine`) instead of static batches.
-
-    `lora_bank` ({name: folded unmerged-adapter tree}) + `adapter_id`
-    runs the whole set under one named bank adapter — the ablation
-    protocol's per-task adapters (eval_total_ablation.sh reloads the
-    full model per adapter; here the base loads once and each set picks
-    its adapter inside the compiled steps).
-
-    Why: the static path decodes each batch until its LONGEST member
-    finishes (run_opus_ddp-style), so a batch mixing an early-EOS
-    localization answer with a 256-token function description wastes most
-    of its slots. The engine ends every sequence individually and admits
-    the next prompt into the freed slot mid-stream, so device utilization
-    tracks actual tokens, not per-batch maxima. T=0 output is
-    token-identical to run_annotation_eval (tests/test_engine_eval.py);
-    sampling is temperature-only (the slot decode step has no top-p), so
-    T>0 requires top_p=1.
-    """
-    from ..serve.engine import ServeRequest, ServingEngine
-
-    if examples is None:
-        examples = ds.load_annotation_json(file_path)
-    examples = examples[local_slice(len(examples))]
-    gen = gen or GenerationConfig(
-        max_new_tokens=ds.max_new_tokens_for(file_path),
-        eos_token_id=getattr(tokenizer, "eos_token_id", -1),
-        pad_token_id=getattr(tokenizer, "pad_token_id", 0))
+def _check_engine_gen(gen: GenerationConfig) -> None:
     if gen.do_sample and gen.top_p < 1.0:
         raise ValueError("the engine eval path samples with temperature "
                          "only; pass top_p=1 (or temperature 0)")
     if getattr(gen, "num_beams", 1) > 1:
         raise ValueError("beam search needs the static path (drop --engine)")
 
-    t0 = time.perf_counter()
+
+def _engine_generate(params, cfg: OpusConfig, tokenizer, prompts, sequences,
+                     gen: GenerationConfig, *, max_slots: int,
+                     steps_per_tick: int, splice_batch: int,
+                     prompt_bucket: int, esm_bucket: int,
+                     lora_bank=None, adapter_id=None,
+                     engine_cache=None) -> List[List[int]]:
+    """Shared engine-eval core: splice every (prompt, protein) pair,
+    drive the continuous-batching engine to completion, return per-example
+    token lists in input order. Used by the annotation and MCQ engine
+    runners."""
+    from ..serve.engine import ServeRequest, ServingEngine
+
     # 1) splice every prompt in static-shape batches (compiles once per
     #    bucket pair), then slice each row's valid left-padded tail so
     #    slots pack exact prompt lengths
     embeds: List[np.ndarray] = []
-    for s in range(0, len(examples), splice_batch):
-        chunk, n_real = _pad_chunk(examples[s:s + splice_batch],
-                                   splice_batch)
-        prompts = [annotation_prompt(ds.instruction_for(e, file_path),
-                                     VICUNA_V0) for e in chunk]
+    for s in range(0, len(prompts), splice_batch):
+        pch, n_real = _pad_chunk(prompts[s:s + splice_batch], splice_batch)
+        sch, _ = _pad_chunk(sequences[s:s + splice_batch], splice_batch)
         ids, mask, esm_toks = _prepare_inputs(
-            tokenizer, prompts, [e.sequence for e in chunk],
+            tokenizer, pch, sch,
             prompt_bucket=prompt_bucket, esm_bucket=esm_bucket)
         sp = _splice_left_jit(params, cfg, ids, mask, esm_toks)
         emb = np.asarray(sp.embeds, np.float32)
@@ -298,11 +270,62 @@ def run_annotation_eval_engine(params, cfg: OpusConfig, tokenizer,
                                  eos_token_id=gen.eos_token_id,
                                  adapter_id=adapter_id)
                     for i, e in enumerate(embeds)])
+    return [done[i].tokens for i in range(len(embeds))]
+
+
+def run_annotation_eval_engine(params, cfg: OpusConfig, tokenizer,
+                               file_path: str, *,
+                               gen: Optional[GenerationConfig] = None,
+                               max_slots: int = 16, steps_per_tick: int = 4,
+                               splice_batch: int = 8, prompt_bucket: int = 64,
+                               esm_bucket: int = 128,
+                               save_path: Optional[str] = None,
+                               examples=None, bert_embed_fn=None,
+                               lora_bank=None, adapter_id: Optional[str] = None,
+                               engine_cache: Optional[dict] = None,
+                               log_fn=print) -> EvalReport:
+    """Annotation eval driven through the continuous-batching serving
+    engine (CLI `annotate --engine`) instead of static batches.
+
+    `lora_bank` ({name: folded unmerged-adapter tree}) + `adapter_id`
+    runs the whole set under one named bank adapter — the ablation
+    protocol's per-task adapters (eval_total_ablation.sh reloads the
+    full model per adapter; here the base loads once and each set picks
+    its adapter inside the compiled steps).
+
+    Why: the static path decodes each batch until its LONGEST member
+    finishes (run_opus_ddp-style), so a batch mixing an early-EOS
+    localization answer with a 256-token function description wastes most
+    of its slots. The engine ends every sequence individually and admits
+    the next prompt into the freed slot mid-stream, so device utilization
+    tracks actual tokens, not per-batch maxima. T=0 output is
+    token-identical to run_annotation_eval (tests/test_engine_eval.py);
+    sampling is temperature-only (the slot decode step has no top-p), so
+    T>0 requires top_p=1.
+    """
+    if examples is None:
+        examples = ds.load_annotation_json(file_path)
+    examples = examples[local_slice(len(examples))]
+    gen = gen or GenerationConfig(
+        max_new_tokens=ds.max_new_tokens_for(file_path),
+        eos_token_id=getattr(tokenizer, "eos_token_id", -1),
+        pad_token_id=getattr(tokenizer, "pad_token_id", 0))
+    _check_engine_gen(gen)
+
+    t0 = time.perf_counter()
+    prompts = [annotation_prompt(ds.instruction_for(e, file_path),
+                                 VICUNA_V0) for e in examples]
+    done = _engine_generate(
+        params, cfg, tokenizer, prompts,
+        [e.sequence for e in examples], gen, max_slots=max_slots,
+        steps_per_tick=steps_per_tick, splice_batch=splice_batch,
+        prompt_bucket=prompt_bucket, esm_bucket=esm_bucket,
+        lora_bank=lora_bank, adapter_id=adapter_id,
+        engine_cache=engine_cache)
 
     results = [{"ground_truth": e.output,
-                "generated": truncate_at_sep(
-                    tokenizer.decode(done[i].tokens))}
-               for i, e in enumerate(examples)]
+                "generated": truncate_at_sep(tokenizer.decode(toks))}
+               for e, toks in zip(examples, done)]
     dt = time.perf_counter() - t0
 
     results = _allgather_results(results)
@@ -405,6 +428,71 @@ def run_mcq_eval(params, cfg: OpusConfig, tokenizer, file_path: str, *,
                                       batch_index=bi, seq_mesh=seq_mesh)
         results.extend({"ground_truth": e.answer, "generated": t}
                        for e, t in zip(chunk[:n_real], texts[:n_real]))
+    dt = time.perf_counter() - t0
+    results = _allgather_results(results)
+    acc, counts = mcq_mod.score(results)
+    eps = len(results) / dt if dt > 0 else 0.0
+    if jax.process_index() == 0:
+        log_fn(f"{counts}")
+        log_fn(f"Accuracy: {acc * 100:.2f}%  entries/sec: {eps:.3f}")
+        if save_path:
+            with open(save_path, "w") as f:
+                json.dump(results, f, indent=1)
+    return EvalReport(results, {"Accuracy": round(acc, 4),
+                                "OptionCounts": counts}, eps, dt)
+
+
+def run_mcq_eval_engine(params, cfg: OpusConfig, tokenizer, file_path: str,
+                        *, gen: Optional[GenerationConfig] = None,
+                        max_slots: int = 16, steps_per_tick: int = 4,
+                        splice_batch: int = 8, prompt_bucket: int = 64,
+                        esm_bucket: int = 128,
+                        render_prompt: Optional[Callable] = None,
+                        examples=None, save_path: Optional[str] = None,
+                        lora_bank=None, adapter_id: Optional[str] = None,
+                        engine_cache: Optional[dict] = None,
+                        log_fn=print) -> EvalReport:
+    """MCQ eval through the continuous-batching engine (CLI `mcq
+    --engine`): same chat-template prompt rendering and scoring as
+    run_mcq_eval, but each question finishes individually and the freed
+    slot admits the next one (answers are a letter + rationale of very
+    unequal lengths, so decode-to-longest static batches waste budget).
+    T=0 token-identical to the static runner (tests/test_engine_eval.py)."""
+    from ..infer.conversation import VICUNA_V3
+
+    if examples is None:
+        examples = ds.load_mcq_json(file_path)
+    examples = examples[local_slice(len(examples))]
+    gen = gen or GenerationConfig(
+        max_new_tokens=50,
+        eos_token_id=getattr(tokenizer, "eos_token_id", -1),
+        pad_token_id=getattr(tokenizer, "pad_token_id", 0))
+    _check_engine_gen(gen)
+
+    def default_render(instr: str) -> str:
+        messages = [{"role": "system", "content": VICUNA_V3.system},
+                    {"role": "user", "content": "<seq>\n" + instr}]
+        if hasattr(tokenizer, "apply_chat_template"):
+            return tokenizer.apply_chat_template(
+                messages, add_generation_prompt=True)
+        conv = VICUNA_V3.copy()
+        conv.append("user", "<seq>\n" + instr)
+        return conv.get_prompt_chatml(add_generation_prompt=True)
+
+    render = render_prompt or default_render
+    t0 = time.perf_counter()
+    prompts = [render(ds.mcq_prompt(e.question, e.options))
+               for e in examples]
+    done = _engine_generate(
+        params, cfg, tokenizer, prompts,
+        [e.sequence for e in examples], gen, max_slots=max_slots,
+        steps_per_tick=steps_per_tick, splice_batch=splice_batch,
+        prompt_bucket=prompt_bucket, esm_bucket=esm_bucket,
+        lora_bank=lora_bank, adapter_id=adapter_id,
+        engine_cache=engine_cache)
+    results = [{"ground_truth": e.answer,
+                "generated": tokenizer.decode(toks)}
+               for e, toks in zip(examples, done)]
     dt = time.perf_counter() - t0
     results = _allgather_results(results)
     acc, counts = mcq_mod.score(results)

@@ -104,6 +104,35 @@ def test_engine_eval_adapter_matches_merged_static(setup):
     assert eng.metrics == static.metrics
 
 
+def test_mcq_engine_matches_static_runner(setup):
+    """run_mcq_eval_engine: T=0 results, accuracy, and option histogram
+    identical to the static MCQ runner (same ChatML prompt rendering)."""
+    from opus_pllm_tpu.evals.datasets import MCQExample
+
+    cfg, params, tok, _ = setup
+    examples = [
+        MCQExample(question="What is the catalytic residue?",
+                   options=["Serine", "Histidine", "Cysteine", "Lysine"],
+                   sequence="MKTAYIAKQR", answer="A"),
+        MCQExample(question="Which compartment hosts this protein?",
+                   options=["Nucleus", "Membrane", "Cytosol", "Golgi"],
+                   sequence="ACDEFGHIKLMNPQRSTVWY", answer="B"),
+        MCQExample(question="Pick the cofactor.",
+                   options=["Zn", "Mg", "Fe", "Cu"],
+                   sequence="MKTAY", answer="C"),
+    ]
+    static = runner.run_mcq_eval(
+        params, cfg, tok, "mini_mcq.json", gen=_gen(tok), batch_size=2,
+        examples=list(examples))
+    eng = runner.run_mcq_eval_engine(
+        params, cfg, tok, "mini_mcq.json", gen=_gen(tok),
+        max_slots=2, steps_per_tick=2, splice_batch=2,
+        examples=list(examples))
+    assert [r["generated"] for r in eng.results] == \
+        [r["generated"] for r in static.results]
+    assert eng.metrics == static.metrics
+
+
 def test_adapter_for_set_matching():
     """annotate-all maps each test set to the unique adapter whose name
     is a substring of the basename; ambiguity refuses."""
