@@ -157,6 +157,9 @@ class ServingEngine:
         }
         self._key = jax.random.PRNGKey(seed)
         self._tick = 0
+        # monotonic counters for the /metrics observability surface
+        self.counters = {"completions": 0, "tokens": 0, "prefills": 0,
+                         "cancelled": 0}
 
         self._queue: deque[ServeRequest] = deque()
         self._slot_req: Dict[int, ServeRequest] = {}
@@ -245,6 +248,7 @@ class ServingEngine:
         return meta
 
     def _run_prefill(self, bucket: int, n: int, embs, meta):
+        self.counters["prefills"] += 1
         key = (bucket, n)
         if key not in self._prefills:
             self._prefills[key] = self._prefill_merge_fn(bucket, n)
@@ -441,6 +445,7 @@ class ServingEngine:
 
     def _run_prefill_prefix(self, prefix_id, bucket: int, n: int, embs,
                             meta):
+        self.counters["prefills"] += 1
         pref = self._prefixes[prefix_id]
         key = ("pfx", pref["len"], bucket, n)
         if key not in self._prefills:
@@ -518,6 +523,7 @@ class ServingEngine:
                 del self._queue[i]
                 self._completions.append(
                     Completion(request_id, [], "cancelled"))
+                self.counters["cancelled"] += 1
                 return True
         for slot, req in self._slot_req.items():
             if req.request_id == request_id:
@@ -526,6 +532,7 @@ class ServingEngine:
                 self.state["active"][slot] = False
                 self._completions.append(
                     Completion(request_id, toks, "cancelled"))
+                self.counters["cancelled"] += 1
                 return True
         return False
 
@@ -609,6 +616,8 @@ class ServingEngine:
         if reason == "eos" and toks and toks[-1] == req.eos_token_id:
             toks = toks[:-1]
         self._completions.append(Completion(req.request_id, toks, reason))
+        self.counters["completions"] += 1
+        self.counters["tokens"] += len(toks)
         self.state["active"][slot] = False
 
     def step(self) -> List[Completion]:

@@ -388,7 +388,35 @@ class OpusServer:
         return {"status": "ok",
                 "slots": self.engine.max_slots,
                 "active": int(np.sum(self.engine.state["active"])),
-                "queued": self._pending.qsize()}
+                "queued": self._pending.qsize(),
+                **{f"total_{k}": v
+                   for k, v in self.engine.counters.items()}}
+
+    def metrics_text(self) -> str:
+        """GET /metrics: Prometheus text exposition of the engine counters
+        and gauges, so the daemon drops into standard scrape-based
+        monitoring without an adapter."""
+        c = self.engine.counters
+        lines = [
+            "# TYPE opus_serve_completions_total counter",
+            f"opus_serve_completions_total {c['completions']}",
+            "# TYPE opus_serve_tokens_total counter",
+            f"opus_serve_tokens_total {c['tokens']}",
+            "# TYPE opus_serve_prefills_total counter",
+            f"opus_serve_prefills_total {c['prefills']}",
+            "# TYPE opus_serve_cancelled_total counter",
+            f"opus_serve_cancelled_total {c['cancelled']}",
+            "# TYPE opus_serve_ticks_total counter",
+            f"opus_serve_ticks_total {self.engine._tick}",
+            "# TYPE opus_serve_slots gauge",
+            f"opus_serve_slots {self.engine.max_slots}",
+            "# TYPE opus_serve_active_slots gauge",
+            f"opus_serve_active_slots "
+            f"{int(np.sum(self.engine.state['active']))}",
+            "# TYPE opus_serve_queued_requests gauge",
+            f"opus_serve_queued_requests {self._pending.qsize()}",
+        ]
+        return "\n".join(lines) + "\n"
 
     # ------------------------------------------------------------------
     # HTTP
@@ -412,6 +440,14 @@ class OpusServer:
                 elif self.path == "/v1/models":
                     from . import openai_api
                     self._send(200, openai_api.list_models(outer))
+                elif self.path == "/metrics":
+                    data = outer.metrics_text().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
                 else:
                     self._send(404, {"error": "unknown path"})
 

@@ -195,6 +195,30 @@ def test_model_routes_adapters():
         srv.close()
 
 
+def test_metrics_endpoint(served):
+    """GET /metrics: Prometheus text with live engine counters."""
+    _, _, _, srv = served
+    before = srv.engine.counters["completions"]
+    openai_api.handle_completion(srv, {"prompt": "Hi", "max_tokens": 3,
+                                       "temperature": 0.0})
+    httpd = srv.make_http_server("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics") as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+    finally:
+        httpd.shutdown()
+    lines = dict(ln.split() for ln in text.splitlines()
+                 if ln and not ln.startswith("#"))
+    assert int(lines["opus_serve_completions_total"]) >= before + 1
+    assert int(lines["opus_serve_tokens_total"]) >= 3
+    assert int(lines["opus_serve_prefills_total"]) >= 1
+    assert lines["opus_serve_slots"] == "4"
+
+
 def test_http_openai_round_trip(served):
     """Real HTTP: chat completion (blocking + SSE), completion, models,
     and the OpenAI nested error shape on a bad request."""
