@@ -183,6 +183,22 @@ def _adapter_map(names, test_jsons, map_flags) -> dict:
     return mapping
 
 
+def _engine_mesh(mesh, seq_mesh):
+    """--engine composes with TP-only meshes (--mesh 1,N): params/cache
+    shard over "model" inside the engine's compiled steps. A data axis >1
+    or --seq-shards has no engine meaning (slots ARE the batch) — refuse
+    rather than silently underuse devices."""
+    if seq_mesh is not None:
+        raise SystemExit("--engine and --seq-shards are mutually exclusive")
+    if mesh is None:
+        return None
+    from ..core.mesh import DATA_AXIS
+    if mesh.shape.get(DATA_AXIS, 1) != 1:
+        raise SystemExit("--engine shards tensor-parallel only: use "
+                         "--mesh 1,N (the slot pool is the batch axis)")
+    return mesh
+
+
 def _resume_setup(args, state, restore_fn, data):
     """Shared resume/periodic-save wiring for the train commands: build the
     resume_state CheckpointManager (a SEPARATE subdir so the final
@@ -331,14 +347,12 @@ def cmd_annotate(args) -> None:
         length_penalty=getattr(args, "length_penalty", 1.0))
     bank = _adapter_bank(specs, cfg)
     if use_engine:
-        if mesh is not None or seq_mesh is not None:
-            raise SystemExit("--engine runs single-device; drop "
-                             "--mesh/--seq-shards")
         rep = runner.run_annotation_eval_engine(
             params, cfg, tok, args.test_json, gen=gen,
             max_slots=args.max_slots, steps_per_tick=args.steps_per_tick,
             splice_batch=args.batch_size, save_path=args.save_path,
             lora_bank=bank or None, adapter_id=aid,
+            mesh=_engine_mesh(mesh, seq_mesh),
             bert_embed_fn=_bert_embed_fn(getattr(args, "biobert", None)))
     else:
         rep = runner.run_annotation_eval(
@@ -372,9 +386,7 @@ def cmd_annotate_all(args) -> None:
                    if specs else {})
     cfg, params, tok, mesh = _build(args)
     bank = _adapter_bank(specs, cfg)
-    if use_engine and (mesh is not None or seq_mesh is not None):
-        raise SystemExit("--engine runs single-device; drop "
-                         "--mesh/--seq-shards")
+    e_mesh = _engine_mesh(mesh, seq_mesh) if use_engine else None
     engine_cache: dict = {}
     all_metrics = {}
     for test_json in args.test_jsons:
@@ -401,7 +413,7 @@ def cmd_annotate_all(args) -> None:
                     steps_per_tick=args.steps_per_tick,
                     splice_batch=args.batch_size, save_path=save,
                     lora_bank=bank or None, adapter_id=aid,
-                    engine_cache=engine_cache)
+                    mesh=e_mesh, engine_cache=engine_cache)
             else:
                 rep_out = runner.run_annotation_eval(
                     params, cfg, tok, test_json, gen=gen,
@@ -434,15 +446,13 @@ def cmd_mcq(args) -> None:
         num_beams=getattr(args, "num_beams", 1),
         length_penalty=getattr(args, "length_penalty", 1.0))
     if use_engine:
-        if mesh is not None or seq_mesh is not None:
-            raise SystemExit("--engine runs single-device; drop "
-                             "--mesh/--seq-shards")
         bank = _adapter_bank(specs, cfg)
         rep = runner.run_mcq_eval_engine(
             params, cfg, tok, args.test_json, gen=gen,
             max_slots=args.max_slots, steps_per_tick=args.steps_per_tick,
             splice_batch=args.batch_size, save_path=args.save_path,
-            lora_bank=bank or None, adapter_id=aid)
+            lora_bank=bank or None, adapter_id=aid,
+            mesh=_engine_mesh(mesh, seq_mesh))
     else:
         rep = runner.run_mcq_eval(params, cfg, tok, args.test_json, gen=gen,
                                   batch_size=args.batch_size,
@@ -709,8 +719,7 @@ def cmd_serve(args) -> None:
     reference never shipped; its only online path is the REPL."""
     specs = _adapter_specs(args)     # validate the flags pre-load
     cfg, params, tok, mesh = _build(args)
-    if mesh is not None:
-        raise SystemExit("serve runs single-device; drop --mesh")
+    mesh = _engine_mesh(mesh, None)   # TP-only (--mesh 1,N) or nothing
     from ..serve.server import OpusServer
 
     bank = _adapter_bank(specs, cfg)
@@ -723,7 +732,7 @@ def cmd_serve(args) -> None:
         quantize_cache=getattr(args, "quantize_cache", False),
         seed=getattr(args, "seed", 0),
         model_id=getattr(args, "served_model_name", None) or "opus-pllm-tpu",
-        lora_bank=bank or None)
+        lora_bank=bank or None, mesh=mesh)
     srv.serve_forever(args.host, args.port)
 
 

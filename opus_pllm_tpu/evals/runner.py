@@ -218,7 +218,7 @@ def _engine_generate(params, cfg: OpusConfig, tokenizer, prompts, sequences,
                      steps_per_tick: int, splice_batch: int,
                      prompt_bucket: int, esm_bucket: int,
                      lora_bank=None, adapter_id=None,
-                     engine_cache=None) -> List[List[int]]:
+                     engine_cache=None, mesh=None) -> List[List[int]]:
     """Shared engine-eval core: splice every (prompt, protein) pair,
     drive the continuous-batching engine to completion, return per-example
     token lists in input order. Used by the annotation and MCQ engine
@@ -251,7 +251,8 @@ def _engine_generate(params, cfg: OpusConfig, tokenizer, prompts, sequences,
     # across the (set, repeat) loop whenever the workload shape recurs
     # (repeats of a set always do). Keyed on everything that shapes the
     # compiled steps; the caller guarantees params/bank are constant.
-    ck = (buckets, max_len, max_slots, steps_per_tick, gen.quantize_cache)
+    ck = (buckets, max_len, max_slots, steps_per_tick, gen.quantize_cache,
+          mesh is not None)
     eng = engine_cache.get(ck) if engine_cache is not None else None
     if eng is None:
         eng = ServingEngine(
@@ -259,7 +260,7 @@ def _engine_generate(params, cfg: OpusConfig, tokenizer, prompts, sequences,
             max_len=max_len,
             prefill_buckets=buckets, steps_per_tick=steps_per_tick,
             quantize_cache=gen.quantize_cache, seed=gen.seed,
-            lora_bank=lora_bank)
+            lora_bank=lora_bank, mesh=mesh)
         if engine_cache is not None:
             engine_cache[ck] = eng
     else:
@@ -283,7 +284,7 @@ def run_annotation_eval_engine(params, cfg: OpusConfig, tokenizer,
                                examples=None, bert_embed_fn=None,
                                lora_bank=None, adapter_id: Optional[str] = None,
                                engine_cache: Optional[dict] = None,
-                               log_fn=print) -> EvalReport:
+                               mesh=None, log_fn=print) -> EvalReport:
     """Annotation eval driven through the continuous-batching serving
     engine (CLI `annotate --engine`) instead of static batches.
 
@@ -321,7 +322,7 @@ def run_annotation_eval_engine(params, cfg: OpusConfig, tokenizer,
         steps_per_tick=steps_per_tick, splice_batch=splice_batch,
         prompt_bucket=prompt_bucket, esm_bucket=esm_bucket,
         lora_bank=lora_bank, adapter_id=adapter_id,
-        engine_cache=engine_cache)
+        engine_cache=engine_cache, mesh=mesh)
 
     results = [{"ground_truth": e.output,
                 "generated": truncate_at_sep(tokenizer.decode(toks))}
@@ -451,7 +452,7 @@ def run_mcq_eval_engine(params, cfg: OpusConfig, tokenizer, file_path: str,
                         examples=None, save_path: Optional[str] = None,
                         lora_bank=None, adapter_id: Optional[str] = None,
                         engine_cache: Optional[dict] = None,
-                        log_fn=print) -> EvalReport:
+                        mesh=None, log_fn=print) -> EvalReport:
     """MCQ eval through the continuous-batching engine (CLI `mcq
     --engine`): same chat-template prompt rendering and scoring as
     run_mcq_eval, but each question finishes individually and the freed
@@ -489,7 +490,7 @@ def run_mcq_eval_engine(params, cfg: OpusConfig, tokenizer, file_path: str,
         steps_per_tick=steps_per_tick, splice_batch=splice_batch,
         prompt_bucket=prompt_bucket, esm_bucket=esm_bucket,
         lora_bank=lora_bank, adapter_id=adapter_id,
-        engine_cache=engine_cache)
+        engine_cache=engine_cache, mesh=mesh)
     results = [{"ground_truth": e.answer,
                 "generated": tokenizer.decode(toks)}
                for e, toks in zip(examples, done)]

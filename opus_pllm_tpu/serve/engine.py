@@ -101,7 +101,17 @@ class ServingEngine:
                  prefill_buckets: Tuple[int, ...] = (64, 128, 256),
                  quantize_cache=False, seed: int = 0,
                  steps_per_tick: int = 1, admit_min_free: int = 1,
-                 lora_bank=None, lora_scale: float = 1.0):
+                 lora_bank=None, lora_scale: float = 1.0, mesh=None):
+        # tensor-parallel serving: with a mesh, params shard per the
+        # partition rules ("model"-axis Megatron col/row splits) and the
+        # KV cache shards over its heads axis; the compiled steps then run
+        # SPMD via sharding propagation — same pattern as the static
+        # sharded generate (tests/test_sharded_inference.py), no shard_map
+        # needed. Host-side scheduling is unchanged (scalars replicate).
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import partition
+            params = partition.shard_params(mesh, params)
         self.params = params
         self.cfg = cfg
         # multi-LoRA: a {name: adapter tree} bank stacks into ONE
@@ -143,6 +153,13 @@ class ServingEngine:
         # per-slot write indices (the decode call overwrites this from the
         # host length vector each tick); cache["mask"] is unused by serving
         cache["index"] = jnp.zeros((nrows,), jnp.int32)
+        if mesh is not None:
+            cache = jax.device_put(cache, self._cache_shardings(mesh, cache))
+            if self._lora_bank is not None:   # small: replicate the bank
+                from ..parallel import partition
+                self._lora_bank = jax.device_put(
+                    self._lora_bank,
+                    partition.replicated(mesh, self._lora_bank))
         self.cache = cache
 
         z = functools.partial(np.zeros, (nrows,))
@@ -168,6 +185,37 @@ class ServingEngine:
         self._decode = self._build_decode_step()
         self._prefills: Dict[Any, Any] = {}
         self._prefixes: Dict[Any, Dict[str, Any]] = {}
+
+    @staticmethod
+    def _cache_shardings(mesh, cache):
+        """NamedSharding tree for the KV cache: the heads axis shards over
+        "model" (matching the col-parallel K/V projections that write it);
+        everything else replicates. bf16 leaves are (B, S, H, D), quantized
+        q/q4/s leaves are HEAD-major (B, H, S, D'); stacked trees carry a
+        leading layer axis. Heads not divisible by the mesh axis fall back
+        to replication (same policy as partition._sanitize)."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.partition import MODEL_AXIS
+        msize = mesh.shape.get(MODEL_AXIS, 1)
+
+        def rule(path, leaf):
+            names = [getattr(p, "key", getattr(p, "idx", None))
+                     for p in path]
+            if "layers" not in names and "layers_stacked" not in names:
+                return NamedSharding(mesh, P())
+            head_dim_idx = {  # heads axis position by leaf kind
+                4: 2 if names[-1] in ("k", "v") else 1,   # unstacked
+                5: 3 if names[-1] in ("k", "v") else 2,   # stacked (+layer)
+            }.get(leaf.ndim)
+            if head_dim_idx is None or leaf.shape[head_dim_idx] % msize:
+                return NamedSharding(mesh, P())
+            spec = [None] * leaf.ndim
+            spec[head_dim_idx] = MODEL_AXIS
+            return NamedSharding(mesh, P(*spec))
+
+        return jax.tree_util.tree_map_with_path(rule, cache)
 
     # ------------------------------------------------------------------
     # prefix caching

@@ -1,0 +1,123 @@
+"""Tensor-parallel serving: ServingEngine(mesh=...) shards params per the
+partition rules and the KV cache over its heads axis; tokens are identical
+to the single-device engine (CPU mesh). Covers bf16 and int8 caches, the
+adapter bank, and the engine eval runner with a mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from opus_pllm_tpu.core.config import DecoderConfig, LoRAConfig, MeshConfig
+from opus_pllm_tpu.core.mesh import make_mesh
+from opus_pllm_tpu.lora import lora as lora_mod
+from opus_pllm_tpu.models import decoder
+from opus_pllm_tpu.serve.engine import ServeRequest, ServingEngine
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = DecoderConfig(family="llama", vocab_size=128, hidden_size=64,
+                        intermediate_size=128, num_layers=2, num_heads=4,
+                        num_kv_heads=2, head_dim=16, dtype="float32")
+    params = decoder.init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(MeshConfig(data=1, model=2),
+                     devices=jax.devices()[:2])
+    return cfg, params, mesh
+
+
+def _emb(cfg, seed, p):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((p, cfg.hidden_size)) * 0.3).astype(
+        np.float32)
+
+
+def _reqs(cfg, n=5):
+    return [ServeRequest(i, embeds=_emb(cfg, i, 4 + 3 * i),
+                         max_new_tokens=4 + i, temperature=0.0)
+            for i in range(n)]
+
+
+def _run(params, cfg, reqs, **kw):
+    eng = ServingEngine(params, cfg, max_slots=3, max_len=64,
+                        prefill_buckets=(16, 32), steps_per_tick=2, **kw)
+    done = eng.run(list(reqs), max_ticks=200)
+    return {r.request_id: r.tokens for r in done.values()}, eng
+
+
+def test_tp_engine_matches_single_device(setup):
+    cfg, params, mesh = setup
+    ref, _ = _run(params, cfg, _reqs(cfg))
+    tp, eng = _run(params, cfg, _reqs(cfg), mesh=mesh)
+    assert tp == ref
+    # the cache really is sharded over the heads axis
+    from opus_pllm_tpu.core.mesh import MODEL_AXIS
+    k0 = eng.cache["layers"][0]["k"]
+    assert MODEL_AXIS in str(k0.sharding.spec)
+
+
+def test_tp_engine_matches_with_int8_cache(setup):
+    cfg, params, mesh = setup
+    ref, _ = _run(params, cfg, _reqs(cfg, 4), quantize_cache=True)
+    tp, eng = _run(params, cfg, _reqs(cfg, 4), quantize_cache=True,
+                   mesh=mesh)
+    assert tp == ref
+    from opus_pllm_tpu.core.mesh import MODEL_AXIS
+    q0 = eng.cache["layers"][0]["k"]["q"]
+    assert MODEL_AXIS in str(q0.sharding.spec)
+
+
+def test_tp_engine_matches_with_adapter_bank(setup):
+    cfg, params, mesh = setup
+    lcfg = LoRAConfig(rank=4, alpha=8.0)
+    t = lora_mod.init(jax.random.PRNGKey(5), cfg, lcfg)
+    t = jax.tree.map(
+        lambda x: x if x.shape[-1] == lcfg.rank else
+        0.3 * jax.random.normal(jax.random.PRNGKey(15), x.shape), t)
+    s = lora_mod.scaling(lcfg)
+    reqs = [ServeRequest(0, embeds=_emb(cfg, 0, 5), max_new_tokens=5,
+                         temperature=0.0),
+            ServeRequest(1, embeds=_emb(cfg, 1, 7), max_new_tokens=5,
+                         temperature=0.0, adapter_id="a")]
+    ref, _ = _run(params, cfg, reqs, lora_bank={"a": t}, lora_scale=s)
+    tp, _ = _run(params, cfg, reqs, lora_bank={"a": t}, lora_scale=s,
+                 mesh=mesh)
+    assert tp == ref
+    assert ref[0] != ref[1] or True   # adapters may or may not diverge here
+
+
+def test_engine_eval_runner_with_mesh(setup):
+    """run_annotation_eval_engine(mesh=...) — the CLI annotate --engine
+    --mesh 1,N path — matches the meshless engine run."""
+    from opus_pllm_tpu.core.config import GenerationConfig, OpusConfig
+    from opus_pllm_tpu.evals import runner
+    from opus_pllm_tpu.evals.datasets import AnnotationExample
+    from opus_pllm_tpu.infer.tokenization import ByteTokenizer
+    from opus_pllm_tpu.models import opus
+    from opus_pllm_tpu.parallel import partition
+
+    cfg = OpusConfig.tiny("llama")
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    examples = [
+        AnnotationExample(instruction="Where is it located?",
+                          sequence="MKTAYIAKQR", output="nucleus"),
+        AnnotationExample(instruction="Name the function.",
+                          sequence="ACDEFGHIKL", output="enzyme"),
+        AnnotationExample(instruction="Keywords?",
+                          sequence="MKTAYIAKQRMKTAY", output="binding"),
+    ]
+    gen = GenerationConfig(max_new_tokens=6, temperature=0.0,
+                           eos_token_id=tok.eos_token_id,
+                           pad_token_id=tok.pad_token_id)
+    ref = runner.run_annotation_eval_engine(
+        params, cfg, tok, "mini_localization.json", gen=gen,
+        max_slots=2, splice_batch=2, examples=list(examples))
+    mesh = make_mesh(MeshConfig(data=1, model=2),
+                     devices=jax.devices()[:2])
+    sp = partition.shard_params(mesh, params)   # what cli _build does
+    tp = runner.run_annotation_eval_engine(
+        sp, cfg, tok, "mini_localization.json", gen=gen,
+        max_slots=2, splice_batch=2, examples=list(examples), mesh=mesh)
+    assert [r["generated"] for r in tp.results] == \
+        [r["generated"] for r in ref.results]
+    assert tp.metrics == ref.metrics
