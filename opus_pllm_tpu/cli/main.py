@@ -732,7 +732,8 @@ def cmd_serve(args) -> None:
         quantize_cache=getattr(args, "quantize_cache", False),
         seed=getattr(args, "seed", 0),
         model_id=getattr(args, "served_model_name", None) or "opus-pllm-tpu",
-        lora_bank=bank or None, mesh=mesh)
+        lora_bank=bank or None, mesh=mesh,
+        chunk_prefill=getattr(args, "chunk_prefill", None))
     srv.serve_forever(args.host, args.port)
 
 
@@ -844,6 +845,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "lora_adapter/); requests select one with "
                          '{"adapter": NAME} — the ablation protocol\'s '
                          "per-task adapters served concurrently")
+    sv.add_argument("--chunk-prefill", type=int, default=None,
+                    metavar="C",
+                    help="admit prompts longer than the largest prefill "
+                         "bucket in C-token chunks, one per tick, "
+                         "interleaved with decode (bounds time-to-first-"
+                         "token for everyone else)")
     sv.add_argument("--served-model-name", default=None,
                     help="the `model` name the OpenAI-compatible endpoints "
                          "(/v1/chat/completions, /v1/completions, "

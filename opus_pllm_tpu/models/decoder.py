@@ -171,22 +171,32 @@ def _dequantize_kv(leaf, dtype):
 def _write_cache(layer_cache, k_new, v_new, index):
     """index: scalar -> every row writes at the same slot range (the
     batch-uniform decode/prefill path); (B,)-array -> each row writes its
-    single new token at its own slot (continuous-batching serving, where
-    every sequence has a different length). The array path requires S=1."""
+    S new tokens starting at its OWN slot (continuous-batching serving:
+    S=1 decode ticks, S=chunk chunked prefill). Per-row writes clip
+    out-of-bounds slots (mode="drop") — a chunk's zero-padded tail may
+    land past capacity and must not wrap."""
     per_row = getattr(index, "ndim", 0) == 1
 
     def upd_one(buf, new):
         # bf16 leaf: (B, S, H, D), slot dim 1
         if per_row:
             rows = jnp.arange(buf.shape[0])
-            return buf.at[rows, index].set(new[:, 0])
+            if new.shape[1] == 1:
+                return buf.at[rows, index].set(new[:, 0], mode="drop")
+            cols = index[:, None] + jnp.arange(new.shape[1])[None]
+            return buf.at[rows[:, None], cols].set(new, mode="drop")
         return jax.lax.dynamic_update_slice(buf, new, (0, index, 0, 0))
 
     def upd_one_q(buf, new):
         # head-major int8 leaf: (B, H, S, D|1), slot dim 2
         if per_row:
             rows = jnp.arange(buf.shape[0])
-            return buf.at[rows, :, index].set(new[:, :, 0])
+            if new.shape[2] == 1:
+                return buf.at[rows, :, index].set(new[:, :, 0], mode="drop")
+            cols = index[:, None] + jnp.arange(new.shape[2])[None]
+            heads = jnp.arange(buf.shape[1])
+            return buf.at[rows[:, None, None], heads[None, :, None],
+                          cols[:, None, :]].set(new, mode="drop")
         return jax.lax.dynamic_update_slice(buf, new, (0, 0, index, 0))
 
     def upd(buf, new):
@@ -200,8 +210,6 @@ def _write_cache(layer_cache, k_new, v_new, index):
                     "s": upd_one_q(buf["s"], qn["s"])}
         return upd_one(buf, new)
 
-    if per_row and k_new.shape[1] != 1:
-        raise ValueError("per-row cache writes require one new token")
     return {"k": upd(layer_cache["k"], k_new),
             "v": upd(layer_cache["v"], v_new)}
 

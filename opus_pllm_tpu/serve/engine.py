@@ -101,7 +101,8 @@ class ServingEngine:
                  prefill_buckets: Tuple[int, ...] = (64, 128, 256),
                  quantize_cache=False, seed: int = 0,
                  steps_per_tick: int = 1, admit_min_free: int = 1,
-                 lora_bank=None, lora_scale: float = 1.0, mesh=None):
+                 lora_bank=None, lora_scale: float = 1.0, mesh=None,
+                 chunk_prefill: Optional[int] = None):
         # tensor-parallel serving: with a mesh, params shard per the
         # partition rules ("model"-axis Megatron col/row splits) and the
         # KV cache shards over its heads axis; the compiled steps then run
@@ -185,6 +186,17 @@ class ServingEngine:
         self._decode = self._build_decode_step()
         self._prefills: Dict[Any, Any] = {}
         self._prefixes: Dict[Any, Dict[str, Any]] = {}
+        # chunked prefill: prompts longer than the largest bucket admit in
+        # fixed-size chunks, ONE chunk per tick, interleaved with decode —
+        # a monolithic long prefill would stall every decoding slot for
+        # its whole duration, and each distinct long length would compile
+        # its own variant. {slot: [req, emb, tokens_written]}
+        self.chunk = int(chunk_prefill) if chunk_prefill else 0
+        if self.chunk and self.chunk > max_len:
+            raise ValueError(f"chunk_prefill {self.chunk} > max_len "
+                             f"{max_len}")
+        self._chunking: Dict[int, list] = {}
+        self._chunk_fns: Dict[int, Any] = {}
 
     @staticmethod
     def _cache_shardings(mesh, cache):
@@ -280,6 +292,20 @@ class ServingEngine:
                         np.zeros((n, bucket, self.cfg.hidden_size),
                                  np.float32),
                         self._dummy_meta(n))
+        if self.chunk:
+            for n in sizes:
+                if n not in self._chunk_fns:
+                    self._chunk_fns[n] = self._chunk_prefill_fn(n)
+                meta = np.zeros((5, n), np.float32)
+                meta[0, :] = 1.0
+                meta[2, :] = self.max_slots
+                meta[3, :] = self._zero_adapter
+                self._key, k = jax.random.split(self._key)
+                self.cache, _ = self._chunk_fns[n](
+                    self.params, self.cache,
+                    jnp.zeros((n, self.chunk, self.cfg.hidden_size),
+                              self.cfg.jnp_dtype),
+                    jnp.asarray(meta), k, self._lora_bank)
         packed = np.zeros((7, self.max_slots + 1), np.float32)
         packed[4] = -1.0
         packed[6] = self._zero_adapter
@@ -352,8 +378,10 @@ class ServingEngine:
             done = active & ((nxt == eos) | (remaining <= 0))
             length = length + active.astype(jnp.int32)
             active = active & ~done
-            # keep the cache's write pointer at each row's next free slot
-            cache = dict(cache, index=length)
+            # keep the cache's write pointer at each row's next free slot;
+            # inactive rows point past capacity so their phantom write
+            # DROPS (a row mid-chunked-prefill holds real KV at low slots)
+            cache = dict(cache, index=jnp.where(active, length, L))
             return (cache, active, length, nxt, remaining, eos, temp), nxt
 
         @functools.partial(jax.jit, donate_argnums=(1,))
@@ -370,8 +398,12 @@ class ServingEngine:
             # not once per scanned step
             la = self._gather_lora(bank, packed[6].astype(jnp.int32))
             # the host owns the slot state: trust ITS length vector, not
-            # whatever the cache carried from the previous tick
-            cache = dict(cache, index=length)
+            # whatever the cache carried from the previous tick. Inactive
+            # rows write at max_len so their garbage DROPS (mode="drop")
+            # instead of landing at a stale index — a row mid-chunked-
+            # prefill holds real KV there that a phantom decode write
+            # would corrupt
+            cache = dict(cache, index=jnp.where(active, length, L))
             carry = (cache, active, length, last_token, remaining, eos, temp)
             if K == 1:
                 carry, nxt = one(params, la, carry, key)
@@ -491,6 +523,118 @@ class ServingEngine:
 
         return prefill_merge
 
+    def _chunk_prefill_fn(self, n: int):
+        """Compiled chunk-prefill step for an n-row group (ONE variant per
+        group size; chunk width C and cache capacity are engine constants).
+        Each row writes its C-token chunk at its own offset in the big
+        cache and attends [0, offset + valid) — so rows at different
+        progress, or mid-decode slots elsewhere in the pool, coexist. The
+        last-position logits are sampled every chunk; the host uses them
+        only for a row's FINAL chunk (the first generated token)."""
+        cfg = self.cfg
+        C = self.chunk
+        L = self.max_len
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def chunk_step(params, big, embs, meta, key, bank):
+            # meta (5, n) fp32: [valid, temperature, slot, adapter, offset]
+            n_valid = meta[0].astype(jnp.int32)
+            temps = meta[1]
+            slots = meta[2].astype(jnp.int32)
+            la = self._gather_lora(bank, meta[3].astype(jnp.int32))
+            off = meta[4].astype(jnp.int32)
+            ar = jnp.arange(C)
+            valid_q = ar[None, :] < n_valid[:, None]
+            pos = (off[:, None] + ar[None, :]) * valid_q
+            # scratch = this group's rows of the big cache (gathered, so
+            # attention sees each row's earlier chunks); per-row write
+            # offsets via cache index vector
+            gather = lambda b: b[:, slots] if b.ndim == 5 else b[slots]
+            cache = {"layers": jax.tree.map(gather, big["layers"]),
+                     "index": off,
+                     "mask": jnp.zeros((n, L), bool)}
+            rel = jnp.arange(L)[None, None, None, :] \
+                - off[:, None, None, None]
+            q_idx = ar[None, None, :, None]
+            mask4 = ((rel < 0)
+                     | ((rel <= q_idx)
+                        & (rel < n_valid[:, None, None, None])))
+            hid, rows = decoder.forward(
+                params, cfg, embs, pos, mask4, cache=cache,
+                lora=la, lora_scale=self.lora_scale,
+                return_hidden=True, ntk_ctx=L)
+            last_h = jnp.take_along_axis(
+                hid, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)
+            last = decoder.head_logits(
+                params, cfg, last_h)[:, 0].astype(jnp.float32)
+            greedy = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            sampled = jax.random.categorical(
+                key, last / jnp.maximum(temps, 1e-6)[:, None]
+            ).astype(jnp.int32)
+            first = jnp.where(temps > 0, sampled, greedy)
+            # scatter the rows back whole: only [off, off+C) changed, the
+            # rest is an idempotent copy (dummy rows overwrite the trash
+            # slot, like padded admission groups)
+            put = (lambda b, r: (b.at[:, slots].set(r.astype(b.dtype))
+                                 if b.ndim == 5
+                                 else b.at[slots].set(r.astype(b.dtype))))
+            return dict(big, layers=jax.tree.map(
+                put, big["layers"], rows["layers"])), first
+
+        return chunk_step
+
+    def _advance_chunks(self) -> None:
+        """One C-token prefill chunk for every chunking slot, in one
+        compiled call; rows whose prompt just completed activate for
+        decode with their sampled first token."""
+        if not self._chunking:
+            return
+        self.counters["prefills"] += 1
+        C = self.chunk
+        group = sorted(self._chunking)            # slot order, determinism
+        n = self._pad_group(len(group))
+        if n not in self._chunk_fns:
+            self._chunk_fns[n] = self._chunk_prefill_fn(n)
+        embs = np.zeros((n, C, self.cfg.hidden_size), np.float32)
+        meta = np.zeros((5, n), np.float32)
+        meta[0, :] = 1.0                          # dummy rows: 1 token
+        meta[2, :] = self.max_slots               # dummy rows: trash slot
+        meta[3, :] = self._zero_adapter
+        for r, slot in enumerate(group):
+            req, emb, done = self._chunking[slot]
+            piece = emb[done:done + C]
+            embs[r, :piece.shape[0]] = piece
+            meta[:, r] = (piece.shape[0], req.temperature, slot,
+                          self._adapter_of(req), done)
+        self._key, k = jax.random.split(self._key)
+        self.cache, first = self._chunk_fns[n](
+            self.params, self.cache, jnp.asarray(embs, self.cfg.jnp_dtype),
+            jnp.asarray(meta), k, self._lora_bank)
+        first = np.asarray(first)
+        st = self.state
+        for r, slot in enumerate(group):
+            req, emb, done = self._chunking[slot]
+            done += int(meta[0, r])
+            if done < emb.shape[0]:
+                self._chunking[slot][2] = done
+                continue
+            del self._chunking[slot]              # prompt complete
+            tok = int(first[r])
+            st["active"][slot] = True
+            st["length"][slot] = done
+            st["last_token"][slot] = tok
+            st["remaining"][slot] = req.max_new_tokens - 1
+            st["eos"][slot] = req.eos_token_id
+            st["temperature"][slot] = req.temperature
+            st["adapter"][slot] = self._adapter_of(req)
+            self._slot_tokens[slot] = [tok]
+            if req.on_tokens is not None and tok != req.eos_token_id:
+                req.on_tokens([tok])
+            if tok == req.eos_token_id:
+                self._finish(slot, "eos")
+            elif req.max_new_tokens <= 1:
+                self._finish(slot, "length")
+
     def _run_prefill_prefix(self, prefix_id, bucket: int, n: int, embs,
                             meta):
         self.counters["prefills"] += 1
@@ -515,7 +659,8 @@ class ServingEngine:
         """Work pending: queued requests, occupied slots, or unharvested
         completions (the server thread polls this to know whether step()
         would make progress)."""
-        return bool(self._queue or self._slot_req or self._completions)
+        return bool(self._queue or self._slot_req or self._completions
+                    or self._chunking)
 
     def submit(self, req: ServeRequest) -> None:
         """Validate eagerly — a request that cannot be served must fail
@@ -533,10 +678,13 @@ class ServingEngine:
             if p < 1:
                 raise ValueError("prefix requests need >= 1 suffix token")
             plen = self._prefixes[req.prefix_id]["len"]
-        if p > self.buckets[-1]:
+        if p > self.buckets[-1] and not (self.chunk
+                                         and req.prefix_id is None):
             raise ValueError(
                 f"prompt length {p} exceeds the largest prefill bucket "
-                f"{self.buckets[-1]}")
+                f"{self.buckets[-1]}"
+                + ("" if self.chunk else
+                   " (chunk_prefill=N admits longer prompts in chunks)"))
         if plen + p + req.max_new_tokens > self.max_len:
             raise ValueError(
                 f"prefix ({plen}) + prompt ({p}) + max_new_tokens "
@@ -577,6 +725,7 @@ class ServingEngine:
             if req.request_id == request_id:
                 toks = self._slot_tokens.pop(slot)
                 self._slot_req.pop(slot)
+                self._chunking.pop(slot, None)   # mid-chunked-prefill
                 self.state["active"][slot] = False
                 self._completions.append(
                     Completion(request_id, toks, "cancelled"))
@@ -605,6 +754,14 @@ class ServingEngine:
         while free and self._queue:
             req = self._queue.popleft()   # submit() validated capacity
             emb = self._embed(req)
+            if self.chunk and emb.shape[0] > self.buckets[-1]:
+                # long prompt: claim the slot now, prefill it one chunk
+                # per tick (interleaved with decode) in _advance_chunks
+                slot = free.pop(0)
+                self._slot_req[slot] = req
+                self._slot_tokens[slot] = []
+                self._chunking[slot] = [req, emb, 0]
+                continue
             batch.append((free.pop(0), req, emb,
                           (_bucket(emb.shape[0], self.buckets),
                            req.prefix_id)))
@@ -669,11 +826,14 @@ class ServingEngine:
         self.state["active"][slot] = False
 
     def step(self) -> List[Completion]:
-        """One scheduler tick: admit queued requests, advance every active
-        slot by up to `steps_per_tick` tokens, harvest completions.
-        Returns newly finished completions."""
+        """One scheduler tick: admit queued requests, push chunked
+        prefills one chunk forward, advance every active slot by up to
+        `steps_per_tick` tokens, harvest completions. Returns newly
+        finished completions."""
         self._admit()
-        if not self._slot_req:
+        self._advance_chunks()
+        if not self._slot_req or not np.any(
+                self.state["active"][:self.max_slots]):
             out, self._completions = self._completions, []
             return out
         st = self.state
