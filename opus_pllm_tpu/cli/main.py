@@ -22,6 +22,7 @@ import argparse
 import json
 import os
 import sys
+import time
 from typing import Optional
 
 STANDARD_AA = set("ACDEFGHIKLMNPQRSTVWY")
@@ -433,10 +434,19 @@ def cmd_mcq(args) -> None:
     specs = _adapter_specs(args)
     if (specs or getattr(args, "use_adapter", None)) and not use_engine:
         raise SystemExit("--adapter/--use-adapter need --engine")
-    aid = getattr(args, "use_adapter", None)
-    if aid is not None and aid not in specs:
-        raise SystemExit(f"--use-adapter {aid!r} is not in the bank "
-                         f"({sorted(specs) or 'empty'})")
+    aid = None
+    if specs:
+        aid = getattr(args, "use_adapter", None)
+        if aid is not None and aid not in specs:
+            raise SystemExit(f"--use-adapter {aid!r} is not in the bank "
+                             f"({sorted(specs)})")
+        if aid is None:   # same basename auto-match as cmd_annotate —
+            # a loaded bank must never silently evaluate base weights
+            aid = _adapter_for(specs, args.test_json)
+        print(f"{os.path.basename(args.test_json)}: adapter "
+              f"{aid or '<base weights>'}")
+    elif getattr(args, "use_adapter", None):
+        raise SystemExit("--use-adapter needs --adapter NAME=PATH entries")
     cfg, params, tok, mesh = _build(args)
     gen = GenerationConfig(
         max_new_tokens=args.max_new_tokens or 50,
@@ -734,6 +744,13 @@ def cmd_serve(args) -> None:
         model_id=getattr(args, "served_model_name", None) or "opus-pllm-tpu",
         lora_bank=bank or None, mesh=mesh,
         chunk_prefill=getattr(args, "chunk_prefill", None))
+    # pre-compile every admission shape + the decode step BEFORE accepting
+    # traffic; otherwise first requests hit minutes-long jit compiles that
+    # stall the queue and trip client timeouts
+    print("warming up (pre-compiling admission + decode shapes)...")
+    t0 = time.time()
+    srv.engine.warmup()
+    print(f"warmup done in {time.time() - t0:.1f}s")
     srv.serve_forever(args.host, args.port)
 
 

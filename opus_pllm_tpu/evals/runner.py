@@ -199,12 +199,6 @@ def run_annotation_eval(params, cfg: OpusConfig, tokenizer, file_path: str,
     return EvalReport(results, metrics, eps, dt)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _splice_left_jit(params, cfg, ids, mask, esm_toks):
-    return opus.splice_prompt(params, cfg, ids, mask, esm_toks,
-                              left_pad=True)
-
-
 def _check_engine_gen(gen: GenerationConfig) -> None:
     if gen.do_sample and gen.top_p < 1.0:
         raise ValueError("the engine eval path samples with temperature "
@@ -225,6 +219,12 @@ def _engine_generate(params, cfg: OpusConfig, tokenizer, prompts, sequences,
     runners."""
     from ..serve.engine import ServeRequest, ServingEngine
 
+    if not prompts:
+        # an empty local slice (process_count > n examples, or an empty
+        # test JSON) produces zero results, like the static runner — the
+        # caller still joins the cross-host gather
+        return []
+
     # 1) splice every prompt in static-shape batches (compiles once per
     #    bucket pair), then slice each row's valid left-padded tail so
     #    slots pack exact prompt lengths
@@ -235,7 +235,7 @@ def _engine_generate(params, cfg: OpusConfig, tokenizer, prompts, sequences,
         ids, mask, esm_toks = _prepare_inputs(
             tokenizer, pch, sch,
             prompt_bucket=prompt_bucket, esm_bucket=esm_bucket)
-        sp = _splice_left_jit(params, cfg, ids, mask, esm_toks)
+        sp = opus.splice_prompt_left(params, cfg, ids, mask, esm_toks)
         emb = np.asarray(sp.embeds, np.float32)
         msk = np.asarray(sp.mask)
         embeds.extend(emb[r][msk[r]] for r in range(n_real))

@@ -20,6 +20,7 @@ sharding rules attach uniformly (parallel/partition.py).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -81,6 +82,16 @@ def splice_prompt(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens,
     text = decoder.embed_tokens(params["llm"], jnp.maximum(input_ids, 0))
     return splice(input_ids, attn_mask, text, prot, labels,
                   n_tokens=cfg.switch.n_tokens, left_pad=left_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def splice_prompt_left(params, cfg: OpusConfig, input_ids, attn_mask,
+                       esm_tokens) -> Spliced:
+    """Jitted left-pad splice shared by the serving front and the engine
+    eval runners: ONE process-wide compile cache per (bucket, esm_bucket)
+    shape instead of a separately-cached jit wrapper per call site."""
+    return splice_prompt(params, cfg, input_ids, attn_mask, esm_tokens,
+                         left_pad=True)
 
 
 def forward(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens=None,

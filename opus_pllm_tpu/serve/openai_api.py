@@ -63,10 +63,16 @@ def _truncate_at(text: str, stops: List[str]) -> Tuple[str, bool]:
 
 def _max_new(srv, body: dict) -> int:
     # chat endpoints deprecate max_tokens for max_completion_tokens;
-    # accept both, newer name wins
-    return int(body.get("max_completion_tokens")
-               or body.get("max_tokens")
-               or srv.default_max_new)
+    # accept both, newer name wins; an explicit invalid value (0, -3) is
+    # a 400 like other bad params, not a silent fall-through
+    for key in ("max_completion_tokens", "max_tokens"):
+        v = body.get(key)
+        if v is not None:
+            v = int(v)
+            if v < 1:
+                raise ValueError(f"{key} must be >= 1, got {v}")
+            return v
+    return srv.default_max_new
 
 
 def resolve_model(srv, body: dict) -> Optional[str]:

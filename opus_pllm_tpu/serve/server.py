@@ -25,7 +25,6 @@ connection it arrived on.
 
 from __future__ import annotations
 
-import functools
 import json
 import queue
 import threading
@@ -33,7 +32,6 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 
 from ..core.config import OpusConfig
@@ -45,15 +43,6 @@ from ..models import esm2, opus
 from .engine import Completion, ServeRequest, ServingEngine
 
 STANDARD_AA = set("ACDEFGHIKLMNPQRSTVWY")
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _splice_jit(params, cfg: OpusConfig, ids, mask, esm_tokens):
-    """One request's prompt -> left-padded spliced embeddings. Jitted and
-    bucket-shaped so the per-request front compiles once per
-    (prompt_bucket, esm_bucket) pair, not per request."""
-    return opus.splice_prompt(params, cfg, ids, mask, esm_tokens,
-                              left_pad=True)
 
 
 class OpusServer:
@@ -83,6 +72,11 @@ class OpusServer:
         self._pending: "queue.Queue[ServeRequest]" = queue.Queue()
         self._cancels: "queue.Queue[Any]" = queue.Queue()
         self._cancelled: set = set()
+        # rids enqueued in _pending but not yet submitted to the engine:
+        # a cancel racing ahead of the submission (engine busy in a long
+        # step/compile when the client gives up) must still take effect,
+        # or the request runs as a ghost and leaks its _results entry
+        self._unsubmitted: set = set()
         self._events: Dict[Any, threading.Event] = {}
         self._results: Dict[Any, Completion] = {}
         self._next_id = 0
@@ -122,8 +116,9 @@ class OpusServer:
                                                self.prompt_bucket))
         esm_toks, _ = esm2.tokenize(
             [sequence], max_len=round_up(len(sequence) + 2, self.esm_bucket))
-        sp = _splice_jit(self.params, self.cfg, np.asarray(ids),
-                         np.asarray(mask), np.asarray(esm_toks)[:, None])
+        sp = opus.splice_prompt_left(self.params, self.cfg, np.asarray(ids),
+                                     np.asarray(mask),
+                                     np.asarray(esm_toks)[:, None])
         emb = np.asarray(sp.embeds[0], np.float32)
         valid = np.asarray(sp.mask[0])
         return emb[valid]
@@ -163,6 +158,11 @@ class OpusServer:
                     # its 'cancelled' Completion surfaces at the next
                     # harvest — mark it so _deliver drops it
                     self._cancelled.add(rid)
+                elif rid in self._unsubmitted:
+                    # the cancel outran the submission: mark it so the
+                    # pending drain below drops the request instead of
+                    # submitting a ghost with no waiter
+                    self._cancelled.add(rid)
                 self._events.pop(rid, None)
                 self._results.pop(rid, None)
             while True:
@@ -171,6 +171,10 @@ class OpusServer:
                 except queue.Empty:
                     break
                 moved = True
+                self._unsubmitted.discard(req.request_id)
+                if req.request_id in self._cancelled:
+                    self._cancelled.discard(req.request_id)
+                    continue              # cancelled before submission
                 try:
                     self.engine.submit(req)
                 except Exception as e:   # invalid request: fail IT, not
@@ -182,8 +186,11 @@ class OpusServer:
                 except Exception as e:
                     # an engine fault strands every in-flight request —
                     # fail them all loudly rather than hanging waiters
+                    # (not the still-pending ones: those submit next
+                    # iteration and succeed or get rejected there)
                     for rid in list(self._events):
-                        self._deliver(rid, e)
+                        if rid not in self._unsubmitted:
+                            self._deliver(rid, e)
                 moved = True
             if not moved:
                 # idle: park until the next submission (or shutdown)
@@ -199,7 +206,8 @@ class OpusServer:
             self._next_id += 1
         ev = threading.Event()
         self._events[rid] = ev
-        self._pending.put(ServeRequest(
+        self._unsubmitted.add(rid)   # before the put: the engine thread
+        self._pending.put(ServeRequest(  # discards it on submission
             rid, embeds=embeds, token_ids=token_ids,
             max_new_tokens=max_new_tokens, temperature=temperature,
             eos_token_id=self.tok.eos_token_id, adapter_id=adapter))
@@ -227,6 +235,7 @@ class OpusServer:
         ev = threading.Event()
         self._events[rid] = ev
         q: "queue.Queue[list]" = queue.Queue()
+        self._unsubmitted.add(rid)
         self._pending.put(ServeRequest(
             rid, embeds=embeds, token_ids=token_ids,
             max_new_tokens=max_new_tokens, temperature=temperature,
@@ -329,7 +338,14 @@ class OpusServer:
         incremental re-decode, so BPE/byte merges across delta boundaries
         render correctly), then a final {"done": true, ...} carrying the
         post-processed full text (the '###' truncation is a whole-string
-        rule, so it applies at the end, as the REPL does)."""
+        rule, so it applies at the end, as the REPL does).
+
+        Emitted text is strictly append-only (the OpenAI chunk contract:
+        clients concatenate deltas): a multi-byte UTF-8 character split
+        across byte-fallback BPE tokens decodes to a trailing U+FFFD,
+        which is HELD BACK until later tokens complete it — never resent.
+        Any held-back tail flushes as one last delta before the done
+        event, so delta concatenation still equals the full decode."""
         toks: list = []
         sent = ""
         gi = iter(gen)
@@ -340,6 +356,17 @@ class OpusServer:
                 except StopIteration as s:
                     c = s.value
                     full = self.tok.decode(toks)
+                    if full.startswith(sent):
+                        flush = full[len(sent):]
+                    else:   # mid-stream rewrite (shouldn't occur given the
+                        # U+FFFD hold-back): resend only past the longest
+                        # common prefix, never the whole string
+                        n = next((i for i, (a, b) in enumerate(zip(sent,
+                                                                   full))
+                                  if a != b), min(len(sent), len(full)))
+                        flush = full[n:]
+                    if flush:
+                        yield {"text": flush, "token_ids": []}
                     if truncate:
                         full = truncate_at_sep(full)
                     yield {"done": True, "text": full,
@@ -347,11 +374,13 @@ class OpusServer:
                            "tokens": len(toks)}
                     return
                 toks.extend(delta)
-                text = self.tok.decode(toks)
-                if text.startswith(sent):
-                    new, sent = text[len(sent):], text
-                else:                      # a merge rewrote earlier chars —
-                    new, sent = text, text  # resend from scratch (rare)
+                stable = self.tok.decode(toks)
+                while stable.endswith("�"):   # incomplete UTF-8 tail
+                    stable = stable[:-1]
+                if stable.startswith(sent):
+                    new, sent = stable[len(sent):], stable
+                else:   # rewrite beyond the held-back tail (rare): hold
+                    new = ""  # everything back; the final flush reconciles
                 yield {"text": new, "token_ids": list(delta)}
         finally:
             gi.close()   # closing us cancels the underlying request
@@ -384,11 +413,20 @@ class OpusServer:
             timeout=body.get("_timeout"))
         return self._stream_events(gen, truncate=False)
 
+    def _queued(self) -> int:
+        """Real backlog: requests waiting for a slot (engine queue +
+        mid-chunked-prefill) plus the thread-handoff queue, which drains
+        every loop iteration and reads ~0 under load on its own. Read
+        cross-thread without locking, like the counters — momentarily
+        stale is fine for a gauge."""
+        return (len(self.engine._queue) + len(self.engine._chunking)
+                + self._pending.qsize())
+
     def health(self) -> dict:
         return {"status": "ok",
                 "slots": self.engine.max_slots,
                 "active": int(np.sum(self.engine.state["active"])),
-                "queued": self._pending.qsize(),
+                "queued": self._queued(),
                 **{f"total_{k}": v
                    for k, v in self.engine.counters.items()}}
 
@@ -414,7 +452,7 @@ class OpusServer:
             f"opus_serve_active_slots "
             f"{int(np.sum(self.engine.state['active']))}",
             "# TYPE opus_serve_queued_requests gauge",
-            f"opus_serve_queued_requests {self._pending.qsize()}",
+            f"opus_serve_queued_requests {self._queued()}",
         ]
         return "\n".join(lines) + "\n"
 

@@ -98,3 +98,49 @@ def test_cli_adapter_requires_engine(dirs):
               "--weights", dirs["base_w"], "--esm", dirs["esm"],
               "--adapter", f"localization={dirs['weights']}",
               "--test-json", dirs["loc_json"]])
+
+
+def test_cli_mcq_adapter_auto_match(dirs, monkeypatch, tmp_path):
+    """`mcq --engine --adapter NAME=PATH` auto-matches the adapter by test
+    basename like annotate (a loaded bank must never silently evaluate
+    base weights); --use-adapter still forces one."""
+    import opus_pllm_tpu.cli.main as climain
+    from opus_pllm_tpu.evals import runner as runner_mod
+
+    seen = {}
+
+    class FakeTok:  # just the ids GenerationConfig reads
+        eos_token_id = 1
+        pad_token_id = 0
+
+    def fake_build(args):
+        return object(), {}, FakeTok(), None
+
+    def fake_bank(specs, cfg):
+        return {name: {} for name in specs}
+
+    def fake_mcq_engine(params, cfg, tok, test_json, **kw):
+        seen["adapter_id"] = kw.get("adapter_id")
+
+        class R:  # noqa: N801 — minimal report stub
+            metrics = {"accuracy": 1.0}
+        return R()
+
+    monkeypatch.setattr(climain, "_build", fake_build)
+    monkeypatch.setattr(climain, "_adapter_bank", fake_bank)
+    monkeypatch.setattr(runner_mod, "run_mcq_eval_engine", fake_mcq_engine)
+    mcq_json = str(tmp_path / "test_mcq_benchmark.json")
+    with open(mcq_json, "w") as f:
+        json.dump([], f)
+
+    main(["mcq", "--model-base", dirs["llm"], "--weights", dirs["base_w"],
+          "--esm", dirs["esm"], "--engine",
+          "--adapter", f"mcq={dirs['weights']}", "--test-json", mcq_json])
+    assert seen["adapter_id"] == "mcq"
+
+    main(["mcq", "--model-base", dirs["llm"], "--weights", dirs["base_w"],
+          "--esm", dirs["esm"], "--engine",
+          "--adapter", f"mcq={dirs['weights']}",
+          "--adapter", f"other={dirs['weights']}",
+          "--use-adapter", "other", "--test-json", mcq_json])
+    assert seen["adapter_id"] == "other"

@@ -272,3 +272,20 @@ def test_http_openai_round_trip(served):
             assert err["type"] == "invalid_request_error"
     finally:
         httpd.shutdown()
+
+
+def test_explicit_zero_max_tokens_rejected(served):
+    """max_tokens/max_completion_tokens: an explicit invalid value is a
+    400, never a silent fall-through to the next field or the default;
+    the newer name wins when both are present."""
+    _, _, _, srv = served
+    with pytest.raises(ValueError, match="max_tokens"):
+        openai_api.handle_completion(
+            srv, {"prompt": "Hi", "max_tokens": 0})
+    with pytest.raises(ValueError, match="max_completion_tokens"):
+        openai_api.handle_chat(
+            srv, {"messages": [{"role": "user", "content": "Hi"}],
+                  "max_completion_tokens": 0, "max_tokens": 50})
+    assert openai_api._max_new(
+        srv, {"max_completion_tokens": 3, "max_tokens": 50}) == 3
+    assert openai_api._max_new(srv, {}) == srv.default_max_new

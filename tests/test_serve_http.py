@@ -215,3 +215,63 @@ def test_http_round_trip(served):
             assert "invalid amino acids" in json.loads(e.read())["error"]
     finally:
         httpd.shutdown()
+
+
+class _FakeTok:
+    """Decode table keyed by token tuple — models byte-fallback BPE where
+    an intermediate decode renders an incomplete UTF-8 tail as U+FFFD."""
+
+    def __init__(self, table):
+        self.table = table
+
+    def decode(self, toks):
+        return self.table[tuple(toks)]
+
+
+def _fake_stream(deltas, finish="length"):
+    from opus_pllm_tpu.serve.engine import Completion
+    for d in deltas:
+        yield d
+    return Completion(0, [t for d in deltas for t in d], finish)
+
+
+def test_stream_events_append_only_across_split_utf8():
+    """A character split across tokens (decode of the partial bytes ends
+    in U+FFFD) is held back, not resent: emitted deltas stay append-only
+    (the OpenAI chunk contract) and still concatenate to the full text."""
+    table = {(1,): "a�", (1, 2): "aé", (1, 2, 3): "aéb"}
+    stub = type("S", (), {"tok": _FakeTok(table)})()
+    events = list(OpusServer._stream_events(
+        stub, _fake_stream([[1], [2], [3]]), truncate=False))
+    assert events[-1]["done"] is True
+    assert events[-1]["text"] == "aéb"
+    texts = [e["text"] for e in events[:-1]]
+    assert texts == ["a", "é", "b"]          # no "a�", no resend
+    assert "".join(texts) == "aéb"
+
+
+def test_stream_events_flushes_held_tail():
+    """A tail still incomplete at the end flushes as one final delta, so
+    delta concatenation equals the full decode."""
+    table = {(1,): "a�"}
+    stub = type("S", (), {"tok": _FakeTok(table)})()
+    events = list(OpusServer._stream_events(
+        stub, _fake_stream([[1]]), truncate=False))
+    assert [e["text"] for e in events[:-1]] == ["a", "�"]
+    assert events[-1]["done"] is True and events[-1]["text"] == "a�"
+
+
+def test_queued_gauge_reads_engine_backlog(served):
+    """/health 'queued' reports the engine's real backlog (queue +
+    mid-chunked-prefill), not just the thread-handoff queue that drains
+    every loop iteration."""
+    _, _, _, srv = served
+    assert srv.health()["queued"] == 0
+    srv.engine._queue.append(object())        # simulate waiting requests
+    srv.engine._chunking[99] = [None, None, 0]
+    try:
+        assert srv.health()["queued"] == 2
+        assert "opus_serve_queued_requests 2" in srv.metrics_text()
+    finally:
+        srv.engine._queue.pop()
+        del srv.engine._chunking[99]
