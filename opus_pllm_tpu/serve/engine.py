@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from collections import deque
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -84,6 +85,49 @@ def _bucket(n: int, buckets: Tuple[int, ...]) -> int:
         if n <= b:
             return b
     raise ValueError(f"prompt length {n} exceeds largest bucket {buckets[-1]}")
+
+
+class LatencyHistogram:
+    """Prometheus-style histogram: fixed upper bounds, per-bucket counts
+    (cumulative at exposition), running sum + count. Single-writer (the
+    engine thread owns all observes); readers tolerate a momentarily
+    stale snapshot, like the engine counters."""
+
+    # spans remote-tunnel ticks (~100 ms R/T) down to colocated-host
+    # sub-ms dispatch; +Inf is implicit (the last counts entry)
+    DEFAULT_BOUNDS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5,
+                      1.0, 2.5, 5.0, 10.0, 30.0, 60.0)
+
+    def __init__(self, bounds: Tuple[float, ...] = DEFAULT_BOUNDS):
+        self.bounds = tuple(bounds)
+        self.counts = [0] * (len(self.bounds) + 1)
+        self.sum = 0.0
+        self.count = 0
+
+    def observe(self, v: float) -> None:
+        self.sum += v
+        self.count += 1
+        for i, b in enumerate(self.bounds):
+            if v <= b:
+                self.counts[i] += 1
+                return
+        self.counts[-1] += 1
+
+    @property
+    def mean(self) -> float:
+        return self.sum / self.count if self.count else 0.0
+
+    def prometheus(self, name: str) -> List[str]:
+        """Text-exposition lines (cumulative le buckets + sum + count)."""
+        lines = [f"# TYPE {name} histogram"]
+        cum = 0
+        for b, c in zip(self.bounds, self.counts):
+            cum += c
+            lines.append(f'{name}_bucket{{le="{b}"}} {cum}')
+        lines.append(f'{name}_bucket{{le="+Inf"}} {self.count}')
+        lines.append(f"{name}_sum {self.sum}")
+        lines.append(f"{name}_count {self.count}")
+        return lines
 
 
 class ServingEngine:
@@ -178,6 +222,14 @@ class ServingEngine:
         # monotonic counters for the /metrics observability surface
         self.counters = {"completions": 0, "tokens": 0, "prefills": 0,
                          "cancelled": 0}
+        # request latency, observed at the engine (covers the HTTP front
+        # AND the engine-backed eval runners): queue_wait = submit ->
+        # slot claim, ttft = submit -> first token, duration = submit ->
+        # completion. Cancelled requests are dropped, not observed.
+        self.latency = {"queue_wait": LatencyHistogram(),
+                        "ttft": LatencyHistogram(),
+                        "duration": LatencyHistogram()}
+        self._t_submit: Dict[Any, float] = {}
 
         self._queue: deque[ServeRequest] = deque()
         self._slot_req: Dict[int, ServeRequest] = {}
@@ -620,6 +672,7 @@ class ServingEngine:
                 continue
             del self._chunking[slot]              # prompt complete
             tok = int(first[r])
+            self._observe_ttft(req)
             st["active"][slot] = True
             st["length"][slot] = done
             st["last_token"][slot] = tok
@@ -701,6 +754,7 @@ class ServingEngine:
                     "adapter_id with prefix_id is unsupported: the pinned "
                     "prefix KV was computed with base weights, so an "
                     "adapted suffix would attend inconsistent state")
+        self._t_submit[req.request_id] = time.monotonic()
         self._queue.append(req)
 
     def _adapter_of(self, req: ServeRequest) -> int:
@@ -717,6 +771,7 @@ class ServingEngine:
         for i, q in enumerate(self._queue):
             if q.request_id == request_id:
                 del self._queue[i]
+                self._t_submit.pop(request_id, None)   # not observed
                 self._completions.append(
                     Completion(request_id, [], "cancelled"))
                 self.counters["cancelled"] += 1
@@ -726,6 +781,7 @@ class ServingEngine:
                 toks = self._slot_tokens.pop(slot)
                 self._slot_req.pop(slot)
                 self._chunking.pop(slot, None)   # mid-chunked-prefill
+                self._t_submit.pop(request_id, None)   # not observed
                 self.state["active"][slot] = False
                 self._completions.append(
                     Completion(request_id, toks, "cancelled"))
@@ -753,6 +809,9 @@ class ServingEngine:
         batch: List[Tuple[int, ServeRequest, np.ndarray, tuple]] = []
         while free and self._queue:
             req = self._queue.popleft()   # submit() validated capacity
+            t0 = self._t_submit.get(req.request_id)
+            if t0 is not None:            # slot claimed: queue wait over
+                self.latency["queue_wait"].observe(time.monotonic() - t0)
             emb = self._embed(req)
             if self.chunk and emb.shape[0] > self.buckets[-1]:
                 # long prompt: claim the slot now, prefill it one chunk
@@ -799,6 +858,7 @@ class ServingEngine:
         st = self.state
         for r, (slot, req, emb, _) in enumerate(group):
             tok = int(first_h[r])
+            self._observe_ttft(req)
             st["active"][slot] = True
             st["length"][slot] = plen + emb.shape[0]
             st["last_token"][slot] = tok
@@ -815,11 +875,19 @@ class ServingEngine:
             elif req.max_new_tokens <= 1:
                 self._finish(slot, "length")
 
+    def _observe_ttft(self, req: ServeRequest) -> None:
+        t0 = self._t_submit.get(req.request_id)
+        if t0 is not None:
+            self.latency["ttft"].observe(time.monotonic() - t0)
+
     def _finish(self, slot: int, reason: str) -> None:
         req = self._slot_req.pop(slot)
         toks = self._slot_tokens.pop(slot)
         if reason == "eos" and toks and toks[-1] == req.eos_token_id:
             toks = toks[:-1]
+        t0 = self._t_submit.pop(req.request_id, None)
+        if t0 is not None:
+            self.latency["duration"].observe(time.monotonic() - t0)
         self._completions.append(Completion(req.request_id, toks, reason))
         self.counters["completions"] += 1
         self.counters["tokens"] += len(toks)

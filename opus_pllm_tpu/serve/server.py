@@ -428,7 +428,9 @@ class OpusServer:
                 "active": int(np.sum(self.engine.state["active"])),
                 "queued": self._queued(),
                 **{f"total_{k}": v
-                   for k, v in self.engine.counters.items()}}
+                   for k, v in self.engine.counters.items()},
+                **{f"{k}_mean_s": round(h.mean, 6)
+                   for k, h in self.engine.latency.items()}}
 
     def metrics_text(self) -> str:
         """GET /metrics: Prometheus text exposition of the engine counters
@@ -454,6 +456,10 @@ class OpusServer:
             "# TYPE opus_serve_queued_requests gauge",
             f"opus_serve_queued_requests {self._queued()}",
         ]
+        # request-latency histograms (queue wait / TTFT / duration),
+        # observed at the engine so they cover every front (HTTP + eval)
+        for k, h in self.engine.latency.items():
+            lines.extend(h.prometheus(f"opus_serve_{k}_seconds"))
         return "\n".join(lines) + "\n"
 
     # ------------------------------------------------------------------

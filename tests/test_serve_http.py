@@ -275,3 +275,42 @@ def test_queued_gauge_reads_engine_backlog(served):
     finally:
         srv.engine._queue.pop()
         del srv.engine._chunking[99]
+
+
+def test_latency_histogram_unit():
+    from opus_pllm_tpu.serve.engine import LatencyHistogram
+    h = LatencyHistogram(bounds=(0.1, 1.0, 10.0))
+    for v in (0.05, 0.5, 0.5, 5.0, 50.0):
+        h.observe(v)
+    assert h.count == 5 and abs(h.sum - 56.05) < 1e-9
+    assert abs(h.mean - 56.05 / 5) < 1e-9
+    lines = h.prometheus("x_seconds")
+    assert 'x_seconds_bucket{le="0.1"} 1' in lines       # cumulative
+    assert 'x_seconds_bucket{le="1.0"} 3' in lines
+    assert 'x_seconds_bucket{le="10.0"} 4' in lines
+    assert 'x_seconds_bucket{le="+Inf"} 5' in lines
+    assert "x_seconds_count 5" in lines
+
+
+def test_request_latency_observed(served):
+    """Every completed request observes queue_wait, TTFT, and duration at
+    the engine; /health exposes means and /metrics full histograms.
+    Cancelled requests leave no stamp behind."""
+    _, _, _, srv = served
+    lat = srv.engine.latency
+    before = lat["duration"].count
+    srv.handle_annotate({"instruction": INSTR, "sequence": SEQ,
+                         "max_new_tokens": 4, "temperature": 0.0,
+                         "_timeout": 300})
+    assert lat["duration"].count == before + 1
+    assert lat["ttft"].count >= before + 1
+    assert lat["queue_wait"].count >= before + 1
+    # TTFT can't exceed full duration for the same request
+    assert lat["ttft"].sum <= lat["duration"].sum + 1e-6
+    h = srv.health()
+    assert h["duration_mean_s"] > 0 and h["ttft_mean_s"] > 0
+    text = srv.metrics_text()
+    assert f"opus_serve_duration_seconds_count {lat['duration'].count}" \
+        in text
+    assert 'opus_serve_ttft_seconds_bucket{le="+Inf"}' in text
+    assert not srv.engine._t_submit, "stamps must not outlive requests"
