@@ -50,6 +50,14 @@ def protein_forward(params, protein_emb) -> jnp.ndarray:
     return dense(params["protein_projection"], x)
 
 
+def text_forward(params, text_emb) -> jnp.ndarray:
+    """Project text embeddings into the shared space — the text half of
+    CSTPBase.forward (modelling.py:378-394) standalone, for retrieval /
+    embedding serving."""
+    x = _l2_normalize(text_emb.astype(jnp.float32))
+    return dense(params["text_projection"], x)
+
+
 def alignment(projected_protein, projected_text) -> Dict[str, jnp.ndarray]:
     """Bidirectional unnormalized similarity logits with diagonal targets."""
     p2t = projected_protein @ projected_text.T

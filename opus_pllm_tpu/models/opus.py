@@ -30,7 +30,7 @@ from ..bridge import cstp as cstp_mod
 from ..bridge import projector as switch_mod
 from ..bridge.splice import Spliced, output_len, splice
 from ..core.config import IGNORE_INDEX, OpusConfig
-from . import decoder, esm2
+from . import decoder, esm2, text_encoder
 from .layers import causal_mask
 
 
@@ -82,6 +82,32 @@ def splice_prompt(params, cfg: OpusConfig, input_ids, attn_mask, esm_tokens,
     text = decoder.embed_tokens(params["llm"], jnp.maximum(input_ids, 0))
     return splice(input_ids, attn_mask, text, prot, labels,
                   n_tokens=cfg.switch.n_tokens, left_pad=left_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def protein_cstp_embeddings(params, cfg: OpusConfig, esm_tokens):
+    """(B, L) ESM tokens -> (B, P) shared-space embeddings: pooled ESM
+    (excl. BOS/EOS) through the CSTP protein projection — the stage-(a)
+    retrieval representation (CSTPBase.protein_forward,
+    cstp_v3/modelling.py:396-400). Without a CSTP adapter, the raw pooled
+    ESM embedding (the identity-projector fallback, opus_arch.py:71-80)."""
+    emb = esm2.pooled_embedding(params["esm"], cfg.esm, esm_tokens)
+    if "cstp" in params:
+        emb = cstp_mod.protein_forward(params["cstp"], emb)
+    return emb
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mask_pad"))
+def text_cstp_embeddings(params, cfg: OpusConfig, input_ids, attn_mask, *,
+                         mask_pad: bool = True):
+    """(B, L) right-padded ids + mask -> (B, P) shared-space embeddings:
+    the causal LM's (first + last hidden) mean through the CSTP text
+    projection (TextEmbeddingExtractor + CSTPBase.forward text half,
+    cstp_v3/modelling.py:105-134, :378-394). Only valid when the serving
+    LLM's hidden size equals cstp.text_dim — callers must check."""
+    emb = text_encoder.text_embeddings(params["llm"], cfg.llm, input_ids,
+                                       attn_mask, mask_pad=mask_pad)
+    return cstp_mod.text_forward(params["cstp"], emb)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -317,6 +317,53 @@ def stream_completion(srv, body: dict):
     return events()
 
 
+def handle_embeddings(srv, body: dict) -> dict:
+    """POST /v1/embeddings: OpenAI envelope over the CSTP shared space.
+
+    `input` is a string, a {"type": "protein", "sequence": ...} part, or a
+    list mixing both — proteins embed via pooled-ESM -> CSTP protein
+    projection, plain strings via the text-encoder mean -> CSTP text
+    projection (same space, so cosine ranks protein<->text matches; the
+    stage-(a) retrieval capability as an API)."""
+    name = body.get("model")
+    if name not in (None, "", srv.model_id):
+        raise ValueError(f"model {name!r} not found (embeddings serve "
+                         f"{srv.model_id!r}; adapters don't apply)")
+    if body.get("encoding_format", "float") != "float":
+        raise ValueError("only encoding_format='float' is supported")
+    raw = body.get("input")
+    if raw is None:
+        raise ValueError("'input' is required")
+    if isinstance(raw, (str, dict)):
+        raw = [raw]
+    if not raw:
+        raise ValueError("'input' must not be empty")
+    items = []
+    for it in raw:
+        if isinstance(it, str):
+            if not it:
+                raise ValueError("empty string in 'input'")
+            items.append(("text", it))
+        elif isinstance(it, dict) and it.get("type") == "protein":
+            seq = it.get("sequence", "").strip().upper()
+            if not seq:
+                raise ValueError("protein part has an empty 'sequence'")
+            srv.validate_sequence(seq)
+            items.append(("protein", seq))
+        else:
+            raise ValueError("input entries must be strings or "
+                             '{"type": "protein", "sequence": ...} parts')
+    embs, ntok = srv.embed_items(items)
+    return {
+        "object": "list",
+        "data": [{"object": "embedding", "index": i,
+                  "embedding": e.tolist()}
+                 for i, e in enumerate(embs)],
+        "model": body.get("model") or srv.model_id,
+        "usage": {"prompt_tokens": ntok, "total_tokens": ntok},
+    }
+
+
 def list_models(srv) -> dict:
     """GET /v1/models: the served base + every bank adapter (each is a
     routable `model` name)."""

@@ -123,6 +123,69 @@ class OpusServer:
         valid = np.asarray(sp.mask[0])
         return emb[valid]
 
+    def embed_items(self, items) -> tuple:
+        """[("protein", sequence) | ("text", string)] -> (list of fp32
+        shared-space vectors in input order, total token count).
+
+        The stage-(a) retrieval surface as a serving feature: proteins run
+        pooled-ESM -> CSTP protein projection, texts run the causal LM's
+        (first + last hidden) mean -> CSTP text projection — both land in
+        the same space (CSTPBase.forward, cstp_v3/modelling.py:378-394),
+        so cosine(protein, text) ranks protein<->description matches.
+        Lengths bucket-pad and batches pad to powers of two (padding rows
+        repeat row 0) so compiles stay bounded like the prefill path."""
+        out: list = [None] * len(items)
+        ntok = 0
+        prot = [(i, s) for i, (k, s) in enumerate(items) if k == "protein"]
+        txt = [(i, s) for i, (k, s) in enumerate(items) if k == "text"]
+        if txt:
+            if "cstp" not in self.params:
+                raise ValueError("text embeddings need a CSTP adapter "
+                                 "(this server runs the identity-projector "
+                                 "fallback)")
+            if self.cfg.cstp.text_dim != self.cfg.llm.hidden_size:
+                raise ValueError(
+                    f"text embeddings are unavailable: the served LLM's "
+                    f"hidden size ({self.cfg.llm.hidden_size}) differs "
+                    f"from cstp.text_dim ({self.cfg.cstp.text_dim}) — the "
+                    "CSTP text encoder is a different model (stage-(a) "
+                    "training); protein embeddings still work")
+        if prot:
+            seqs = [s for _, s in prot]
+            toks, _ = esm2.tokenize(
+                seqs, max_len=round_up(max(len(s) for s in seqs) + 2,
+                                       self.esm_bucket))
+            ntok += sum(len(s) + 2 for s in seqs)
+            n = ServingEngine._pad_group(len(seqs))
+            toks = np.concatenate(
+                [toks, np.repeat(toks[:1], n - len(seqs), axis=0)])
+            emb = np.asarray(opus.protein_cstp_embeddings(
+                self.params, self.cfg, toks), np.float32)
+            for (i, _), e in zip(prot, emb):
+                out[i] = e
+        if txt:
+            ids_l = []
+            for _, s in txt:
+                ids = list(self.tok.encode(s))
+                bos = getattr(self.tok, "bos_token_id", None)
+                if bos is not None and (not ids or ids[0] != bos):
+                    ids = [bos] + ids
+                ids_l.append(ids)
+            ntok += sum(len(i) for i in ids_l)
+            cap = round_up(max(len(i) for i in ids_l), self.prompt_bucket)
+            ids, mask = pad_batch(ids_l, self.tok.pad_token_id, left=False,
+                                  max_len=cap)
+            n = ServingEngine._pad_group(len(ids_l))
+            ids = np.concatenate(
+                [ids, np.repeat(ids[:1], n - len(ids_l), axis=0)])
+            mask = np.concatenate(
+                [mask, np.repeat(mask[:1], n - len(ids_l), axis=0)])
+            emb = np.asarray(opus.text_cstp_embeddings(
+                self.params, self.cfg, ids, mask), np.float32)
+            for (i, _), e in zip(txt, emb):
+                out[i] = e
+        return out, ntok
+
     def token_ids_generate(self, prompt: str) -> np.ndarray:
         ids = self.tok.encode(prompt)
         bos = getattr(self.tok, "bos_token_id", None)
@@ -530,7 +593,7 @@ class OpusServer:
                 n = int(self.headers.get("Content-Length", 0))
                 # OpenAI endpoints use OpenAI's nested error shape
                 oai = self.path in ("/v1/chat/completions",
-                                    "/v1/completions")
+                                    "/v1/completions", "/v1/embeddings")
                 err = ((lambda m, t: {"error": {"message": m, "type": t}})
                        if oai else (lambda m, t: {"error": m}))
                 try:
@@ -562,6 +625,10 @@ class OpusServer:
                         else:
                             self._send(200, openai_api.handle_completion(
                                 outer, body))
+                    elif self.path == "/v1/embeddings":
+                        from . import openai_api
+                        self._send(200, openai_api.handle_embeddings(
+                            outer, body))
                     else:
                         self._send(404, err("unknown path",
                                             "invalid_request_error"))

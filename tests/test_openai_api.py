@@ -289,3 +289,97 @@ def test_explicit_zero_max_tokens_rejected(served):
     assert openai_api._max_new(
         srv, {"max_completion_tokens": 3, "max_tokens": 50}) == 3
     assert openai_api._max_new(srv, {}) == srv.default_max_new
+
+
+def test_embeddings_protein_matches_direct(served):
+    """/v1/embeddings protein parts = pooled-ESM -> CSTP protein
+    projection (the stage-(a) retrieval representation), order preserved
+    in a mixed-length batch."""
+    import numpy as np
+
+    from opus_pllm_tpu.bridge import cstp
+    from opus_pllm_tpu.models import esm2
+    cfg, params, _, srv = served
+    seqs = ["MKTAYIAKQR", "ACDEFGHIKLMNP", "MKT"]
+    out = openai_api.handle_embeddings(
+        srv, {"input": [{"type": "protein", "sequence": s} for s in seqs]})
+    assert out["object"] == "list" and len(out["data"]) == 3
+    assert [d["index"] for d in out["data"]] == [0, 1, 2]
+    toks, _ = esm2.tokenize(seqs, max_len=128)
+    ref = cstp.protein_forward(
+        params["cstp"], esm2.pooled_embedding(params["esm"], cfg.esm, toks))
+    got = np.asarray([d["embedding"] for d in out["data"]])
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=2e-5)
+    assert out["usage"]["total_tokens"] == sum(len(s) + 2 for s in seqs)
+
+
+def test_embeddings_text_dim_guard_and_matched_config(served):
+    """Text embeddings are rejected when the served LLM's hidden size
+    differs from cstp.text_dim (the reference's text encoder is a separate
+    model); with matching dims they equal text-encoder mean -> CSTP text
+    projection and share the protein space."""
+    import dataclasses
+
+    import numpy as np
+
+    from opus_pllm_tpu.bridge import cstp
+    from opus_pllm_tpu.infer.tokenization import pad_batch
+    from opus_pllm_tpu.models import opus, text_encoder
+    _, _, _, srv = served
+    with pytest.raises(ValueError, match="text_dim"):
+        openai_api.handle_embeddings(srv, {"input": "a membrane protein"})
+
+    cfg2 = OpusConfig.tiny("llama")
+    cfg2 = dataclasses.replace(
+        cfg2, cstp=dataclasses.replace(cfg2.cstp, text_dim=64))
+    params2 = opus.init(jax.random.PRNGKey(1), cfg2)
+    tok = ByteTokenizer()
+    srv2 = OpusServer(params2, cfg2, tok, max_slots=2, max_len=256,
+                      prefill_buckets=(64, 128), default_max_new=4)
+    try:
+        text = "localizes to the nucleus"
+        out = openai_api.handle_embeddings(
+            srv2, {"input": [text,
+                             {"type": "protein", "sequence": "MKTAYIAKQR"}]})
+        ids = [tok.bos_token_id] + list(tok.encode(text))
+        idsa, mask = pad_batch([ids], tok.pad_token_id, left=False,
+                               max_len=64)
+        emb = text_encoder.text_embeddings(params2["llm"], cfg2.llm,
+                                           idsa, mask, mask_pad=True)
+        ref = cstp.text_forward(params2["cstp"], emb)[0]
+        got = np.asarray(out["data"][0]["embedding"])
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5,
+                                   atol=2e-5)
+        prot = np.asarray(out["data"][1]["embedding"])
+        assert prot.shape == got.shape        # same shared space
+    finally:
+        srv2.close()
+
+
+def test_embeddings_http_and_validation(served):
+    _, _, _, srv = served
+    httpd = srv.make_http_server("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps({"input": [{"type": "protein",
+                                      "sequence": "MKTAYIAKQR"}]}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/embeddings", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = json.loads(r.read())
+        assert out["object"] == "list"
+        assert len(out["data"][0]["embedding"]) > 0
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/embeddings",
+            data=json.dumps({"input": []}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=60)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert e.read()                   # OpenAI error envelope
+    finally:
+        httpd.shutdown()
