@@ -89,6 +89,14 @@ def _gen_args(p: argparse.ArgumentParser) -> None:
                         "of this many devices (ring prefill + LSE-merged "
                         "decode, infer/sp_engine.py) — for contexts whose "
                         "cache exceeds one chip; exclusive with --mesh")
+    p.add_argument("--draft-layers", type=int, default=0,
+                   help="self-speculative decoding: draft with the "
+                        "target's own first N layers, verify --n-draft "
+                        "proposals per target pass (token-identical, "
+                        "greedy-only: needs --temperature 0)")
+    p.add_argument("--n-draft", type=int, default=4,
+                   help="speculative proposals per verify pass "
+                        "(--draft-layers only)")
 
 
 def _seq_mesh(args):
@@ -320,6 +328,9 @@ def cmd_annotate(args) -> None:
     # BEFORE the (potentially multi-GB, minutes-long) model load
     seq_mesh = _seq_mesh(args)
     use_engine = getattr(args, "engine", False)
+    if use_engine and getattr(args, "draft_layers", 0):
+        raise SystemExit("--draft-layers runs on the static generate path "
+                         "only (drop --engine)")
     specs = _adapter_specs(args)
     if (specs or getattr(args, "use_adapter", None)) and not use_engine:
         raise SystemExit("--adapter/--use-adapter need --engine (the "
@@ -345,7 +356,9 @@ def cmd_annotate(args) -> None:
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
         seed=args.seed, quantize_cache=getattr(args, "quantize_cache", False),
         num_beams=getattr(args, "num_beams", 1),
-        length_penalty=getattr(args, "length_penalty", 1.0))
+        length_penalty=getattr(args, "length_penalty", 1.0),
+        draft_layers=getattr(args, "draft_layers", 0),
+        n_draft=getattr(args, "n_draft", 4))
     bank = _adapter_bank(specs, cfg)
     if use_engine:
         rep = runner.run_annotation_eval_engine(
@@ -375,6 +388,9 @@ def cmd_annotate_all(args) -> None:
 
     seq_mesh = _seq_mesh(args)   # validate the flag conflicts pre-load
     use_engine = getattr(args, "engine", False)
+    if use_engine and getattr(args, "draft_layers", 0):
+        raise SystemExit("--draft-layers runs on the static generate path "
+                         "only (drop --engine)")
     specs = _adapter_specs(args)
     if (specs or getattr(args, "map", None)) and not use_engine:
         raise SystemExit("--adapter/--map need --engine")
@@ -401,7 +417,9 @@ def cmd_annotate_all(args) -> None:
                 seed=args.seed + rep,
                 quantize_cache=getattr(args, "quantize_cache", False),
         num_beams=getattr(args, "num_beams", 1),
-        length_penalty=getattr(args, "length_penalty", 1.0))
+        length_penalty=getattr(args, "length_penalty", 1.0),
+        draft_layers=getattr(args, "draft_layers", 0),
+        n_draft=getattr(args, "n_draft", 4))
             save = None
             if args.save_dir:
                 os.makedirs(args.save_dir, exist_ok=True)
@@ -431,6 +449,9 @@ def cmd_mcq(args) -> None:
 
     seq_mesh = _seq_mesh(args)   # validate the flag conflicts pre-load
     use_engine = getattr(args, "engine", False)
+    if use_engine and getattr(args, "draft_layers", 0):
+        raise SystemExit("--draft-layers runs on the static generate path "
+                         "only (drop --engine)")
     specs = _adapter_specs(args)
     if (specs or getattr(args, "use_adapter", None)) and not use_engine:
         raise SystemExit("--adapter/--use-adapter need --engine")
@@ -454,7 +475,9 @@ def cmd_mcq(args) -> None:
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
         seed=args.seed, quantize_cache=getattr(args, "quantize_cache", False),
         num_beams=getattr(args, "num_beams", 1),
-        length_penalty=getattr(args, "length_penalty", 1.0))
+        length_penalty=getattr(args, "length_penalty", 1.0),
+        draft_layers=getattr(args, "draft_layers", 0),
+        n_draft=getattr(args, "n_draft", 4))
     if use_engine:
         bank = _adapter_bank(specs, cfg)
         rep = runner.run_mcq_eval_engine(
@@ -485,7 +508,10 @@ def cmd_chat(args) -> None:
         eos_token_id=tok.eos_token_id, pad_token_id=tok.pad_token_id,
         quantize_cache=getattr(args, "quantize_cache", False),
         num_beams=getattr(args, "num_beams", 1),
-        length_penalty=getattr(args, "length_penalty", 1.0))
+        length_penalty=getattr(args, "length_penalty", 1.0),
+        draft_layers=getattr(args, "draft_layers", 0),
+        n_draft=getattr(args, "n_draft", 4))
+    draft = runner_mod.make_draft(params, cfg, gen)   # once, not per turn
     print("opus-pllm-tpu chat — empty line to exit")
     turn = 0   # folds into the PRNG so repeated prompts resample at T>0
     while True:
@@ -512,7 +538,7 @@ def cmd_chat(args) -> None:
         texts = runner_mod._generate_batch(
             params, cfg, tok, [prompt], [seq], gen,
             prompt_bucket=64, esm_bucket=128, impl="auto", batch_index=turn,
-            mesh=mesh, seq_mesh=seq_mesh)
+            mesh=mesh, seq_mesh=seq_mesh, draft=draft)
         turn += 1
         print(texts[0])
 

@@ -318,6 +318,11 @@ class GenerationConfig:
     # to beam search (greedy scoring, HF early_stopping=False semantics)
     num_beams: int = 1
     length_penalty: float = 1.0
+    # self-speculative (layer-skip) decoding: >0 drafts with the target's
+    # own first N layers and verifies K=n_draft proposals per target pass
+    # (infer/speculative.py). Greedy-only; token-identical by construction
+    draft_layers: int = 0
+    n_draft: int = 4
 
     @property
     def do_sample(self) -> bool:

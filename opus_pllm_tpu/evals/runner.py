@@ -78,10 +78,27 @@ def _prepare_inputs(tokenizer, prompts, sequences, *, prompt_bucket: int,
     return ids, mask, esm_toks
 
 
+def make_draft(params, cfg: OpusConfig, gen: GenerationConfig):
+    """Build the self-speculative layer-skip draft ONCE per run (the
+    stacked layout slices device arrays — per-batch rebuilds would copy).
+    Returns None when gen.draft_layers == 0; validates the greedy-only /
+    no-beams constraints of the speculative engine."""
+    if gen.draft_layers <= 0:
+        return None
+    if gen.do_sample:
+        raise ValueError("speculative decoding (--draft-layers) is "
+                         "greedy-only: set --temperature 0")
+    if gen.num_beams > 1:
+        raise ValueError("--draft-layers with beam search is unsupported")
+    from ..infer import speculative
+    return speculative.draft_from_target(params["llm"], cfg.llm,
+                                         gen.draft_layers)
+
+
 def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
                     gen: GenerationConfig, *, prompt_bucket: int,
                     esm_bucket: int, impl: str, batch_index: int = 0,
-                    mesh=None, seq_mesh=None):
+                    mesh=None, seq_mesh=None, draft=None):
     """One padded batch through splice -> generate -> decode.
 
     `batch_index` folds into the sampling key — otherwise every batch would
@@ -89,6 +106,7 @@ def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
     batch shards over the "data" axis (params are already mesh-sharded by
     the caller) so the whole pipeline runs SPMD. `seq_mesh` routes decoding
     through the sequence-sharded KV-cache engine (infer/sp_engine.py).
+    `draft` (make_draft) routes it through speculative decoding instead.
     """
     ids, mask, esm_toks = _prepare_inputs(
         tokenizer, prompts, sequences, prompt_bucket=prompt_bucket,
@@ -98,11 +116,11 @@ def _generate_batch(params, cfg: OpusConfig, tokenizer, prompts, sequences,
     with ctx:
         return _generate_spliced(params, cfg, tokenizer, ids, mask, esm_toks,
                                  gen, impl=impl, batch_index=batch_index,
-                                 seq_mesh=seq_mesh)
+                                 seq_mesh=seq_mesh, draft=draft)
 
 
 def _generate_spliced(params, cfg, tokenizer, ids, mask, esm_toks, gen,
-                      *, impl, batch_index, seq_mesh=None):
+                      *, impl, batch_index, seq_mesh=None, draft=None):
     sp = opus.splice_prompt(params, cfg, ids, mask, esm_toks, left_pad=True,
                             impl=impl)
     pos = decoder.positions_from_mask(sp.mask)
@@ -118,6 +136,21 @@ def _generate_spliced(params, cfg, tokenizer, ids, mask, esm_toks, gen,
             num_beams=gen.num_beams, max_new_tokens=gen.max_new_tokens,
             eos_token_id=gen.eos_token_id, pad_token_id=gen.pad_token_id,
             length_penalty=gen.length_penalty,
+            quantize_cache=gen.quantize_cache, impl=impl)
+    elif draft is not None:
+        if seq_mesh is not None:
+            raise ValueError("--draft-layers over a sequence-sharded cache "
+                             "is unsupported (drop --seq-shards)")
+        # self-speculative decode: the layer-skip draft shares the
+        # target's embedding space, so the SAME spliced embeddings feed
+        # both (draft_from_target); token-identical to greedy generate
+        from ..infer import speculative
+        dparams, dcfg = draft
+        out = speculative.speculative_generate(
+            dparams, params["llm"], dcfg, cfg.llm, sp.embeds, sp.embeds,
+            sp.mask, pos, max_new_tokens=gen.max_new_tokens,
+            n_draft=gen.n_draft, eos_token_id=gen.eos_token_id,
+            pad_token_id=gen.pad_token_id,
             quantize_cache=gen.quantize_cache, impl=impl)
     elif seq_mesh is not None:
         # KV cache sharded over the ("seq",) mesh — ring prefill +
@@ -168,6 +201,7 @@ def run_annotation_eval(params, cfg: OpusConfig, tokenizer, file_path: str,
 
     import contextlib
     ctx = mesh if mesh is not None else contextlib.nullcontext()
+    draft = make_draft(params, cfg, gen)
     results = []
     t0 = time.perf_counter()
     batches = _prefetched_batches(
@@ -180,7 +214,8 @@ def run_annotation_eval(params, cfg: OpusConfig, tokenizer, file_path: str,
         with ctx:
             texts = _generate_spliced(params, cfg, tokenizer, ids, mask,
                                       esm_toks, gen, impl=impl,
-                                      batch_index=bi, seq_mesh=seq_mesh)
+                                      batch_index=bi, seq_mesh=seq_mesh,
+                                      draft=draft)
         results.extend({"ground_truth": e.output, "generated": t}
                        for e, t in zip(chunk[:n_real], texts[:n_real]))
     dt = time.perf_counter() - t0
@@ -414,6 +449,7 @@ def run_mcq_eval(params, cfg: OpusConfig, tokenizer, file_path: str, *,
     render = render_prompt or default_render
     import contextlib
     ctx = mesh if mesh is not None else contextlib.nullcontext()
+    draft = make_draft(params, cfg, gen)
     results = []
     t0 = time.perf_counter()
     batches = _prefetched_batches(
@@ -426,7 +462,8 @@ def run_mcq_eval(params, cfg: OpusConfig, tokenizer, file_path: str, *,
         with ctx:
             texts = _generate_spliced(params, cfg, tokenizer, ids, mask,
                                       esm_toks, gen, impl=impl,
-                                      batch_index=bi, seq_mesh=seq_mesh)
+                                      batch_index=bi, seq_mesh=seq_mesh,
+                                      draft=draft)
         results.extend({"ground_truth": e.answer, "generated": t}
                        for e, t in zip(chunk[:n_real], texts[:n_real]))
     dt = time.perf_counter() - t0

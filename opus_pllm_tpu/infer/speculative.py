@@ -64,6 +64,32 @@ def _one_step(params, cfg, cache_mask_fn, cache, emb, pos, slot, impl):
     return lg, cache
 
 
+def draft_from_target(params, cfg: DecoderConfig, n_layers: int):
+    """Self-speculative (layer-skip) draft: the target's own FIRST
+    n_layers with its embedding, final norm, and head — a draft with no
+    extra weights that shares the target's embedding space, so the same
+    (spliced) prompt embeddings feed both models. Early-exit drafting is
+    the standard zero-cost draft; acceptance only affects speed, never
+    output (every emitted token is target-verified).
+
+    Unrolled layout shares the layer subtrees by reference; stacked
+    layout slices the leading layer axis (one small device copy)."""
+    if not 0 < n_layers < cfg.num_layers:
+        raise ValueError(f"draft_layers must be in [1, {cfg.num_layers - 1}]"
+                         f" (target has {cfg.num_layers} layers), "
+                         f"got {n_layers}")
+    import dataclasses
+    dcfg = dataclasses.replace(cfg, num_layers=n_layers)
+    dp = {k: v for k, v in params.items()
+          if k not in ("layers", "layers_stacked")}
+    if "layers_stacked" in params:
+        dp["layers_stacked"] = jax.tree.map(lambda a: a[:n_layers],
+                                            params["layers_stacked"])
+    else:
+        dp["layers"] = params["layers"][:n_layers]
+    return dp, dcfg
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg_draft", "cfg", "n_draft", "max_new_tokens",

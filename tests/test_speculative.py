@@ -114,3 +114,80 @@ def test_stacked_and_quantized_cache_paths():
     assert np.asarray(out.tokens).shape == ref_t.shape
     assert int(out.iterations) >= 1
     assert np.all(np.asarray(out.lengths) <= max_new)
+
+
+def test_draft_from_target_layouts():
+    """Layer-skip draft: first-n layers in both layouts, shared
+    embed/norm/head; invalid n rejected."""
+    import pytest
+
+    from opus_pllm_tpu.core.config import DecoderConfig
+    from opus_pllm_tpu.models import decoder
+
+    cfg = DecoderConfig.tiny("llama")
+    params = decoder.init(jax.random.PRNGKey(0), cfg)
+    dp, dcfg = speculative.draft_from_target(params, cfg, 1)
+    assert dcfg.num_layers == 1 and len(dp["layers"]) == 1
+    assert dp["embed_tokens"] is params["embed_tokens"]   # shared, no copy
+    assert dp["layers"][0] is params["layers"][0]
+
+    stacked = decoder.stack_params(
+        {k: v for k, v in params.items()})
+    dp2, dcfg2 = speculative.draft_from_target(stacked, cfg, 1)
+    leaf = jax.tree.leaves(dp2["layers_stacked"])[0]
+    assert leaf.shape[0] == 1 and dcfg2.num_layers == 1
+
+    for bad in (0, cfg.num_layers, 5):
+        with pytest.raises(ValueError, match="draft_layers"):
+            speculative.draft_from_target(params, cfg, bad)
+
+
+def test_runner_self_speculative_token_identical(tmp_path):
+    """run_annotation_eval with gen.draft_layers produces the exact same
+    result file as plain greedy — speculative decoding only changes
+    speed, reachable via --draft-layers."""
+    import json
+
+    from opus_pllm_tpu.core.config import GenerationConfig, OpusConfig
+    from opus_pllm_tpu.evals import runner
+    from opus_pllm_tpu.infer.tokenization import ByteTokenizer
+    from opus_pllm_tpu.models import opus
+
+    cfg = OpusConfig.tiny("llama")
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    data = [{"instruction": "What is the subcellular localization?",
+             "input": "MKTAYIAKQR" * (i + 1), "output": "Nucleus"}
+            for i in range(3)]
+    path = tmp_path / "test_localization.json"
+    path.write_text(json.dumps(data))
+
+    def run(draft_layers):
+        gen = GenerationConfig(max_new_tokens=8, temperature=0.0,
+                               eos_token_id=tok.eos_token_id,
+                               pad_token_id=tok.pad_token_id,
+                               draft_layers=draft_layers, n_draft=3)
+        return runner.run_annotation_eval(
+            params, cfg, tok, str(path), gen=gen, batch_size=2,
+            prompt_bucket=32, esm_bucket=32, log_fn=lambda *_: None).results
+
+    assert run(1) == run(0)
+
+
+def test_make_draft_validates():
+    import pytest
+
+    from opus_pllm_tpu.core.config import GenerationConfig, OpusConfig
+    from opus_pllm_tpu.evals import runner
+    from opus_pllm_tpu.models import opus
+
+    cfg = OpusConfig.tiny("llama")
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    assert runner.make_draft(params, cfg, GenerationConfig()) is None
+    with pytest.raises(ValueError, match="greedy-only"):
+        runner.make_draft(params, cfg,
+                          GenerationConfig(temperature=0.5, draft_layers=1))
+    with pytest.raises(ValueError, match="beam"):
+        runner.make_draft(params, cfg,
+                          GenerationConfig(temperature=0.0, num_beams=2,
+                                           draft_layers=1))
