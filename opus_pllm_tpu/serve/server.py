@@ -14,7 +14,12 @@ Endpoints (JSON):
                       "temperature"?}            -> {"text", ...}
   POST /v1/generate  {"prompt", "max_new_tokens"?, "temperature"?}
                       (text-only, no protein)    -> {"text", ...}
-  GET  /health                                   -> engine counters
+  POST /v1/chat/completions, /v1/completions, /v1/embeddings,
+  GET  /v1/models                                -> OpenAI-compatible
+                                                    (serve/openai_api.py)
+  GET  /health                                   -> engine counters +
+                                                    latency means
+  GET  /metrics                                  -> Prometheus exposition
 
 Threading model: HTTP handlers (ThreadingHTTPServer) never touch the
 engine — they enqueue a ServeRequest and block on a per-request event; ONE
