@@ -777,7 +777,8 @@ def cmd_serve(args) -> None:
     t0 = time.time()
     srv.engine.warmup()
     print(f"warmup done in {time.time() - t0:.1f}s")
-    srv.serve_forever(args.host, args.port)
+    srv.serve_forever(args.host, args.port,
+                      drain_grace=getattr(args, "drain_grace", 30.0))
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -874,6 +875,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="decode steps per compiled call (dispatch "
                          "amortization; raise when the host is remote "
                          "from the chip)")
+    sv.add_argument("--drain-grace", type=float, default=30.0,
+                    help="graceful-shutdown window: on SIGTERM, reject "
+                         "new requests (503) and give in-flight ones "
+                         "this many seconds before cancelling")
     sv.add_argument("--admit-min-free", type=int, default=1,
                     help="batch admissions until this many slots are free "
                          "(fewer prefill dispatches at the cost of "

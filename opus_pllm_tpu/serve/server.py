@@ -50,6 +50,11 @@ from .engine import Completion, ServeRequest, ServingEngine
 STANDARD_AA = set("ACDEFGHIKLMNPQRSTVWY")
 
 
+class ServerDraining(Exception):
+    """New work rejected because the server is shutting down gracefully
+    (maps to HTTP 503 so load balancers retry elsewhere)."""
+
+
 class OpusServer:
     """Multimodal request front + engine thread + HTTP plumbing.
 
@@ -86,6 +91,7 @@ class OpusServer:
         self._results: Dict[Any, Completion] = {}
         self._next_id = 0
         self._id_lock = threading.Lock()
+        self._draining = False
         self._stop = threading.Event()
         self._wake = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -269,6 +275,9 @@ class OpusServer:
                         max_new_tokens: int, temperature: float,
                         adapter: Optional[str] = None,
                         timeout: Optional[float] = None) -> Completion:
+        if self._draining:
+            raise ServerDraining("server is draining; not accepting new "
+                                 "requests")
         with self._id_lock:
             rid = self._next_id
             self._next_id += 1
@@ -296,7 +305,21 @@ class OpusServer:
         generator's return value (StopIteration.value). Deltas are pushed
         from the engine thread per decode tick, so the consumer sees
         tokens as they are produced; their concatenation equals
-        Completion.tokens exactly (the engine never streams EOS)."""
+        Completion.tokens exactly (the engine never streams EOS).
+
+        The draining rejection happens EAGERLY at call time; the request
+        itself enqueues lazily on first iteration (a generator that is
+        never started must leave no trace — nothing to cancel)."""
+        if self._draining:
+            raise ServerDraining("server is draining; not accepting new "
+                                 "requests")
+        return self._submit_streaming(
+            embeds=embeds, token_ids=token_ids,
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            adapter=adapter, timeout=timeout)
+
+    def _submit_streaming(self, *, embeds, token_ids, max_new_tokens,
+                          temperature, adapter, timeout):
         with self._id_lock:
             rid = self._next_id
             self._next_id += 1
@@ -346,6 +369,35 @@ class OpusServer:
         engine state) and wake it."""
         self._cancels.put(rid)
         self._wake.set()
+
+    def begin_drain(self) -> None:
+        """Stop accepting new requests: subsequent submits raise
+        ServerDraining (HTTP 503, so load balancers retry elsewhere).
+        In-flight requests keep decoding."""
+        self._draining = True
+
+    def drain(self, timeout: Optional[float] = None) -> bool:
+        """Graceful shutdown: reject new work, wait for every in-flight
+        request to finish. After `timeout` seconds the stragglers are
+        failed with ServerDraining (their waiters wake) and cancelled in
+        the engine (slots freed). Returns True on a clean drain."""
+        self.begin_drain()
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while (self._events or not self._pending.empty()
+               or self.engine.busy
+               or np.any(self.engine.state["active"][:self.engine.max_slots])):
+            if deadline is not None and time.monotonic() > deadline:
+                for rid, ev in list(self._events.items()):
+                    # a real completion racing in wins (setdefault);
+                    # otherwise the waiter raises ServerDraining
+                    self._results.setdefault(
+                        rid, ServerDraining("request cancelled by server "
+                                            "drain timeout"))
+                    ev.set()
+                    self._cancel(rid)    # free the slot / queue entry
+                return False
+            time.sleep(0.02)
+        return True
 
     def close(self) -> None:
         self._stop.set()
@@ -491,7 +543,7 @@ class OpusServer:
                 + self._pending.qsize())
 
     def health(self) -> dict:
-        return {"status": "ok",
+        return {"status": "draining" if self._draining else "ok",
                 "slots": self.engine.max_slots,
                 "active": int(np.sum(self.engine.state["active"])),
                 "queued": self._queued(),
@@ -637,6 +689,8 @@ class OpusServer:
                     else:
                         self._send(404, err("unknown path",
                                             "invalid_request_error"))
+                except ServerDraining as e:
+                    self._send(503, err(str(e), "server_draining"))
                 except (ValueError, KeyError) as e:
                     self._send(400, err(str(e), "invalid_request_error"))
                 except TimeoutError as e:
@@ -650,10 +704,27 @@ class OpusServer:
 
         return ThreadingHTTPServer((host, port), Handler)
 
-    def serve_forever(self, host: str = "0.0.0.0", port: int = 8000) -> None:
+    def serve_forever(self, host: str = "0.0.0.0", port: int = 8000, *,
+                      drain_grace: float = 30.0) -> None:
         httpd = self.make_http_server(host, port)
         print(f"opus-pllm-tpu serving on http://{host}:{port} "
               f"({self.engine.max_slots} slots, cap {self.engine.max_len})")
+
+        def _term(signum, frame):
+            # SIGTERM (the orchestrator's stop signal): reject new work
+            # with 503, let in-flight requests finish up to drain_grace
+            # seconds, then stop the HTTP loop. Runs on a thread because
+            # httpd.shutdown() deadlocks from the serve_forever thread.
+            print(f"SIGTERM: draining (grace {drain_grace:.0f}s)...")
+            threading.Thread(
+                target=lambda: (self.drain(drain_grace), httpd.shutdown()),
+                daemon=True).start()
+
+        import signal
+        try:
+            signal.signal(signal.SIGTERM, _term)
+        except ValueError:
+            pass   # not the main thread (embedded/test use)
         try:
             httpd.serve_forever()
         except KeyboardInterrupt:

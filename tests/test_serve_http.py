@@ -314,3 +314,90 @@ def test_request_latency_observed(served):
         in text
     assert 'opus_serve_ttft_seconds_bucket{le="+Inf"}' in text
     assert not srv.engine._t_submit, "stamps must not outlive requests"
+
+
+def test_drain_rejects_new_and_finishes_inflight():
+    """Graceful shutdown: begin_drain makes new submits raise
+    ServerDraining (503 over HTTP); drain() waits for in-flight requests
+    to complete normally; a drain timeout fails stragglers loudly instead
+    of hanging their waiters."""
+    from opus_pllm_tpu.core.config import OpusConfig
+    from opus_pllm_tpu.models import opus
+    from opus_pllm_tpu.serve.server import ServerDraining
+
+    cfg = OpusConfig.tiny("llama")
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    srv = OpusServer(params, cfg, tok, max_slots=2, max_len=512,
+                     prefill_buckets=(64, 128, 256, 384),
+                     default_max_new=4)
+    try:
+        # warm the pipeline so the drain test below isn't compile-bound
+        srv.handle_annotate({"instruction": INSTR, "sequence": SEQ,
+                             "max_new_tokens": 2, "_timeout": 300})
+        # in-flight request, then drain concurrently
+        result = {}
+
+        def worker():
+            try:
+                result["out"] = srv.handle_annotate(
+                    {"instruction": INSTR, "sequence": SEQ,
+                     "max_new_tokens": 16, "_timeout": 300})
+            except Exception as e:   # noqa: BLE001
+                result["err"] = e
+        t = threading.Thread(target=worker)
+        t.start()
+        deadline = time.monotonic() + 60
+        while not srv.engine.busy and time.monotonic() < deadline:
+            time.sleep(0.01)         # wait until it's actually in flight
+        clean = srv.drain(timeout=120)
+        t.join(timeout=60)
+        assert clean and result.get("out", {}).get("tokens") == 16
+        assert srv.health()["status"] == "draining"
+        with pytest.raises(ServerDraining):
+            srv.handle_annotate({"instruction": INSTR, "sequence": SEQ})
+        with pytest.raises(ServerDraining):
+            srv.submit_streaming(token_ids=srv.token_ids_generate("Hi"),
+                                 max_new_tokens=4, temperature=0.0)
+    finally:
+        srv.close()
+
+
+def test_drain_timeout_fails_stragglers():
+    from opus_pllm_tpu.core.config import OpusConfig
+    from opus_pllm_tpu.models import opus
+    from opus_pllm_tpu.serve.server import ServerDraining
+
+    cfg = OpusConfig.tiny("llama")
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    srv = OpusServer(params, cfg, tok, max_slots=2, max_len=2048,
+                     prefill_buckets=(64, 128, 256, 384),
+                     default_max_new=4)
+    try:
+        result = {}
+
+        def worker():
+            try:
+                result["out"] = srv.handle_annotate(
+                    {"instruction": INSTR, "sequence": SEQ,
+                     "max_new_tokens": 1500, "_timeout": 600})
+            except Exception as e:   # noqa: BLE001
+                result["err"] = e
+        t = threading.Thread(target=worker)
+        t.start()
+        deadline = time.monotonic() + 120
+        while not srv.engine.busy and time.monotonic() < deadline:
+            time.sleep(0.01)
+        clean = srv.drain(timeout=0.2)   # far shorter than 1500 tokens
+        t.join(timeout=60)
+        assert not clean
+        assert isinstance(result.get("err"), ServerDraining)
+        # the slot actually freed (engine cancel processed)
+        deadline = time.monotonic() + 60
+        while np.any(srv.engine.state["active"]) and \
+                time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert not np.any(srv.engine.state["active"])
+    finally:
+        srv.close()
