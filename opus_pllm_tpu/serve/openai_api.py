@@ -18,10 +18,11 @@ Conventions (matching vLLM's multi-LoRA serving):
   - streaming is standard SSE chat chunks terminated by `data: [DONE]`.
 
 Engine limits surface as 400s, not silent degradation: top_p/n/logprobs
-are rejected (the slot decode step samples with temperature only), and
-`stop` strings apply as a post-hoc truncation on the non-streaming paths
-only (the compiled step exits on EOS/budget; arbitrary-string matching
-would need a host-side scan per tick).
+are rejected (the slot decode step samples with temperature only).
+`stop` strings apply as a post-hoc truncation on the blocking paths and
+as an append-only host-side scan on the streaming paths (_stop_filter —
+held-back tail so stops split across deltas match; a match cancels the
+engine request instead of decoding to budget).
 """
 
 from __future__ import annotations
@@ -232,14 +233,46 @@ def handle_completion(srv, body: dict) -> dict:
     }
 
 
+def _stop_filter(events, stops: List[str]):
+    """Append-only stop-string scan over a _stream_events stream.
+
+    Emitted text is held back by max(len(stop)) - 1 chars so a stop
+    string split across deltas still matches. On a match: the text
+    before the stop flushes, the underlying stream closes (which cancels
+    the engine request — no budget wasted past the stop), and a
+    synthetic done event with finish_reason "stop" ends the stream.
+    Without a match the held-back tail flushes before the real done."""
+    hold = max(len(s) for s in stops) - 1
+    pend = ""                      # received but not yet emitted
+    try:
+        for ev in events:
+            if ev.get("done"):
+                if pend:
+                    yield {"text": pend, "token_ids": []}
+                yield ev
+                return
+            pend += ev.get("text", "")
+            cut = min((i for i in (pend.find(s) for s in stops)
+                       if i != -1), default=-1)
+            if cut != -1:
+                if pend[:cut]:
+                    yield {"text": pend[:cut], "token_ids": []}
+                yield {"done": True, "text": "", "finish_reason": "stop",
+                       "tokens": 0}
+                return
+            safe = len(pend) - hold
+            if safe > 0:
+                yield {"text": pend[:safe], "token_ids": []}
+                pend = pend[safe:]
+    finally:
+        events.close()   # on a stop match / consumer exit: cancel decode
+
+
 def stream_chat(srv, body: dict):
     """SSE generator of chat.completion.chunk payloads. The HTTP layer
     frames each yielded dict as `data: <json>`; the final yield is the
     literal string "[DONE]" (OpenAI's terminator)."""
     _check_unsupported(body)
-    if _stops(body):
-        raise ValueError("stop strings are unsupported with stream=true "
-                         "(post-hoc truncation needs the full text)")
     adapter = resolve_model(srv, body)
     prompt, seq = chat_prompt(srv, body.get("messages") or [])
     sub = _submit_args(srv, prompt, seq)
@@ -257,10 +290,14 @@ def stream_chat(srv, body: dict):
                 "choices": [{"index": 0, "delta": delta,
                              "finish_reason": finish}]}
 
+    stream = srv._stream_events(gen, truncate=False)
+    if _stops(body):
+        stream = _stop_filter(stream, _stops(body))
+
     def events():
         yield chunk({"role": "assistant", "content": ""}, None)
         finish = "stop"
-        for ev in srv._stream_events(gen, truncate=False):
+        for ev in stream:
             if ev.get("done"):
                 finish = _FINISH.get(ev["finish_reason"],
                                      ev["finish_reason"])
@@ -276,9 +313,6 @@ def stream_chat(srv, body: dict):
 def stream_completion(srv, body: dict):
     """SSE generator of text_completion chunks, `data: [DONE]`-terminated."""
     _check_unsupported(body)
-    if _stops(body):
-        raise ValueError("stop strings are unsupported with stream=true "
-                         "(post-hoc truncation needs the full text)")
     adapter = resolve_model(srv, body)
     prompt = body.get("prompt")
     if isinstance(prompt, list):
@@ -302,9 +336,13 @@ def stream_completion(srv, body: dict):
                 "choices": [{"index": 0, "text": text,
                              "finish_reason": finish}]}
 
+    stream = srv._stream_events(gen, truncate=False)
+    if _stops(body):
+        stream = _stop_filter(stream, _stops(body))
+
     def events():
         finish = "stop"
-        for ev in srv._stream_events(gen, truncate=False):
+        for ev in stream:
             if ev.get("done"):
                 finish = _FINISH.get(ev["finish_reason"],
                                      ev["finish_reason"])

@@ -147,8 +147,6 @@ def test_unsupported_params_reject(served):
     with pytest.raises(ValueError, match="role"):
         openai_api.handle_chat(srv, {"messages": [{"role": "tool",
                                                    "content": "x"}]})
-    with pytest.raises(ValueError, match="stop strings"):
-        list(openai_api.stream_chat(srv, {"messages": msgs, "stop": "x"}))
 
 
 def test_model_routes_adapters():
@@ -383,3 +381,57 @@ def test_embeddings_http_and_validation(served):
             assert e.read()                   # OpenAI error envelope
     finally:
         httpd.shutdown()
+
+
+def test_stop_filter_unit():
+    """_stop_filter holds back max(len(stop))-1 chars so a stop split
+    across deltas still matches; on a match the pre-stop text flushes,
+    the source closes (engine cancel), finish_reason is 'stop'."""
+    closed = []
+
+    def src(texts, done):
+        try:
+            for t in texts:
+                yield {"text": t, "token_ids": [0]}
+            yield done
+        finally:
+            closed.append(True)
+
+    # stop "XY" split across deltas: "aX" + "Yb"
+    evs = list(openai_api._stop_filter(
+        src(["aX", "Yb"], {"done": True, "text": "aXYb",
+                           "finish_reason": "length", "tokens": 4}),
+        ["XY"]))
+    assert "".join(e.get("text", "") for e in evs if not e.get("done")) \
+        == "a"
+    assert evs[-1]["done"] and evs[-1]["finish_reason"] == "stop"
+    assert closed == [True]
+
+    # no match: held-back tail flushes, the real done event passes through
+    closed.clear()
+    evs = list(openai_api._stop_filter(
+        src(["ab", "cd"], {"done": True, "text": "abcd",
+                           "finish_reason": "eos", "tokens": 4}),
+        ["ZZZ"]))
+    assert "".join(e.get("text", "") for e in evs if not e.get("done")) \
+        == "abcd"
+    assert evs[-1]["finish_reason"] == "eos"
+
+
+def test_stream_stop_strings_end_to_end(served):
+    """stream=true with `stop`: deltas never contain the stop string and
+    the stream finishes with 'stop', matching the blocking truncation."""
+    _, _, _, srv = served
+    full = openai_api.handle_completion(
+        srv, {"prompt": "Hello", "max_tokens": 8, "temperature": 0.0})
+    text = full["choices"][0]["text"]
+    assert len(text) >= 3, "need output to truncate"
+    stop = text[1:3]
+    evs = list(openai_api.stream_completion(
+        srv, {"prompt": "Hello", "max_tokens": 8, "temperature": 0.0,
+              "stop": stop, "_timeout": 300}))
+    assert evs[-1] == "[DONE]"
+    chunks = [e for e in evs[:-1]]
+    streamed = "".join(c["choices"][0]["text"] for c in chunks)
+    assert streamed == text[:text.find(stop)]
+    assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
