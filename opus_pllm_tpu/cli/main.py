@@ -759,6 +759,11 @@ def cmd_serve(args) -> None:
     from ..serve.server import OpusServer
 
     bank = _adapter_bank(specs, cfg)
+    slots = getattr(args, "adapter_slots", None)
+    if slots and not bank:
+        raise SystemExit("--adapter-slots needs at least one --adapter "
+                         "NAME=PATH (the bank's shapes come from the "
+                         "first adapter)")
     srv = OpusServer(
         params, cfg, tok, chat_template=getattr(args, "chat_template", False),
         default_max_new=args.max_new_tokens or 256,
@@ -769,7 +774,8 @@ def cmd_serve(args) -> None:
         seed=getattr(args, "seed", 0),
         model_id=getattr(args, "served_model_name", None) or "opus-pllm-tpu",
         lora_bank=bank or None, mesh=mesh,
-        chunk_prefill=getattr(args, "chunk_prefill", None))
+        chunk_prefill=getattr(args, "chunk_prefill", None),
+        adapter_capacity=slots)
     # pre-compile every admission shape + the decode step BEFORE accepting
     # traffic; otherwise first requests hit minutes-long jit compiles that
     # stall the queue and trip client timeouts
@@ -875,6 +881,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="decode steps per compiled call (dispatch "
                          "amortization; raise when the host is remote "
                          "from the chip)")
+    sv.add_argument("--adapter-slots", type=int, default=None,
+                    help="adapter-bank capacity: spare rows beyond the "
+                         "--adapter entries that POST /v1/adapters can "
+                         "fill at runtime without a restart/recompile")
     sv.add_argument("--drain-grace", type=float, default=30.0,
                     help="graceful-shutdown window: on SIGTERM, reject "
                          "new requests (503) and give in-flight ones "

@@ -117,37 +117,44 @@ def fold_scaling(tree: dict, s: float) -> dict:
     return out
 
 
-def make_bank(adapters: Dict[str, dict]):
+def stack_adapter(name: str, t: dict):
+    """One adapter tree -> per-leaf (num_layers, in, r) stacks, with the
+    cross-layer uniformity validated (every layer must target the same
+    projections at the same rank to stack into one gatherable tensor)."""
+    if "layers_stacked" in t:
+        return t["layers_stacked"]
+    # name the adapter in the cross-layer uniformity error: the raw
+    # tree.map "structs did not match" from a layers_to_transform-style
+    # adapter (some layers untargeted) names nothing
+    first = t["layers"][0]
+    for li, lp in enumerate(t["layers"]):
+        if (set(lp) != set(first)
+                or any(lp[p]["A"].shape != first[p]["A"].shape
+                       for p in lp)):
+            raise ValueError(
+                f"adapter {name!r} layer {li} targets "
+                f"{sorted(lp)} at "
+                f"{[lp[p]['A'].shape for p in sorted(lp)]}, layer 0 "
+                f"has {sorted(first)}: the bank needs every layer to "
+                "target the same projections at the same rank")
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *t["layers"])
+
+
+def make_bank(adapters: Dict[str, dict], capacity: Optional[int] = None):
     """Stack named adapter trees into a multi-LoRA serving bank.
 
-    Returns ({leaves (num_layers, N+1, in, r)}, {name: index}): index N
-    (one past the last adapter) is an all-zero adapter, so base-only
-    requests gather an exact no-op delta instead of branching the
-    compiled decode step. All adapters must target the same projections
-    at the same rank (they stack into one gatherable tensor)."""
+    Returns ({leaves (num_layers, C+1, in, r)}, {name: index}) where
+    C = max(capacity, len(adapters)): index C (the last row) is an
+    all-zero adapter, so base-only requests gather an exact no-op delta
+    instead of branching the compiled decode step; rows beyond the named
+    adapters are zero FREE slots that a serving engine can fill at
+    runtime (add_adapter) without changing shapes — i.e. without
+    recompiling. All adapters must target the same projections at the
+    same rank (they stack into one gatherable tensor)."""
     if not adapters:
         raise ValueError("empty adapter bank")
     names = list(adapters)
-    stacks = []
-    for name, t in adapters.items():
-        if "layers_stacked" in t:
-            stacks.append(t["layers_stacked"])
-            continue
-        # name the adapter in the cross-layer uniformity error: the raw
-        # tree.map "structs did not match" from a layers_to_transform-style
-        # adapter (some layers untargeted) names nothing
-        first = t["layers"][0]
-        for li, lp in enumerate(t["layers"]):
-            if (set(lp) != set(first)
-                    or any(lp[p]["A"].shape != first[p]["A"].shape
-                           for p in lp)):
-                raise ValueError(
-                    f"adapter {name!r} layer {li} targets "
-                    f"{sorted(lp)} at "
-                    f"{[lp[p]['A'].shape for p in sorted(lp)]}, layer 0 "
-                    f"has {sorted(first)}: the bank needs every layer to "
-                    "target the same projections at the same rank")
-        stacks.append(jax.tree.map(lambda *xs: jnp.stack(xs), *t["layers"]))
+    stacks = [stack_adapter(n, t) for n, t in adapters.items()]
     ref = jax.tree.structure(stacks[0])
     ref_shapes = [x.shape for x in jax.tree.leaves(stacks[0])]
     for name, s in zip(names[1:], stacks[1:]):
@@ -156,6 +163,9 @@ def make_bank(adapters: Dict[str, dict]):
             raise ValueError(
                 f"adapter {name!r} targets different projections or rank "
                 f"than {names[0]!r}; a bank needs a uniform shape to stack")
+    cap = max(capacity or 0, len(names))
     zero = jax.tree.map(jnp.zeros_like, stacks[0])
-    bank = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *stacks, zero)
+    pads = [zero] * (cap - len(names))       # runtime-fillable free rows
+    bank = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1),
+                        *stacks, *pads, zero)
     return bank, {n: i for i, n in enumerate(names)}

@@ -146,7 +146,8 @@ class ServingEngine:
                  quantize_cache=False, seed: int = 0,
                  steps_per_tick: int = 1, admit_min_free: int = 1,
                  lora_bank=None, lora_scale: float = 1.0, mesh=None,
-                 chunk_prefill: Optional[int] = None):
+                 chunk_prefill: Optional[int] = None,
+                 adapter_capacity: Optional[int] = None):
         # tensor-parallel serving: with a mesh, params shard per the
         # partition rules ("model"-axis Megatron col/row splits) and the
         # KV cache shards over its heads axis; the compiled steps then run
@@ -167,10 +168,16 @@ class ServingEngine:
         # per-task adapters serve concurrently from one base)
         if lora_bank:
             from ..lora.lora import make_bank
-            self._lora_bank, self._adapter_index = make_bank(lora_bank)
-            self._zero_adapter = len(self._adapter_index)
+            self._lora_bank, self._adapter_index = make_bank(
+                lora_bank, capacity=adapter_capacity)
+            # zero adapter = the last bank row; rows between the named
+            # adapters and it are runtime-fillable free slots
+            self._bank_capacity = (
+                jax.tree.leaves(self._lora_bank)[0].shape[1] - 1)
+            self._zero_adapter = self._bank_capacity
         else:
             self._lora_bank, self._adapter_index = None, {}
+            self._bank_capacity = 0
             self._zero_adapter = 0
         self.lora_scale = float(lora_scale)
         self.max_slots = max_slots
@@ -954,6 +961,64 @@ class ServingEngine:
     def adapters(self) -> tuple:
         """Names of the bank adapters this engine serves (empty: base only)."""
         return tuple(self._adapter_index)
+
+    @property
+    def adapter_capacity(self) -> int:
+        """Bank rows available for adapters (0: no bank)."""
+        return self._bank_capacity
+
+    def add_adapter(self, name: str, tree: dict) -> None:
+        """Install a folded UNMERGED adapter into a free bank row at
+        runtime. Bank shapes were fixed at construction (make_bank
+        capacity), so this is an in-place row write — the compiled
+        decode/prefill steps never recompile. Must be called from the
+        thread that owns submit()/step(), like them."""
+        from ..lora.lora import stack_adapter
+        if self._lora_bank is None:
+            raise ValueError(
+                "engine has no adapter bank; construct it with lora_bank "
+                "(serve --adapter NAME=PATH) and spare capacity "
+                "(adapter_capacity / serve --adapter-slots)")
+        if name in self._adapter_index:
+            raise ValueError(f"adapter {name!r} already serves; "
+                             "remove_adapter first")
+        used = set(self._adapter_index.values())
+        free = next((i for i in range(self._bank_capacity)
+                     if i not in used), None)
+        if free is None:
+            raise ValueError(
+                f"adapter bank is full ({self._bank_capacity} slots); "
+                "remove one or restart with more --adapter-slots")
+        stacked = stack_adapter(name, tree)
+        want = [tuple(x.shape) for x in jax.tree.leaves(stacked)]
+        have = [tuple(x.shape[:1] + x.shape[2:])
+                for x in jax.tree.leaves(self._lora_bank)]
+        if want != have:
+            raise ValueError(
+                f"adapter {name!r} shapes {want} do not match the bank's "
+                f"row shapes {have} (same projections, same rank required)")
+        self._lora_bank = jax.tree.map(
+            lambda b, x: b.at[:, free].set(x.astype(b.dtype)),
+            self._lora_bank, stacked)
+        self._adapter_index[name] = free
+
+    def remove_adapter(self, name: str) -> None:
+        """Free a bank row: refuse while any queued or in-flight request
+        uses the adapter (its gathers would silently become the zero
+        delta mid-sequence), then zero the row and drop the name."""
+        if name not in self._adapter_index:
+            raise ValueError(f"unknown adapter {name!r} "
+                             f"(serving: {sorted(self._adapter_index)})")
+        in_use = (any(q.adapter_id == name for q in self._queue)
+                  or any(req.adapter_id == name
+                         for req in self._slot_req.values()))
+        if in_use:
+            raise ValueError(f"adapter {name!r} has queued or in-flight "
+                             "requests; retry once they finish")
+        idx = self._adapter_index.pop(name)
+        self._lora_bank = jax.tree.map(
+            lambda b: b.at[:, idx].set(jnp.zeros_like(b[:, idx])),
+            self._lora_bank)
 
     def reseed(self, seed: int) -> None:
         """Reset the sampling PRNG stream — for engine reuse across eval

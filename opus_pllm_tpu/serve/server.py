@@ -81,6 +81,9 @@ class OpusServer:
 
         self._pending: "queue.Queue[ServeRequest]" = queue.Queue()
         self._cancels: "queue.Queue[Any]" = queue.Queue()
+        # admin ops (adapter add/remove) run ON the engine thread, which
+        # owns all engine state: (callable, done event, result box)
+        self._admin: "queue.Queue[tuple]" = queue.Queue()
         self._cancelled: set = set()
         # rids enqueued in _pending but not yet submitted to the engine:
         # a cancel racing ahead of the submission (engine busy in a long
@@ -222,6 +225,17 @@ class OpusServer:
     def _loop(self) -> None:
         while not self._stop.is_set():
             moved = False
+            while True:
+                try:
+                    fn, done, box = self._admin.get_nowait()
+                except queue.Empty:
+                    break
+                moved = True
+                try:
+                    box["out"] = fn()
+                except Exception as e:   # noqa: BLE001 — surfaces to the
+                    box["err"] = e       # admin caller, not this thread
+                done.set()
             while True:
                 try:
                     rid = self._cancels.get_nowait()
@@ -369,6 +383,44 @@ class OpusServer:
         engine state) and wake it."""
         self._cancels.put(rid)
         self._wake.set()
+
+    def run_on_engine(self, fn, timeout: float = 120.0):
+        """Execute fn() on the engine thread (which owns all engine
+        state) and return its result; exceptions re-raise here."""
+        done = threading.Event()
+        box: dict = {}
+        self._admin.put((fn, done, box))
+        self._wake.set()
+        if not done.wait(timeout):
+            raise TimeoutError("engine admin operation timed out")
+        if "err" in box:
+            raise box["err"]
+        return box.get("out")
+
+    def _load_adapter_tree(self, path: str) -> dict:
+        from ..core import builder
+        from ..lora.lora import fold_scaling
+        tree, scale = builder.load_peft_adapter(path, self.cfg.llm.num_layers)
+        return fold_scaling(tree, scale)
+
+    def add_adapter(self, name: str, path: str) -> dict:
+        """Load a PEFT adapter from disk and install it into a free bank
+        row on the live engine — no recompile, no restart (the vLLM
+        dynamic-LoRA-loading role). The disk load happens on the calling
+        thread; only the in-place bank write runs on the engine thread."""
+        tree = self._load_adapter_tree(path)
+        self.run_on_engine(lambda: self.engine.add_adapter(name, tree))
+        return self.adapters_info()
+
+    def remove_adapter(self, name: str) -> dict:
+        self.run_on_engine(lambda: self.engine.remove_adapter(name))
+        return self.adapters_info()
+
+    def adapters_info(self) -> dict:
+        cap = self.engine.adapter_capacity
+        names = sorted(self.engine.adapters)
+        return {"adapters": names, "capacity": cap,
+                "free": cap - len(names)}
 
     def begin_drain(self) -> None:
         """Stop accepting new requests: subsequent submits raise
@@ -604,6 +656,8 @@ class OpusServer:
                 elif self.path == "/v1/models":
                     from . import openai_api
                     self._send(200, openai_api.list_models(outer))
+                elif self.path == "/v1/adapters":
+                    self._send(200, outer.adapters_info())
                 elif self.path == "/metrics":
                     data = outer.metrics_text().encode()
                     self.send_response(200)
@@ -612,6 +666,19 @@ class OpusServer:
                     self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
                     self.wfile.write(data)
+                else:
+                    self._send(404, {"error": "unknown path"})
+
+            def do_DELETE(self):         # noqa: N802
+                if self.path.startswith("/v1/adapters/"):
+                    name = self.path[len("/v1/adapters/"):]
+                    try:
+                        self._send(200, outer.remove_adapter(name))
+                    except ValueError as e:
+                        self._send(400, {"error": str(e)})
+                    except Exception as e:   # noqa: BLE001
+                        self._send(500, {"error":
+                                         f"{type(e).__name__}: {e}"})
                 else:
                     self._send(404, {"error": "unknown path"})
 
@@ -686,6 +753,13 @@ class OpusServer:
                         from . import openai_api
                         self._send(200, openai_api.handle_embeddings(
                             outer, body))
+                    elif self.path == "/v1/adapters":
+                        name = body.get("name", "")
+                        path = body.get("path", "")
+                        if not name or not path:
+                            raise ValueError("'name' and 'path' are "
+                                             "required")
+                        self._send(200, outer.add_adapter(name, path))
                     else:
                         self._send(404, err("unknown path",
                                             "invalid_request_error"))

@@ -401,3 +401,65 @@ def test_drain_timeout_fails_stragglers():
         assert not np.any(srv.engine.state["active"])
     finally:
         srv.close()
+
+
+def test_http_adapter_management(monkeypatch):
+    """POST/GET/DELETE /v1/adapters manage the live bank through the
+    engine thread; the new adapter is immediately routable as an OpenAI
+    `model` name."""
+    import urllib.error
+
+    from opus_pllm_tpu.core.config import LoRAConfig, OpusConfig
+    from opus_pllm_tpu.lora import lora as lora_mod
+    from opus_pllm_tpu.models import opus
+
+    cfg = OpusConfig.tiny("llama")
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    lcfg = LoRAConfig(rank=4, alpha=8.0)
+    trees = {}
+    for i, name in enumerate(("loc", "go")):
+        t = lora_mod.init(jax.random.PRNGKey(10 + i), cfg.llm, lcfg)
+        t = jax.tree.map(
+            lambda x: x if x.shape[-1] == lcfg.rank else
+            0.3 * jax.random.normal(jax.random.PRNGKey(20 + i), x.shape), t)
+        trees[name] = lora_mod.fold_scaling(t, lora_mod.scaling(lcfg))
+    tok = ByteTokenizer()
+    srv = OpusServer(params, cfg, tok, max_slots=2, max_len=512,
+                     prefill_buckets=(64, 128, 256, 384),
+                     default_max_new=4, lora_bank={"loc": trees["loc"]},
+                     adapter_capacity=2)
+    monkeypatch.setattr(OpusServer, "_load_adapter_tree",
+                        lambda self, path: trees[path])
+    httpd = srv.make_http_server("127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def call(method, path, body=None):
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(base + path, data=data, method=method,
+                                     headers={"Content-Type":
+                                              "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+    try:
+        assert call("GET", "/v1/adapters") == {
+            "adapters": ["loc"], "capacity": 2, "free": 1}
+        out = call("POST", "/v1/adapters", {"name": "go", "path": "go"})
+        assert out == {"adapters": ["go", "loc"], "capacity": 2, "free": 0}
+        # immediately routable as an OpenAI model name
+        models = [m["id"] for m in call("GET", "/v1/models")["data"]]
+        assert "go" in models
+        r = call("POST", "/v1/chat/completions",
+                 {"model": "go", "max_tokens": 4, "_timeout": 300,
+                  "messages": [{"role": "user", "content": "Hi"}]})
+        assert r["choices"][0]["message"]["content"] is not None
+        assert call("DELETE", "/v1/adapters/go")["adapters"] == ["loc"]
+        try:
+            call("DELETE", "/v1/adapters/nope")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        srv.close()

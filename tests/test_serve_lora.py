@@ -212,3 +212,64 @@ def test_load_peft_adapter_requires_config(tmp_path, setup):
               str(d / "adapter_model.safetensors"))
     with pytest.raises(ValueError, match="adapter_config.json"):
         builder.load_peft_adapter(str(tmp_path), cfg.num_layers)
+
+
+def test_runtime_adapter_add_remove(setup):
+    """Dynamic adapter management: an adapter installed into a spare bank
+    row at runtime (no recompile — bank shapes fixed at construction)
+    generates exactly like a statically-banked engine; removal frees the
+    row and is refused while requests use it."""
+    cfg, params, lcfg, adapters = setup
+    s = lora_mod.scaling(lcfg)
+    emb = _emb(cfg, 7, 6)
+
+    static = ServingEngine(params, cfg, max_slots=2, max_len=64,
+                           prefill_buckets=(16,), lora_bank=adapters,
+                           lora_scale=s)
+    ref = static.run([ServeRequest(0, embeds=emb, max_new_tokens=6,
+                                   temperature=0.0, adapter_id="go")],
+                     max_ticks=100)[0].tokens
+
+    # start with only "loc" + 3 spare rows, install "go" at runtime
+    eng = ServingEngine(params, cfg, max_slots=2, max_len=64,
+                        prefill_buckets=(16,),
+                        lora_bank={"loc": adapters["loc"]},
+                        lora_scale=s, adapter_capacity=4)
+    assert eng.adapter_capacity == 4 and eng.adapters == ("loc",)
+    shapes_before = [x.shape for x in jax.tree.leaves(eng._lora_bank)]
+    # "go" was folded at bank scale s in the static engine; fold the same
+    # way here (runtime adds go through fold_scaling in the server)
+    go = lora_mod.fold_scaling(adapters["go"], 1.0)   # engine lora_scale=s
+    eng.add_adapter("go", go)
+    assert [x.shape for x in jax.tree.leaves(eng._lora_bank)] == \
+        shapes_before, "bank shapes must not change (no recompile)"
+    out = eng.run([ServeRequest(0, embeds=emb, max_new_tokens=6,
+                                temperature=0.0, adapter_id="go")],
+                  max_ticks=100)[0].tokens
+    assert out == ref
+
+    # duplicate name / unknown removal / capacity errors are loud
+    with pytest.raises(ValueError, match="already serves"):
+        eng.add_adapter("go", go)
+    with pytest.raises(ValueError, match="unknown adapter"):
+        eng.remove_adapter("nope")
+    # in-use removal refused
+    eng.submit(ServeRequest(1, embeds=emb, max_new_tokens=4,
+                            temperature=0.0, adapter_id="go"))
+    with pytest.raises(ValueError, match="in-flight"):
+        eng.remove_adapter("go")
+    while eng.busy:
+        eng.step()
+    eng.remove_adapter("go")
+    assert eng.adapters == ("loc",)
+    # the freed row is zero again: base request == no-adapter reference
+    base_ref = _run_single(params, cfg, emb, 6)
+    out = eng.run([ServeRequest(2, embeds=emb, max_new_tokens=6,
+                                temperature=0.0)], max_ticks=100)[2].tokens
+    assert out == base_ref
+
+    # fill remaining capacity, then overflow errors
+    for i in range(3):
+        eng.add_adapter(f"a{i}", go)
+    with pytest.raises(ValueError, match="full"):
+        eng.add_adapter("overflow", go)
