@@ -775,13 +775,14 @@ def cmd_serve(args) -> None:
         model_id=getattr(args, "served_model_name", None) or "opus-pllm-tpu",
         lora_bank=bank or None, mesh=mesh,
         chunk_prefill=getattr(args, "chunk_prefill", None),
-        adapter_capacity=slots)
+        adapter_capacity=slots,
+        cache_system_prefix=getattr(args, "cache_system_prefix", False))
     # pre-compile every admission shape + the decode step BEFORE accepting
     # traffic; otherwise first requests hit minutes-long jit compiles that
     # stall the queue and trip client timeouts
     print("warming up (pre-compiling admission + decode shapes)...")
     t0 = time.time()
-    srv.engine.warmup()
+    srv.warmup()
     print(f"warmup done in {time.time() - t0:.1f}s")
     srv.serve_forever(args.host, args.port,
                       drain_grace=getattr(args, "drain_grace", 30.0))
@@ -881,6 +882,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="decode steps per compiled call (dispatch "
                          "amortization; raise when the host is remote "
                          "from the chip)")
+    sv.add_argument("--cache-system-prefix", action="store_true",
+                    help="pin the constant professor-header KV once "
+                         "(engine prefix cache); matching requests admit "
+                         "with only their suffix — per-request prefill "
+                         "drops by the header length (manual-layout "
+                         "prompts, base-weight requests)")
     sv.add_argument("--adapter-slots", type=int, default=None,
                     help="adapter-bank capacity: spare rows beyond the "
                          "--adapter entries that POST /v1/adapters can "

@@ -148,17 +148,17 @@ def chat_prompt(srv, messages: List[dict]) -> Tuple[str, Optional[str]]:
     return "".join(out), seq
 
 
-def _submit_args(srv, prompt: str, seq: Optional[str]) -> Dict[str, Any]:
+def _submit_args(srv, prompt: str, seq: Optional[str],
+                 adapter: Optional[str] = None) -> Dict[str, Any]:
     """Route multimodal prompts through the splice front, text-only ones
-    through plain token ids; returns submit kwargs + prompt token count."""
+    through plain token ids — both via prepare_request, which takes the
+    pinned system-prefix path when it applies. Returns submit kwargs +
+    prompt token count."""
     if seq is not None:
         if not seq:
             raise ValueError("protein part has an empty 'sequence'")
         srv.validate_sequence(seq)
-        emb = srv.embed_prompt(prompt, seq)
-        return {"embeds": emb, "_prompt_tokens": emb.shape[0]}
-    ids = srv.token_ids_generate(prompt)
-    return {"token_ids": ids, "_prompt_tokens": int(ids.shape[0])}
+    return srv.prepare_request(prompt, seq, adapter=adapter)
 
 
 def _usage(prompt_tokens: int, completion_tokens: int) -> dict:
@@ -171,7 +171,7 @@ def handle_chat(srv, body: dict) -> dict:
     _check_unsupported(body)
     adapter = resolve_model(srv, body)
     prompt, seq = chat_prompt(srv, body.get("messages") or [])
-    sub = _submit_args(srv, prompt, seq)
+    sub = _submit_args(srv, prompt, seq, adapter)
     ptoks = sub.pop("_prompt_tokens")
     c = srv.submit_and_wait(
         max_new_tokens=_max_new(srv, body),
@@ -209,11 +209,12 @@ def handle_completion(srv, body: dict) -> dict:
         raise ValueError("'prompt' (non-empty string) is required")
     if body.get("echo"):
         raise ValueError("echo is unsupported")
-    ids = srv.token_ids_generate(prompt)
+    sub = _submit_args(srv, prompt, None, adapter)
+    ptoks = sub.pop("_prompt_tokens")
     c = srv.submit_and_wait(
-        token_ids=ids, max_new_tokens=_max_new(srv, body),
+        max_new_tokens=_max_new(srv, body),
         temperature=float(body.get("temperature", 0.0)),
-        adapter=adapter, timeout=body.get("_timeout"))
+        adapter=adapter, timeout=body.get("_timeout"), **sub)
     text = srv.tok.decode(
         [t for t in c.tokens if t != srv.tok.eos_token_id])
     text, stopped = _truncate_at(text, _stops(body))
@@ -229,7 +230,7 @@ def handle_completion(srv, body: dict) -> dict:
                               else _FINISH.get(c.finish_reason,
                                                c.finish_reason)),
         }],
-        "usage": _usage(int(ids.shape[0]), len(c.tokens)),
+        "usage": _usage(ptoks, len(c.tokens)),
     }
 
 
@@ -275,7 +276,7 @@ def stream_chat(srv, body: dict):
     _check_unsupported(body)
     adapter = resolve_model(srv, body)
     prompt, seq = chat_prompt(srv, body.get("messages") or [])
-    sub = _submit_args(srv, prompt, seq)
+    sub = _submit_args(srv, prompt, seq, adapter)
     sub.pop("_prompt_tokens")
     gen = srv.submit_streaming(
         max_new_tokens=_max_new(srv, body),
@@ -322,11 +323,12 @@ def stream_completion(srv, body: dict):
         prompt = prompt[0]
     if not isinstance(prompt, str) or not prompt:
         raise ValueError("'prompt' (non-empty string) is required")
+    sub = _submit_args(srv, prompt, None, adapter)
+    sub.pop("_prompt_tokens")
     gen = srv.submit_streaming(
-        token_ids=srv.token_ids_generate(prompt),
         max_new_tokens=_max_new(srv, body),
         temperature=float(body.get("temperature", 0.0)),
-        adapter=adapter, timeout=body.get("_timeout"))
+        adapter=adapter, timeout=body.get("_timeout"), **sub)
     cid = f"cmpl-{int(time.time() * 1000)}"
     model = body.get("model") or srv.model_id
 

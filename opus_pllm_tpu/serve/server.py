@@ -68,6 +68,7 @@ class OpusServer:
                  chat_template: bool = False, prompt_bucket: int = 64,
                  esm_bucket: int = 128, default_max_new: int = 256,
                  model_id: str = "opus-pllm-tpu",
+                 cache_system_prefix: bool = False,
                  **engine_kwargs):
         self.params = params
         self.cfg = cfg
@@ -77,6 +78,13 @@ class OpusServer:
         self.esm_bucket = esm_bucket
         self.default_max_new = default_max_new
         self.model_id = model_id   # the OpenAI-API served model name
+        # prefix caching for the constant professor header: its KV is
+        # computed once (engine.register_prefix) and every matching
+        # request admits with only its suffix. Manual-layout prompts only
+        # (the chat template renders per-model headers); adapter requests
+        # fall back (the pinned KV holds base-weight state)
+        self.cache_system_prefix = bool(cache_system_prefix)
+        self._sys_ids: Optional[list] = None
         self.engine = ServingEngine(params["llm"], cfg.llm, **engine_kwargs)
 
         self._pending: "queue.Queue[ServeRequest]" = queue.Queue()
@@ -125,6 +133,9 @@ class OpusServer:
         engine packs slots tightly."""
         ids_l = tokenize_with_seq(prompt, self.tok.encode,
                                   getattr(self.tok, "bos_token_id", None))
+        return self._splice_ids(ids_l, sequence)
+
+    def _splice_ids(self, ids_l: list, sequence: str) -> np.ndarray:
         ids, mask = pad_batch([ids_l], self.tok.pad_token_id, left=True,
                               max_len=round_up(len(ids_l),
                                                self.prompt_bucket))
@@ -136,6 +147,54 @@ class OpusServer:
         emb = np.asarray(sp.embeds[0], np.float32)
         valid = np.asarray(sp.mask[0])
         return emb[valid]
+
+    def _ensure_sys_prefix(self) -> Optional[list]:
+        """Register the constant conversation header ONCE as a pinned KV
+        prefix; returns its token ids (None when disabled). The header
+        runs through the system prompt up to the role tag — everything
+        before the first varying character of an annotation prompt
+        (annotation_prompt: f"{system}\\n\\n### {role}: {instruction}")."""
+        if not self.cache_system_prefix or self.chat_template:
+            return None
+        if self._sys_ids is None:
+            header = f"{VICUNA_V0.system}\n\n### {VICUNA_V0.roles[0]}: "
+            ids = tokenize_with_seq(header, self.tok.encode,
+                                    getattr(self.tok, "bos_token_id", None))
+            self.engine.register_prefix(
+                "sys", token_ids=np.asarray(ids, np.int32))
+            self._sys_ids = ids
+        return self._sys_ids
+
+    def prepare_request(self, prompt: str, sequence: Optional[str], *,
+                        adapter: Optional[str] = None) -> dict:
+        """prompt (+ optional protein) -> submit kwargs, taking the
+        pinned system-prefix path when it applies: the request's first
+        tokens must equal the registered header ids exactly (tokenizer
+        merges across the boundary fall back to a full admission), and
+        adapter requests always run full (the pinned KV holds base-weight
+        state; engine.submit rejects the combination). `_prompt_tokens`
+        counts the full prompt either way."""
+        bos = getattr(self.tok, "bos_token_id", None)
+        ids_l = tokenize_with_seq(prompt, self.tok.encode, bos)
+        sys_ids = self._ensure_sys_prefix() if adapter is None else None
+        pfx: dict = {}
+        if sys_ids and len(ids_l) > len(sys_ids) \
+                and ids_l[:len(sys_ids)] == sys_ids:
+            ids_l = ids_l[len(sys_ids):]
+            pfx = {"prefix_id": "sys"}
+        if sequence is not None:
+            emb = self._splice_ids(ids_l, sequence)
+            n = emb.shape[0] + (len(sys_ids) if pfx else 0)
+            return {"embeds": emb, "_prompt_tokens": n, **pfx}
+        n = len(ids_l) + (len(sys_ids) if pfx else 0)
+        return {"token_ids": np.asarray(ids_l, np.int32),
+                "_prompt_tokens": n, **pfx}
+
+    def warmup(self) -> None:
+        """Register the shared prefix (if enabled), then pre-compile every
+        admission shape and the decode step before traffic arrives."""
+        self._ensure_sys_prefix()
+        self.engine.warmup()
 
     def embed_items(self, items) -> tuple:
         """[("protein", sequence) | ("text", string)] -> (list of fp32
@@ -288,6 +347,7 @@ class OpusServer:
     def submit_and_wait(self, *, embeds=None, token_ids=None,
                         max_new_tokens: int, temperature: float,
                         adapter: Optional[str] = None,
+                        prefix_id=None,
                         timeout: Optional[float] = None) -> Completion:
         if self._draining:
             raise ServerDraining("server is draining; not accepting new "
@@ -301,7 +361,8 @@ class OpusServer:
         self._pending.put(ServeRequest(  # discards it on submission
             rid, embeds=embeds, token_ids=token_ids,
             max_new_tokens=max_new_tokens, temperature=temperature,
-            eos_token_id=self.tok.eos_token_id, adapter_id=adapter))
+            eos_token_id=self.tok.eos_token_id, adapter_id=adapter,
+            prefix_id=prefix_id))
         self._wake.set()
         if not ev.wait(timeout):
             self._cancel(rid)
@@ -314,6 +375,7 @@ class OpusServer:
     def submit_streaming(self, *, embeds=None, token_ids=None,
                          max_new_tokens: int, temperature: float,
                          adapter: Optional[str] = None,
+                         prefix_id=None,
                          timeout: Optional[float] = None):
         """Generator of token-id delta lists; the Completion is the
         generator's return value (StopIteration.value). Deltas are pushed
@@ -330,10 +392,10 @@ class OpusServer:
         return self._submit_streaming(
             embeds=embeds, token_ids=token_ids,
             max_new_tokens=max_new_tokens, temperature=temperature,
-            adapter=adapter, timeout=timeout)
+            adapter=adapter, prefix_id=prefix_id, timeout=timeout)
 
     def _submit_streaming(self, *, embeds, token_ids, max_new_tokens,
-                          temperature, adapter, timeout):
+                          temperature, adapter, prefix_id, timeout):
         with self._id_lock:
             rid = self._next_id
             self._next_id += 1
@@ -345,7 +407,7 @@ class OpusServer:
             rid, embeds=embeds, token_ids=token_ids,
             max_new_tokens=max_new_tokens, temperature=temperature,
             eos_token_id=self.tok.eos_token_id, on_tokens=q.put,
-            adapter_id=adapter))
+            adapter_id=adapter, prefix_id=prefix_id))
         self._wake.set()
         deadline = None if timeout is None else time.monotonic() + timeout
         try:
@@ -475,14 +537,15 @@ class OpusServer:
         if not instruction or not sequence:
             raise ValueError("'instruction' and 'sequence' are required")
         self.validate_sequence(sequence)
-        emb = self.embed_annotate(instruction, sequence)
+        sub = self.prepare_request(self._prompt_for(instruction), sequence,
+                                   adapter=body.get("adapter"))
+        sub.pop("_prompt_tokens")
         c = self.submit_and_wait(
-            embeds=emb,
             max_new_tokens=int(body.get("max_new_tokens",
                                         self.default_max_new)),
             temperature=float(body.get("temperature", 0.0)),
             adapter=body.get("adapter"),
-            timeout=body.get("_timeout"))
+            timeout=body.get("_timeout"), **sub)
         text = truncate_at_sep(self.tok.decode(
             [t for t in c.tokens if t != self.tok.eos_token_id]))
         return {"text": text, "finish_reason": c.finish_reason,
@@ -492,13 +555,15 @@ class OpusServer:
         prompt = body.get("prompt", "")
         if not prompt:
             raise ValueError("'prompt' is required")
+        sub = self.prepare_request(prompt, None,
+                                   adapter=body.get("adapter"))
+        sub.pop("_prompt_tokens")
         c = self.submit_and_wait(
-            token_ids=self.token_ids_generate(prompt),
             max_new_tokens=int(body.get("max_new_tokens",
                                         self.default_max_new)),
             temperature=float(body.get("temperature", 0.0)),
             adapter=body.get("adapter"),
-            timeout=body.get("_timeout"))
+            timeout=body.get("_timeout"), **sub)
         text = self.tok.decode(
             [t for t in c.tokens if t != self.tok.eos_token_id])
         return {"text": text, "finish_reason": c.finish_reason,
@@ -563,26 +628,30 @@ class OpusServer:
         if not instruction or not sequence:
             raise ValueError("'instruction' and 'sequence' are required")
         self.validate_sequence(sequence)
+        sub = self.prepare_request(self._prompt_for(instruction), sequence,
+                                   adapter=body.get("adapter"))
+        sub.pop("_prompt_tokens")
         gen = self.submit_streaming(
-            embeds=self.embed_annotate(instruction, sequence),
             max_new_tokens=int(body.get("max_new_tokens",
                                         self.default_max_new)),
             temperature=float(body.get("temperature", 0.0)),
             adapter=body.get("adapter"),
-            timeout=body.get("_timeout"))
+            timeout=body.get("_timeout"), **sub)
         return self._stream_events(gen, truncate=True)
 
     def stream_generate(self, body: dict):
         prompt = body.get("prompt", "")
         if not prompt:
             raise ValueError("'prompt' is required")
+        sub = self.prepare_request(prompt, None,
+                                   adapter=body.get("adapter"))
+        sub.pop("_prompt_tokens")
         gen = self.submit_streaming(
-            token_ids=self.token_ids_generate(prompt),
             max_new_tokens=int(body.get("max_new_tokens",
                                         self.default_max_new)),
             temperature=float(body.get("temperature", 0.0)),
             adapter=body.get("adapter"),
-            timeout=body.get("_timeout"))
+            timeout=body.get("_timeout"), **sub)
         return self._stream_events(gen, truncate=False)
 
     def _queued(self) -> int:

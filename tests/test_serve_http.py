@@ -463,3 +463,45 @@ def test_http_adapter_management(monkeypatch):
     finally:
         httpd.shutdown()
         srv.close()
+
+
+def test_system_prefix_cache_token_identical():
+    """cache_system_prefix pins the professor header's KV once; matching
+    requests admit with only their suffix and generate token-identically
+    to a full-prompt server. Non-matching prompts and adapter requests
+    fall back to full admission."""
+    from opus_pllm_tpu.core.config import OpusConfig
+    from opus_pllm_tpu.models import opus
+    cfg = OpusConfig.tiny("llama")
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    kw = dict(max_slots=2, max_len=512,
+              prefill_buckets=(64, 128, 256, 384), default_max_new=8)
+    plain = OpusServer(params, cfg, tok, **kw)
+    cached = OpusServer(params, cfg, tok, cache_system_prefix=True, **kw)
+    try:
+        body = {"instruction": INSTR, "sequence": SEQ,
+                "max_new_tokens": 8, "temperature": 0.0, "_timeout": 300}
+        ref = plain.handle_annotate(dict(body))
+        out = cached.handle_annotate(dict(body))
+        assert out["text"] == ref["text"] and out["tokens"] == ref["tokens"]
+        assert "sys" in cached.engine._prefixes, "prefix must be pinned"
+        # the suffix admission actually engaged: prepare_request routes it
+        sub = cached.prepare_request(
+            cached._prompt_for(INSTR), SEQ)
+        assert sub.get("prefix_id") == "sys"
+        full = plain.prepare_request(plain._prompt_for(INSTR), SEQ)
+        assert "prefix_id" not in full
+        assert sub["embeds"].shape[0] < full["embeds"].shape[0]
+        # full token count reported either way
+        assert sub["_prompt_tokens"] == full["_prompt_tokens"]
+        # arbitrary prompts fall back to full admission and still work
+        g = cached.handle_generate({"prompt": "Hello", "max_new_tokens": 4,
+                                    "_timeout": 300})
+        assert g["tokens"] == 4
+        # streaming matches too
+        evs = list(cached.stream_annotate(dict(body)))
+        assert evs[-1]["text"] == ref["text"]
+    finally:
+        plain.close()
+        cached.close()
