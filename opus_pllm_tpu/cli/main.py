@@ -598,6 +598,10 @@ def _train_multimodal(args, *, lora: bool) -> None:
         raise SystemExit("--seq-shards, --pipe-stages and --mesh are "
                          "mutually exclusive (sequence vs pipeline vs "
                          "data/model parallelism)")
+    if getattr(args, "val_json", None) and (seq_shards or pipe_stages):
+        raise SystemExit("--val-json runs on the standard (mesh/single-"
+                         "device) path only; drop --seq-shards/"
+                         "--pipe-stages")
     cfg, params, tok, mesh = _build(args)
     tcfg = TrainConfig(learning_rate=args.lr, weight_decay=args.wd,
                        batch_size=args.batch_size, num_epochs=args.epochs,
@@ -633,9 +637,17 @@ def _train_multimodal(args, *, lora: bool) -> None:
                            n_micro=getattr(args, "micro_batches", 0) or None,
                            ckpt=rs_mgr, save_every=save_every)
     else:
+        val_fn = None
+        if getattr(args, "val_json", None):
+            vds = InstructionDataset(args.val_json)
+            val_fn = lambda: instruction_batches(  # noqa: E731
+                vds, tok, tcfg.batch_size, seed=0, epochs=1,
+                max_len=args.max_len)
         state = mmt.fit(state, tx, cfg, tcfg, params, batches,
                         lora_cfg=lcfg, mesh=mesh,
-                        ckpt=rs_mgr, save_every=save_every)
+                        ckpt=rs_mgr, save_every=save_every,
+                        val_batches_fn=val_fn,
+                        val_every=getattr(args, "val_every", 0))
     mgr.save(int(state.step), state.trainable)
     print(f"saved trainable tree at step {int(state.step)} -> {args.out}")
     if args.export_reference_format:
@@ -951,6 +963,13 @@ def build_parser() -> argparse.ArgumentParser:
         t = sub.add_parser(name)
         _model_args(t)
         t.add_argument("--train-json", required=True)
+        t.add_argument("--val-json", default=None,
+                       help="held-out instruction JSON: token-weighted "
+                            "val loss every --val-every steps + at the "
+                            "end (standard path only)")
+        t.add_argument("--val-every", type=int, default=0,
+                       help="validation interval in steps (0: only at "
+                            "the end, when --val-json is set)")
         t.add_argument("--out", required=True)
         t.add_argument("--lr", type=float, default=2e-5 if is_lora else 1e-3)
         t.add_argument("--wd", type=float, default=0.0)

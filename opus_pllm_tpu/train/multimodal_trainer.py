@@ -210,7 +210,8 @@ def shard_state(mesh, state: MMTrainState) -> MMTrainState:
 
 def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
         batches, *, lora_cfg: Optional[LoRAConfig] = None, mesh=None,
-        log_fn=print, prefetch: int = 2, ckpt=None, save_every: int = 0):
+        log_fn=print, prefetch: int = 2, ckpt=None, save_every: int = 0,
+        val_batches_fn=None, val_every: int = 0):
     """Train loop. With `mesh`, `frozen`/`state` must already be
     mesh-sharded (parallel/partition + shard_state); each batch shards over
     the "data" axis and XLA inserts the gradient all-reduce. `prefetch`
@@ -221,7 +222,13 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
     (trainable + optimizer moments + step) saves to the
     core.checkpoint.CheckpointManager `ckpt` — restore with
     restore_state(ckpt, state) and skip int(state.step) batches to resume
-    a killed run exactly (tests/test_train.py)."""
+    a killed run exactly (tests/test_train.py).
+
+    val_batches_fn (callable -> fresh batch iterable): every `val_every`
+    steps AND once after the last step, held-out loss computes with
+    make_eval_step and logs as the token-weighted mean over the val set
+    (the Lightning validation_step role, cstp_v3/modelling.py:510-537 —
+    the reference's multimodal stages never shipped one)."""
     import contextlib
 
     step_fn = make_train_step(cfg, tx, lora_cfg=lora_cfg,
@@ -237,6 +244,25 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
             batch = shard_batch(mesh, batch)
         return batch
 
+    eval_fn = None
+    if val_batches_fn is not None:
+        eval_fn = make_eval_step(cfg, lora_cfg=lora_cfg,
+                                 ce_chunk=getattr(tcfg, "ce_chunk", 0),
+                                 scan_mode=getattr(tcfg, "scan_mode", "xs"))
+    place_val = place   # prefetch rebinding below must not affect val
+
+    def run_val(step_no: int) -> float:
+        tot = n = 0.0
+        for vb in val_batches_fn():
+            m = eval_fn(state.trainable, frozen, place_val(vb))
+            w = float(m["valid"])
+            tot += float(m["loss"]) * w
+            n += w
+        vl = tot / max(n, 1.0)
+        log_fn(f"step {step_no}: val_loss={vl:.4f} "
+               f"({int(n)} held-out tokens)")
+        return vl
+
     if prefetch:
         from ..utils.prefetch import prefetch_to_device
         batches = prefetch_to_device(batches, size=prefetch, place=place)
@@ -244,6 +270,7 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
     # host-side step mirror: int(state.step) each iteration would force a
     # device sync per step and defeat async-dispatch runahead
     start = int(state.step)
+    step_no = start
     with ctx:
         for i, batch in enumerate(batches):
             state, metrics = step_fn(state, frozen, place(batch))
@@ -251,7 +278,13 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
             if tcfg.log_every and i % tcfg.log_every == 0:
                 log_fn(f"step {step_no}: "
                        f"loss={float(metrics['loss']):.4f}")
+            if (eval_fn is not None and val_every
+                    and step_no % val_every == 0):
+                run_val(step_no)
             maybe_save(ckpt, save_every, step_no, state)
+        if eval_fn is not None and not (val_every
+                                        and step_no % val_every == 0):
+            run_val(step_no)   # final held-out loss (unless just ran)
     finish_saves(ckpt, save_every)
     return state
 

@@ -294,3 +294,55 @@ def test_fit_periodic_save_and_exact_resume(tmp_path):
     for a, b in zip(jax.tree.leaves(ref.opt_state),
                     jax.tree.leaves(out.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_periodic_validation():
+    """fit(val_batches_fn=..., val_every=...) logs a token-weighted
+    held-out loss at the interval and once at the end, equal to a manual
+    make_eval_step pass over the val set."""
+    from opus_pllm_tpu.core.config import (IGNORE_INDEX, LoRAConfig,
+                                           OpusConfig, SEQ_TOKEN_INDEX,
+                                           TrainConfig)
+    from opus_pllm_tpu.models import opus as opus_mod
+    from opus_pllm_tpu.train import multimodal_trainer as mmt
+
+    cfg = OpusConfig.tiny("llama")
+    tcfg = TrainConfig(learning_rate=1e-3, batch_size=2, log_every=0)
+    lcfg = LoRAConfig(rank=2)
+    params = opus_mod.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+
+    def batch():
+        ids = rng.integers(4, cfg.llm.vocab_size, (2, 16)).astype(np.int32)
+        ids[:, 1] = SEQ_TOKEN_INDEX
+        labels = ids.copy()
+        labels[:, :4] = IGNORE_INDEX
+        esm = np.full((2, 1, 8), 5, np.int32)
+        esm[:, :, 0], esm[:, :, -1] = 0, 2
+        return {"input_ids": ids, "attn_mask": np.ones((2, 16), bool),
+                "labels": labels, "esm_tokens": esm}
+
+    data = [batch() for _ in range(4)]
+    val = [batch() for _ in range(2)]
+    logs: list = []
+    st, tx = mmt.create_state(jax.random.PRNGKey(1), cfg, tcfg, params,
+                              train_switch=True, lora_cfg=lcfg)
+    out = mmt.fit(st, tx, cfg, tcfg, params, iter(data), lora_cfg=lcfg,
+                  log_fn=logs.append, prefetch=0,
+                  val_batches_fn=lambda: iter(val), val_every=2)
+    vals = [ln for ln in logs if "val_loss" in ln]
+    # steps 2 and 4 (the final step coincides with the interval: no dup)
+    assert len(vals) == 2 and vals[0].startswith("step 2") \
+        and vals[1].startswith("step 4")
+
+    # the logged value equals a manual token-weighted eval pass
+    ev = mmt.make_eval_step(cfg, lora_cfg=lcfg)
+    tot = n = 0.0
+    for vb in val:
+        m = ev(out.trainable, params, {k: jnp.asarray(v)
+                                       for k, v in vb.items()})
+        tot += float(m["loss"]) * float(m["valid"])
+        n += float(m["valid"])
+    want = tot / n
+    got = float(vals[1].split("val_loss=")[1].split()[0])
+    assert abs(got - want) < 5e-4, (got, want)
