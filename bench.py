@@ -452,6 +452,15 @@ def bench_serve(on_tpu: bool) -> None:
     emit("serving_vs_static_generate", serving_tps / static_tps,
          "ratio (same params/shapes; continuous batching amortizes "
          "admissions)", False)   # ratio: informational, outside geomean
+    # engine-side latency (the /metrics histograms): informational —
+    # through a remote tunnel these carry the dispatch R/T, colocated
+    # they are the real serving numbers
+    lat = eng.latency
+    if lat["ttft"].count:
+        emit("serving_ttft_mean_ms", lat["ttft"].mean * 1e3,
+             "ms (engine-side submit->first token)", False)
+        emit("serving_duration_mean_ms", lat["duration"].mean * 1e3,
+             "ms (engine-side submit->completion)", False)
 
 
 def _backend_responsive(timeout_s: int = 420) -> bool:
