@@ -367,6 +367,7 @@ def cmd_annotate(args) -> None:
             splice_batch=args.batch_size, save_path=args.save_path,
             lora_bank=bank or None, adapter_id=aid,
             mesh=_engine_mesh(mesh, seq_mesh),
+            cache_prefix=getattr(args, "cache_prefix", False),
             bert_embed_fn=_bert_embed_fn(getattr(args, "biobert", None)))
     else:
         rep = runner.run_annotation_eval(
@@ -432,7 +433,8 @@ def cmd_annotate_all(args) -> None:
                     steps_per_tick=args.steps_per_tick,
                     splice_batch=args.batch_size, save_path=save,
                     lora_bank=bank or None, adapter_id=aid,
-                    mesh=e_mesh, engine_cache=engine_cache)
+                    mesh=e_mesh, engine_cache=engine_cache,
+                    cache_prefix=getattr(args, "cache_prefix", False))
             else:
                 rep_out = runner.run_annotation_eval(
                     params, cfg, tok, test_json, gen=gen,
@@ -485,7 +487,8 @@ def cmd_mcq(args) -> None:
             max_slots=args.max_slots, steps_per_tick=args.steps_per_tick,
             splice_batch=args.batch_size, save_path=args.save_path,
             lora_bank=bank or None, adapter_id=aid,
-            mesh=_engine_mesh(mesh, seq_mesh))
+            mesh=_engine_mesh(mesh, seq_mesh),
+            cache_prefix=getattr(args, "cache_prefix", False))
     else:
         rep = runner.run_mcq_eval(params, cfg, tok, args.test_json, gen=gen,
                                   batch_size=args.batch_size,
@@ -820,6 +823,11 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--steps-per-tick", type=int, default=4,
                    help="decode steps per compiled engine call "
                         "(--engine only)")
+    a.add_argument("--cache-prefix", action="store_true",
+                   help="prefill the eval run's common prompt header "
+                        "(the professor/system preamble) ONCE and admit "
+                        "each request with only its suffix (--engine, "
+                        "base weights only)")
     a.add_argument("--adapter", action="append", metavar="NAME=PATH",
                    help="named UNMERGED LoRA adapter for the engine bank "
                         "(repeatable, --engine only); auto-matched to the "
@@ -842,6 +850,8 @@ def build_parser() -> argparse.ArgumentParser:
     aa.add_argument("--steps-per-tick", type=int, default=4,
                     help="decode steps per compiled engine call "
                          "(--engine only)")
+    aa.add_argument("--cache-prefix", action="store_true",
+                    help="see annotate --cache-prefix")
     aa.add_argument("--adapter", action="append", metavar="NAME=PATH",
                     help="named UNMERGED LoRA adapter (repeatable, --engine "
                          "only): each test set runs under the adapter whose "
@@ -868,6 +878,8 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--steps-per-tick", type=int, default=4,
                    help="decode steps per compiled engine call "
                         "(--engine only)")
+    m.add_argument("--cache-prefix", action="store_true",
+                   help="see annotate --cache-prefix")
     m.add_argument("--adapter", action="append", metavar="NAME=PATH",
                    help="named UNMERGED LoRA adapter for the engine bank "
                         "(repeatable, --engine only)")

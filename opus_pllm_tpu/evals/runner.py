@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.config import GenerationConfig, OpusConfig
+from ..core.config import (GenerationConfig, OpusConfig,
+                           SEQ_TOKEN_INDEX)
 from ..core.mesh import local_slice
 from ..infer import engine
 from ..infer.conversation import VICUNA_V0, annotation_prompt, truncate_at_sep
@@ -47,6 +48,20 @@ class EvalReport:
     seconds: float
 
 
+def _prepare_from_ids(tokenizer, tok_ids, sequences, *, prompt_bucket: int,
+                      esm_bucket: int):
+    """Pre-tokenized prompts (id lists, possibly header-stripped by the
+    prefix cache) + proteins -> bucket-padded device inputs."""
+    longest = max(len(t) for t in tok_ids)
+    ids, mask = pad_batch(tok_ids, tokenizer.pad_token_id, left=True,
+                          max_len=round_up(longest, prompt_bucket))
+    # ESM tokens, one protein per prompt
+    aa_len = max(len(s) for s in sequences) + 2
+    esm_toks, _ = esm2.tokenize(list(sequences),
+                                max_len=round_up(aa_len, esm_bucket))
+    return jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(esm_toks)[:, None]
+
+
 def _prepare_inputs(tokenizer, prompts, sequences, *, prompt_bucket: int,
                     esm_bucket: int, mesh=None):
     """Host-side batch prep: tokenize + bucket-pad + transfer (and mesh
@@ -55,15 +70,9 @@ def _prepare_inputs(tokenizer, prompts, sequences, *, prompt_bucket: int,
     tok_ids = [tokenize_with_seq(p, tokenizer.encode,
                                  getattr(tokenizer, "bos_token_id", None))
                for p in prompts]
-    longest = max(len(t) for t in tok_ids)
-    ids, mask = pad_batch(tok_ids, tokenizer.pad_token_id, left=True,
-                          max_len=round_up(longest, prompt_bucket))
-    # ESM tokens, one protein per prompt
-    aa_len = max(len(s) for s in sequences) + 2
-    esm_toks, _ = esm2.tokenize(list(sequences),
-                                max_len=round_up(aa_len, esm_bucket))
-    ids, mask, esm_toks = (jnp.asarray(ids), jnp.asarray(mask),
-                           jnp.asarray(esm_toks)[:, None])
+    ids, mask, esm_toks = _prepare_from_ids(
+        tokenizer, tok_ids, sequences, prompt_bucket=prompt_bucket,
+        esm_bucket=esm_bucket)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -242,16 +251,45 @@ def _check_engine_gen(gen: GenerationConfig) -> None:
         raise ValueError("beam search needs the static path (drop --engine)")
 
 
+def _common_token_prefix(tok_ids: List[list]) -> int:
+    """Longest common leading id run across all prompts, trimmed to be
+    text-only (stops before a splice sentinel — the pinned prefix KV is
+    computed with plain token embeddings) and to leave every prompt at
+    least one suffix token."""
+    first = tok_ids[0]
+    common = len(first)
+    for ids_l in tok_ids[1:]:
+        m = min(common, len(ids_l))
+        i = 0
+        while i < m and ids_l[i] == first[i]:
+            i += 1
+        common = i
+        if common == 0:
+            return 0
+    head = first[:common]
+    if SEQ_TOKEN_INDEX in head:
+        common = head.index(SEQ_TOKEN_INDEX)
+    return min(common, min(len(t) for t in tok_ids) - 1)
+
+
 def _engine_generate(params, cfg: OpusConfig, tokenizer, prompts, sequences,
                      gen: GenerationConfig, *, max_slots: int,
                      steps_per_tick: int, splice_batch: int,
                      prompt_bucket: int, esm_bucket: int,
                      lora_bank=None, adapter_id=None,
-                     engine_cache=None, mesh=None) -> List[List[int]]:
+                     engine_cache=None, mesh=None,
+                     cache_prefix: bool = False) -> List[List[int]]:
     """Shared engine-eval core: splice every (prompt, protein) pair,
     drive the continuous-batching engine to completion, return per-example
     token lists in input order. Used by the annotation and MCQ engine
-    runners."""
+    runners.
+
+    cache_prefix: detect the prompts' common token prefix (the constant
+    professor/chat-template header of an eval run), prefill its KV ONCE
+    (engine.register_prefix), and admit every request with only its
+    suffix — per-request prefill drops by the header length. Skipped
+    under a bank adapter (the pinned KV holds base-weight state) and for
+    headers under 16 tokens (overhead beats the gain)."""
     from ..serve.engine import ServeRequest, ServingEngine
 
     if not prompts:
@@ -260,14 +298,26 @@ def _engine_generate(params, cfg: OpusConfig, tokenizer, prompts, sequences,
         # caller still joins the cross-host gather
         return []
 
+    bos = getattr(tokenizer, "bos_token_id", None)
+    tok_ids = [tokenize_with_seq(p, tokenizer.encode, bos) for p in prompts]
+    prefix_id, plen, header = None, 0, None
+    if cache_prefix and adapter_id is None:
+        common = _common_token_prefix(tok_ids)
+        if common >= 16:
+            plen = common
+            header = tuple(tok_ids[0][:plen])
+            prefix_id = ("evalpfx",) + header    # content-keyed: engine
+            tok_ids = [t[plen:] for t in tok_ids]  # reuse re-registers
+            # only on a different header
+
     # 1) splice every prompt in static-shape batches (compiles once per
     #    bucket pair), then slice each row's valid left-padded tail so
     #    slots pack exact prompt lengths
     embeds: List[np.ndarray] = []
-    for s in range(0, len(prompts), splice_batch):
-        pch, n_real = _pad_chunk(prompts[s:s + splice_batch], splice_batch)
+    for s in range(0, len(tok_ids), splice_batch):
+        pch, n_real = _pad_chunk(tok_ids[s:s + splice_batch], splice_batch)
         sch, _ = _pad_chunk(sequences[s:s + splice_batch], splice_batch)
-        ids, mask, esm_toks = _prepare_inputs(
+        ids, mask, esm_toks = _prepare_from_ids(
             tokenizer, pch, sch,
             prompt_bucket=prompt_bucket, esm_bucket=esm_bucket)
         sp = opus.splice_prompt_left(params, cfg, ids, mask, esm_toks)
@@ -276,11 +326,11 @@ def _engine_generate(params, cfg: OpusConfig, tokenizer, prompts, sequences,
         embeds.extend(emb[r][msk[r]] for r in range(n_real))
 
     # 2) size the engine to the workload: buckets up to the longest
-    #    prompt, capacity = largest bucket + the per-task budget
+    #    (suffix) prompt, capacity = prefix + largest bucket + budget
     longest = max(e.shape[0] for e in embeds)
     buckets = tuple(b for b in (64, 128, 256, 512, 1024, 2048)
                     if b < longest) + (round_up(longest, 64),)
-    max_len = buckets[-1] + gen.max_new_tokens
+    max_len = plen + buckets[-1] + gen.max_new_tokens
     # engine_cache (caller-owned dict): annotate-all reuses one engine —
     # and its compiled decode/prefill steps and uploaded adapter bank —
     # across the (set, repeat) loop whenever the workload shape recurs
@@ -300,11 +350,15 @@ def _engine_generate(params, cfg: OpusConfig, tokenizer, prompts, sequences,
             engine_cache[ck] = eng
     else:
         eng.reseed(gen.seed)
+    if prefix_id is not None and prefix_id not in eng._prefixes:
+        eng.register_prefix(prefix_id,
+                            token_ids=np.asarray(header, np.int32))
     done = eng.run([ServeRequest(i, embeds=e,
                                  max_new_tokens=gen.max_new_tokens,
                                  temperature=gen.temperature,
                                  eos_token_id=gen.eos_token_id,
-                                 adapter_id=adapter_id)
+                                 adapter_id=adapter_id,
+                                 prefix_id=prefix_id)
                     for i, e in enumerate(embeds)])
     return [done[i].tokens for i in range(len(embeds))]
 
@@ -319,7 +373,8 @@ def run_annotation_eval_engine(params, cfg: OpusConfig, tokenizer,
                                examples=None, bert_embed_fn=None,
                                lora_bank=None, adapter_id: Optional[str] = None,
                                engine_cache: Optional[dict] = None,
-                               mesh=None, log_fn=print) -> EvalReport:
+                               mesh=None, cache_prefix: bool = False,
+                               log_fn=print) -> EvalReport:
     """Annotation eval driven through the continuous-batching serving
     engine (CLI `annotate --engine`) instead of static batches.
 
@@ -357,7 +412,7 @@ def run_annotation_eval_engine(params, cfg: OpusConfig, tokenizer,
         steps_per_tick=steps_per_tick, splice_batch=splice_batch,
         prompt_bucket=prompt_bucket, esm_bucket=esm_bucket,
         lora_bank=lora_bank, adapter_id=adapter_id,
-        engine_cache=engine_cache, mesh=mesh)
+        engine_cache=engine_cache, mesh=mesh, cache_prefix=cache_prefix)
 
     results = [{"ground_truth": e.output,
                 "generated": truncate_at_sep(tokenizer.decode(toks))}
@@ -489,7 +544,8 @@ def run_mcq_eval_engine(params, cfg: OpusConfig, tokenizer, file_path: str,
                         examples=None, save_path: Optional[str] = None,
                         lora_bank=None, adapter_id: Optional[str] = None,
                         engine_cache: Optional[dict] = None,
-                        mesh=None, log_fn=print) -> EvalReport:
+                        mesh=None, cache_prefix: bool = False,
+                        log_fn=print) -> EvalReport:
     """MCQ eval through the continuous-batching engine (CLI `mcq
     --engine`): same chat-template prompt rendering and scoring as
     run_mcq_eval, but each question finishes individually and the freed
@@ -527,7 +583,7 @@ def run_mcq_eval_engine(params, cfg: OpusConfig, tokenizer, file_path: str,
         steps_per_tick=steps_per_tick, splice_batch=splice_batch,
         prompt_bucket=prompt_bucket, esm_bucket=esm_bucket,
         lora_bank=lora_bank, adapter_id=adapter_id,
-        engine_cache=engine_cache, mesh=mesh)
+        engine_cache=engine_cache, mesh=mesh, cache_prefix=cache_prefix)
     results = [{"ground_truth": e.answer,
                 "generated": tokenizer.decode(toks)}
                for e, toks in zip(examples, done)]

@@ -219,3 +219,39 @@ def test_annotate_parser_adapter_flags():
                          "--engine", "--adapter", "loc=/a",
                          "--adapter", "go=/b"])
     assert args.adapter == ["loc=/a", "go=/b"] and args.engine
+
+
+def test_engine_eval_cache_prefix_token_identical(setup):
+    """--cache-prefix: the run's common prompt header (the professor
+    preamble) prefills once and every request admits suffix-only —
+    results identical to the full-admission engine eval."""
+    cfg, params, tok, examples = setup
+    full = runner.run_annotation_eval_engine(
+        params, cfg, tok, "test_localization.json", gen=_gen(tok),
+        max_slots=4, splice_batch=2, examples=examples,
+        log_fn=lambda *a: None)
+    cache: dict = {}
+    pfx = runner.run_annotation_eval_engine(
+        params, cfg, tok, "test_localization.json", gen=_gen(tok),
+        max_slots=4, splice_batch=2, examples=examples,
+        engine_cache=cache, cache_prefix=True, log_fn=lambda *a: None)
+    assert pfx.results == full.results
+    assert pfx.metrics == full.metrics
+    # the prefix actually engaged (shared header >= 16 tokens with the
+    # byte tokenizer), content-keyed in the engine
+    eng = next(iter(cache.values()))
+    assert any(k[0] == "evalpfx" for k in eng._prefixes), \
+        "prefix cache never engaged"
+
+
+def test_common_token_prefix_guards():
+    """Sentinel and min-suffix trims of the common-prefix detector."""
+    from opus_pllm_tpu.core.config import SEQ_TOKEN_INDEX
+    f = runner._common_token_prefix
+    assert f([[1, 2, 3, 4], [1, 2, 3, 5]]) == 3
+    assert f([[1, 2], [9, 2]]) == 0
+    # the splice sentinel never lands inside the text-only prefix
+    assert f([[1, 2, SEQ_TOKEN_INDEX, 4, 5],
+              [1, 2, SEQ_TOKEN_INDEX, 4, 6]]) == 2
+    # every prompt keeps >= 1 suffix token (identical prompts included)
+    assert f([[1, 2, 3], [1, 2, 3]]) == 2
