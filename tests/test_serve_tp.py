@@ -121,3 +121,25 @@ def test_engine_eval_runner_with_mesh(setup):
     assert [r["generated"] for r in tp.results] == \
         [r["generated"] for r in ref.results]
     assert tp.metrics == ref.metrics
+
+
+def test_tp_prefix_cache_matches_full_admission(setup):
+    """register_prefix composes with a TP mesh: the pinned prefix KV
+    shards with the main cache via propagation, and suffix-only admission
+    is token-identical to full admission on the same mesh."""
+    cfg, params, mesh = setup
+    pfx = _emb(cfg, 100, 12)
+    sfx = _emb(cfg, 101, 5)
+    full = np.concatenate([pfx, sfx])
+
+    ref, _ = _run(params, cfg,
+                  [ServeRequest(0, embeds=full, max_new_tokens=6,
+                                temperature=0.0)], mesh=mesh)
+    eng = ServingEngine(params, cfg, max_slots=3, max_len=64,
+                        prefill_buckets=(16, 32), steps_per_tick=2,
+                        mesh=mesh)
+    eng.register_prefix("p", embeds=pfx)
+    done = eng.run([ServeRequest(0, embeds=sfx, max_new_tokens=6,
+                                 temperature=0.0, prefix_id="p")],
+                   max_ticks=200)
+    assert done[0].tokens == ref[0]
