@@ -480,7 +480,14 @@ def cmd_mcq(args) -> None:
         length_penalty=getattr(args, "length_penalty", 1.0),
         draft_layers=getattr(args, "draft_layers", 0),
         n_draft=getattr(args, "n_draft", 4))
-    if use_engine:
+    if getattr(args, "scored", False):
+        if use_engine:
+            raise SystemExit("--scored is a single-forward evaluator; "
+                             "drop --engine")
+        rep = runner.run_mcq_eval_scored(
+            params, cfg, tok, args.test_json,
+            batch_size=args.batch_size, save_path=args.save_path)
+    elif use_engine:
         bank = _adapter_bank(specs, cfg)
         rep = runner.run_mcq_eval_engine(
             params, cfg, tok, args.test_json, gen=gen,
@@ -880,6 +887,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(--engine only)")
     m.add_argument("--cache-prefix", action="store_true",
                    help="see annotate --cache-prefix")
+    m.add_argument("--scored", action="store_true",
+                   help="score option letters with ONE prefill forward "
+                        "(argmax of P(first token = letter)) instead of "
+                        "free-text decode + regex extraction — "
+                        "deterministic, ~max-new-tokens x faster")
     m.add_argument("--adapter", action="append", metavar="NAME=PATH",
                    help="named UNMERGED LoRA adapter for the engine bank "
                         "(repeatable, --engine only)")

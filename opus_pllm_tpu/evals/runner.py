@@ -535,6 +535,106 @@ def run_mcq_eval(params, cfg: OpusConfig, tokenizer, file_path: str, *,
                                 "OptionCounts": counts}, eps, dt)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _mcq_next_logits(params, cfg: OpusConfig, ids, mask, esm_toks):
+    """Left-padded spliced forward -> fp32 next-token logits at the final
+    (rightmost valid) position."""
+    logits, _ = opus.forward(params, cfg, ids, mask, esm_toks,
+                             left_pad=True)
+    return logits[:, -1].astype(jnp.float32)
+
+
+def _letter_token_candidates(tokenizer, letter: str) -> List[int]:
+    """First-token ids that start an answer of this option letter: the
+    bare letter and the space-prefixed variant (BPE commonly merges the
+    leading space into the letter token)."""
+    bos = getattr(tokenizer, "bos_token_id", None)
+    cands = []
+    for text in (letter, " " + letter):
+        ids = [i for i in tokenizer.encode(text) if i != bos]
+        if ids and ids[0] not in cands:
+            cands.append(ids[0])
+    return cands
+
+
+def run_mcq_eval_scored(params, cfg: OpusConfig, tokenizer, file_path: str,
+                        *, batch_size: int = 8, prompt_bucket: int = 64,
+                        esm_bucket: int = 128, impl: str = "auto",
+                        render_prompt: Optional[Callable] = None,
+                        examples=None, save_path: Optional[str] = None,
+                        log_fn=print) -> EvalReport:
+    """Scored MCQ eval (beyond parity; CLI `mcq --scored`): instead of
+    decoding up to 50 free-text tokens and regex-extracting a letter
+    (eval_run_multichoice.py:175-186 — which counts unparseable output
+    as wrong), ONE prefill forward scores the option letters directly:
+    answer = argmax over the options of P(first generated token is that
+    letter). The lm-eval-harness-style evaluator: deterministic,
+    regex-free, and ~max_new_tokens times less decode work. Results
+    carry the chosen letter, so the standard scorer/histogram applies."""
+    from ..infer.conversation import VICUNA_V3
+
+    if examples is None:
+        examples = ds.load_mcq_json(file_path)
+    examples = examples[local_slice(len(examples))]
+
+    def default_render(instr: str) -> str:
+        messages = [{"role": "system", "content": VICUNA_V3.system},
+                    {"role": "user", "content": "<seq>\n" + instr}]
+        if hasattr(tokenizer, "apply_chat_template"):
+            return tokenizer.apply_chat_template(
+                messages, add_generation_prompt=True)
+        conv = VICUNA_V3.copy()
+        conv.append("user", "<seq>\n" + instr)
+        return conv.get_prompt_chatml(add_generation_prompt=True)
+
+    render = render_prompt or default_render
+    letters = "ABCD"
+    cand_ids = {c: _letter_token_candidates(tokenizer, c) for c in letters}
+    results = []
+    t0 = time.perf_counter()
+    for s in range(0, len(examples), batch_size):
+        chunk, n_real = _pad_chunk(examples[s:s + batch_size], batch_size)
+        prompts = [render(ds.mcq_prompt(e.question, e.options))
+                   for e in chunk]
+        ids, mask, esm_toks = _prepare_inputs(
+            tokenizer, prompts, [e.sequence for e in chunk],
+            prompt_bucket=prompt_bucket, esm_bucket=esm_bucket)
+        lg = np.asarray(_mcq_next_logits(params, cfg, ids, mask, esm_toks))
+        logp = lg - _logsumexp(lg)
+        for r, e in enumerate(chunk[:n_real]):
+            opts = letters[:len(e.options)] or "ABCD"
+            best = max(opts, key=lambda c: _logsumexp_ids(
+                logp[r], cand_ids[c]))
+            results.append({"ground_truth": e.answer, "generated": best})
+    dt = time.perf_counter() - t0
+
+    results = _allgather_results(results)
+    acc, counts = mcq_mod.score(results)
+    eps = len(results) / dt if dt > 0 else 0.0
+    if jax.process_index() == 0:
+        log_fn(f"{counts}")
+        log_fn(f"Accuracy: {acc * 100:.2f}%  entries/sec: {eps:.3f}")
+        if save_path:
+            with open(save_path, "w") as f:
+                json.dump(results, f, indent=1)
+    return EvalReport(results, {"Accuracy": round(acc, 4),
+                                "OptionCounts": counts}, eps, dt)
+
+
+def _logsumexp(lg: np.ndarray) -> np.ndarray:
+    m = lg.max(axis=-1, keepdims=True)
+    return m + np.log(np.sum(np.exp(lg - m), axis=-1, keepdims=True))
+
+
+def _logsumexp_ids(logp_row: np.ndarray, ids: List[int]) -> float:
+    """log P(any of these first tokens) from a log-softmax row."""
+    if not ids:
+        return -np.inf
+    xs = logp_row[np.asarray(ids)]
+    m = float(xs.max())
+    return m + float(np.log(np.sum(np.exp(xs - m))))
+
+
 def run_mcq_eval_engine(params, cfg: OpusConfig, tokenizer, file_path: str,
                         *, gen: Optional[GenerationConfig] = None,
                         max_slots: int = 16, steps_per_tick: int = 4,

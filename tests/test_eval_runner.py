@@ -231,3 +231,52 @@ def test_gather_json_blobs_unequal_shards():
     expected = [r for s in shards for r in s]
     for merged in run_all():
         assert merged == expected
+
+
+def test_mcq_scored_eval(tiny_model, tmp_path):
+    """Scored MCQ: one prefill forward, answer = argmax over option
+    letters of P(first token = letter); deterministic, matches a manual
+    logit computation, and the standard scorer/histogram applies."""
+    import jax.numpy as jnp
+
+    from opus_pllm_tpu.evals.runner import (_letter_token_candidates,
+                                            _logsumexp, _logsumexp_ids,
+                                            _mcq_next_logits,
+                                            _prepare_inputs)
+    cfg, params = tiny_model
+    tok = ByteTokenizer()
+    data = [{"question": "Which compartment?",
+             "options": ["A) Nucleus", "B) Cytoplasm", "C) Membrane",
+                         "D) ER"],
+             "input": "MKTAYIAKQR" * (1 + i), "answer": "A) Nucleus"}
+            for i in range(3)]
+    p = tmp_path / "protein_mcq_choice.json"
+    p.write_text(json.dumps(data))
+    rep = runner.run_mcq_eval_scored(params, cfg, tok, str(p),
+                                     batch_size=2, prompt_bucket=32,
+                                     esm_bucket=32, log_fn=lambda *_: None)
+    assert len(rep.results) == 3
+    assert all(r["generated"] in "ABCD" for r in rep.results)
+    assert sum(rep.metrics["OptionCounts"].values()) == 3
+    # deterministic
+    rep2 = runner.run_mcq_eval_scored(params, cfg, tok, str(p),
+                                      batch_size=2, prompt_bucket=32,
+                                      esm_bucket=32, log_fn=lambda *_: None)
+    assert rep2.results == rep.results
+
+    # manual check of example 0: the chosen letter maximizes the
+    # logsumexp of its candidate first-token log-probs
+    from opus_pllm_tpu.evals import datasets as ds
+    from opus_pllm_tpu.infer.conversation import VICUNA_V3
+    conv = VICUNA_V3.copy()
+    conv.append("user", "<seq>\n" + ds.mcq_prompt(data[0]["question"],
+                                                  data[0]["options"]))
+    prompt = conv.get_prompt_chatml(add_generation_prompt=True)
+    ids, mask, esm = _prepare_inputs(tok, [prompt],
+                                     [data[0]["input"]],
+                                     prompt_bucket=32, esm_bucket=32)
+    lg = np.asarray(_mcq_next_logits(params, cfg, ids, mask, esm))
+    logp = (lg - _logsumexp(lg))[0]
+    want = max("ABCD", key=lambda c: _logsumexp_ids(
+        logp, _letter_token_candidates(tok, c)))
+    assert rep.results[0]["generated"] == want
