@@ -798,7 +798,8 @@ def cmd_serve(args) -> None:
         lora_bank=bank or None, mesh=mesh,
         chunk_prefill=getattr(args, "chunk_prefill", None),
         adapter_capacity=slots,
-        cache_system_prefix=getattr(args, "cache_system_prefix", False))
+        cache_system_prefix=getattr(args, "cache_system_prefix", False),
+        max_queue=getattr(args, "max_queue", None))
     # pre-compile every admission shape + the decode step BEFORE accepting
     # traffic; otherwise first requests hit minutes-long jit compiles that
     # stall the queue and trip client timeouts
@@ -918,6 +919,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="decode steps per compiled call (dispatch "
                          "amortization; raise when the host is remote "
                          "from the chip)")
+    sv.add_argument("--max-queue", type=int, default=None,
+                    help="admission backpressure: reject new requests "
+                         "with 429 once this many wait for slots "
+                         "(default: unbounded)")
     sv.add_argument("--cache-system-prefix", action="store_true",
                     help="pin the constant professor-header KV once "
                          "(engine prefix cache); matching requests admit "

@@ -55,6 +55,12 @@ class ServerDraining(Exception):
     (maps to HTTP 503 so load balancers retry elsewhere)."""
 
 
+class ServerOverloaded(Exception):
+    """New work rejected because the backlog hit --max-queue (maps to
+    HTTP 429: shed load at admission instead of queuing unboundedly and
+    timing every client out)."""
+
+
 class OpusServer:
     """Multimodal request front + engine thread + HTTP plumbing.
 
@@ -69,6 +75,7 @@ class OpusServer:
                  esm_bucket: int = 128, default_max_new: int = 256,
                  model_id: str = "opus-pllm-tpu",
                  cache_system_prefix: bool = False,
+                 max_queue: Optional[int] = None,
                  **engine_kwargs):
         self.params = params
         self.cfg = cfg
@@ -85,6 +92,7 @@ class OpusServer:
         # fall back (the pinned KV holds base-weight state)
         self.cache_system_prefix = bool(cache_system_prefix)
         self._sys_ids: Optional[list] = None
+        self.max_queue = max_queue   # admission backpressure (None: off)
         self.engine = ServingEngine(params["llm"], cfg.llm, **engine_kwargs)
 
         self._pending: "queue.Queue[ServeRequest]" = queue.Queue()
@@ -344,14 +352,21 @@ class OpusServer:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
 
+    def _check_admission(self) -> None:
+        if self._draining:
+            raise ServerDraining("server is draining; not accepting new "
+                                 "requests")
+        if self.max_queue is not None and self._queued() >= self.max_queue:
+            raise ServerOverloaded(
+                f"backlog at --max-queue ({self.max_queue}); retry with "
+                "backoff")
+
     def submit_and_wait(self, *, embeds=None, token_ids=None,
                         max_new_tokens: int, temperature: float,
                         adapter: Optional[str] = None,
                         prefix_id=None,
                         timeout: Optional[float] = None) -> Completion:
-        if self._draining:
-            raise ServerDraining("server is draining; not accepting new "
-                                 "requests")
+        self._check_admission()
         with self._id_lock:
             rid = self._next_id
             self._next_id += 1
@@ -383,12 +398,10 @@ class OpusServer:
         tokens as they are produced; their concatenation equals
         Completion.tokens exactly (the engine never streams EOS).
 
-        The draining rejection happens EAGERLY at call time; the request
-        itself enqueues lazily on first iteration (a generator that is
-        never started must leave no trace — nothing to cancel)."""
-        if self._draining:
-            raise ServerDraining("server is draining; not accepting new "
-                                 "requests")
+        The draining/overload rejections happen EAGERLY at call time; the
+        request itself enqueues lazily on first iteration (a generator
+        that is never started must leave no trace — nothing to cancel)."""
+        self._check_admission()
         return self._submit_streaming(
             embeds=embeds, token_ids=token_ids,
             max_new_tokens=max_new_tokens, temperature=temperature,
@@ -834,6 +847,8 @@ class OpusServer:
                                             "invalid_request_error"))
                 except ServerDraining as e:
                     self._send(503, err(str(e), "server_draining"))
+                except ServerOverloaded as e:
+                    self._send(429, err(str(e), "server_overloaded"))
                 except (ValueError, KeyError) as e:
                     self._send(400, err(str(e), "invalid_request_error"))
                 except TimeoutError as e:

@@ -505,3 +505,48 @@ def test_system_prefix_cache_token_identical():
     finally:
         plain.close()
         cached.close()
+
+
+def test_max_queue_backpressure():
+    """max_queue sheds load at admission: with the single slot occupied
+    by a long request and one more waiting in the engine queue, the next
+    submit raises ServerOverloaded (429); after the backlog drains, the
+    server accepts again."""
+    from opus_pllm_tpu.core.config import OpusConfig
+    from opus_pllm_tpu.models import opus
+    from opus_pllm_tpu.serve.server import ServerOverloaded
+
+    cfg = OpusConfig.tiny("llama")
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    srv = OpusServer(params, cfg, tok, max_slots=1, max_len=512,
+                     prefill_buckets=(64, 128, 256, 384),
+                     default_max_new=4, max_queue=1)
+    try:
+        results = []
+
+        def worker(budget):
+            results.append(srv.handle_generate(
+                {"prompt": "Hello", "max_new_tokens": budget,
+                 "_timeout": 600}))
+        # A occupies the only slot for a while; B waits in the queue
+        ts = [threading.Thread(target=worker, args=(120,)),
+              threading.Thread(target=worker, args=(4,))]
+        ts[0].start()
+        deadline = time.monotonic() + 120
+        while not srv.engine.busy and time.monotonic() < deadline:
+            time.sleep(0.01)
+        ts[1].start()
+        while srv._queued() < 1 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert srv._queued() >= 1, "B never reached the backlog"
+        with pytest.raises(ServerOverloaded, match="max-queue"):
+            srv.handle_generate({"prompt": "Hi", "max_new_tokens": 2})
+        for t in ts:
+            t.join(timeout=300)
+        assert len(results) == 2      # the admitted requests completed
+        out = srv.handle_generate({"prompt": "Hi", "max_new_tokens": 2,
+                                   "_timeout": 300})
+        assert out["tokens"] == 2     # accepts again once drained
+    finally:
+        srv.close()
