@@ -484,6 +484,11 @@ def cmd_mcq(args) -> None:
         if use_engine:
             raise SystemExit("--scored is a single-forward evaluator; "
                              "drop --engine")
+        if seq_mesh is not None or getattr(args, "mesh", None) \
+                or getattr(args, "draft_layers", 0):
+            raise SystemExit("--scored runs single-device (one prefill "
+                             "forward): drop --mesh/--seq-shards/"
+                             "--draft-layers")
         rep = runner.run_mcq_eval_scored(
             params, cfg, tok, args.test_json,
             batch_size=args.batch_size, save_path=args.save_path)
@@ -650,8 +655,12 @@ def _train_multimodal(args, *, lora: bool) -> None:
         val_fn = None
         if getattr(args, "val_json", None):
             vds = InstructionDataset(args.val_json)
+            # no shuffle/drop: validation must be deterministic and
+            # cover every held-out example (the tail yields a smaller
+            # final batch rather than silently vanishing)
             val_fn = lambda: instruction_batches(  # noqa: E731
-                vds, tok, tcfg.batch_size, seed=0, epochs=1,
+                vds, tok, min(tcfg.batch_size, len(vds)), shuffle=False,
+                seed=0, epochs=1, drop_remainder=False,
                 max_len=args.max_len)
         state = mmt.fit(state, tx, cfg, tcfg, params, batches,
                         lora_cfg=lcfg, mesh=mesh,

@@ -71,11 +71,16 @@ def collate_instruction_batch(examples: Sequence[dict], tokenizer, *,
 
 def instruction_batches(dataset, tokenizer, batch_size: int, *,
                         shuffle: bool = True, seed: int = 0, epochs: int = 1,
-                        **collate_kw):
-    """Generator of collated batches over an InstructionDataset."""
+                        drop_remainder: bool = True, **collate_kw):
+    """Generator of collated batches over an InstructionDataset.
+
+    drop_remainder=False yields the leftover examples as one smaller
+    final batch (one extra compile of that shape) — validation must
+    cover EVERY held-out example, training prefers constant shapes."""
     from .datasets import batch_iterator
 
     for idx in batch_iterator(len(dataset), batch_size, shuffle=shuffle,
-                              seed=seed, epochs=epochs):
+                              seed=seed, epochs=epochs,
+                              drop_remainder=drop_remainder):
         yield collate_instruction_batch([dataset[int(i)] for i in idx],
                                         tokenizer, **collate_kw)

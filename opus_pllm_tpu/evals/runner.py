@@ -535,12 +535,13 @@ def run_mcq_eval(params, cfg: OpusConfig, tokenizer, file_path: str, *,
                                 "OptionCounts": counts}, eps, dt)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _mcq_next_logits(params, cfg: OpusConfig, ids, mask, esm_toks):
+@functools.partial(jax.jit, static_argnames=("cfg", "impl"))
+def _mcq_next_logits(params, cfg: OpusConfig, ids, mask, esm_toks,
+                     impl: str = "auto"):
     """Left-padded spliced forward -> fp32 next-token logits at the final
     (rightmost valid) position."""
     logits, _ = opus.forward(params, cfg, ids, mask, esm_toks,
-                             left_pad=True)
+                             left_pad=True, impl=impl)
     return logits[:, -1].astype(jnp.float32)
 
 
@@ -599,7 +600,8 @@ def run_mcq_eval_scored(params, cfg: OpusConfig, tokenizer, file_path: str,
         ids, mask, esm_toks = _prepare_inputs(
             tokenizer, prompts, [e.sequence for e in chunk],
             prompt_bucket=prompt_bucket, esm_bucket=esm_bucket)
-        lg = np.asarray(_mcq_next_logits(params, cfg, ids, mask, esm_toks))
+        lg = np.asarray(_mcq_next_logits(params, cfg, ids, mask, esm_toks,
+                                         impl=impl))
         logp = lg - _logsumexp(lg)
         for r, e in enumerate(chunk[:n_real]):
             opts = letters[:len(e.options)] or "ABCD"

@@ -50,7 +50,12 @@ def _stops(body: dict) -> List[str]:
     stop = body.get("stop")
     if stop is None:
         return []
-    return [stop] if isinstance(stop, str) else list(stop)
+    stops = [stop] if isinstance(stop, str) else list(stop)
+    if any(not isinstance(s, str) or not s for s in stops):
+        # an empty stop matches at position 0 and would terminate every
+        # completion with zero output; OpenAI 400s it too
+        raise ValueError("stop strings must be non-empty strings")
+    return stops
 
 
 def _truncate_at(text: str, stops: List[str]) -> Tuple[str, bool]:

@@ -113,6 +113,7 @@ class OpusServer:
         self._draining = False
         self._stop = threading.Event()
         self._wake = threading.Event()
+        self._register_sys_prefix()   # before the thread owns the engine
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="opus-serve-engine")
         self._thread.start()
@@ -129,21 +130,11 @@ class OpusServer:
                 add_generation_prompt=True)
         return annotation_prompt("<seq>\n" + instruction, VICUNA_V0)
 
-    def embed_annotate(self, instruction: str, sequence: str) -> np.ndarray:
-        """Instruction + protein -> exact-length (P, H) prompt embeddings
-        under the REPL's professor prompt (or the chat template)."""
-        return self.embed_prompt(self._prompt_for(instruction), sequence)
-
-    def embed_prompt(self, prompt: str, sequence: str) -> np.ndarray:
-        """Any prompt carrying the <seq> marker + protein -> exact-length
-        (P, H) spliced embeddings: bucket-padded splice (one compile per
-        bucket pair), then the valid left-padded tail is sliced out so the
-        engine packs slots tightly."""
-        ids_l = tokenize_with_seq(prompt, self.tok.encode,
-                                  getattr(self.tok, "bos_token_id", None))
-        return self._splice_ids(ids_l, sequence)
-
     def _splice_ids(self, ids_l: list, sequence: str) -> np.ndarray:
+        """<seq>-sentinel token ids + protein -> exact-length (P, H)
+        spliced embeddings: bucket-padded splice (one compile per bucket
+        pair), then the valid left-padded tail is sliced out so the
+        engine packs slots tightly."""
         ids, mask = pad_batch([ids_l], self.tok.pad_token_id, left=True,
                               max_len=round_up(len(ids_l),
                                                self.prompt_bucket))
@@ -156,40 +147,55 @@ class OpusServer:
         valid = np.asarray(sp.mask[0])
         return emb[valid]
 
-    def _ensure_sys_prefix(self) -> Optional[list]:
+    def _register_sys_prefix(self) -> None:
         """Register the constant conversation header ONCE as a pinned KV
-        prefix; returns its token ids (None when disabled). The header
-        runs through the system prompt up to the role tag — everything
-        before the first varying character of an annotation prompt
-        (annotation_prompt: f"{system}\\n\\n### {role}: {instruction}")."""
+        prefix. Called from __init__ BEFORE the engine thread starts (the
+        engine thread owns all engine state afterwards; a lazy handler-
+        thread registration would race it). The header runs through the
+        system prompt up to the role tag — everything before the first
+        varying character of an annotation prompt (annotation_prompt:
+        f"{system}\\n\\n### {role}: {instruction}")."""
         if not self.cache_system_prefix or self.chat_template:
-            return None
-        if self._sys_ids is None:
-            header = f"{VICUNA_V0.system}\n\n### {VICUNA_V0.roles[0]}: "
-            ids = tokenize_with_seq(header, self.tok.encode,
-                                    getattr(self.tok, "bos_token_id", None))
-            self.engine.register_prefix(
-                "sys", token_ids=np.asarray(ids, np.int32))
-            self._sys_ids = ids
-        return self._sys_ids
+            return
+        header = f"{VICUNA_V0.system}\n\n### {VICUNA_V0.roles[0]}: "
+        ids = tokenize_with_seq(header, self.tok.encode,
+                                getattr(self.tok, "bos_token_id", None))
+        self.engine.register_prefix(
+            "sys", token_ids=np.asarray(ids, np.int32))
+        self._sys_ids = ids
 
     def prepare_request(self, prompt: str, sequence: Optional[str], *,
                         adapter: Optional[str] = None) -> dict:
         """prompt (+ optional protein) -> submit kwargs, taking the
         pinned system-prefix path when it applies: the request's first
         tokens must equal the registered header ids exactly (tokenizer
-        merges across the boundary fall back to a full admission), and
+        merges across the boundary fall back to a full admission),
         adapter requests always run full (the pinned KV holds base-weight
-        state; engine.submit rejects the combination). `_prompt_tokens`
-        counts the full prompt either way."""
+        state; engine.submit rejects the combination), and suffixes past
+        the largest prefill bucket fall back too (only FULL long prompts
+        ride chunked prefill). `_prompt_tokens` counts the full prompt
+        either way.
+
+        Text-only prompts (sequence=None) tokenize LITERALLY — a '<seq>'
+        in /v1/generate text is content, not a splice marker (there is no
+        protein to splice; a sentinel would corrupt the embedding)."""
         bos = getattr(self.tok, "bos_token_id", None)
-        ids_l = tokenize_with_seq(prompt, self.tok.encode, bos)
-        sys_ids = self._ensure_sys_prefix() if adapter is None else None
+        if sequence is None:
+            ids_l = list(self.token_ids_generate(prompt))
+        else:
+            ids_l = tokenize_with_seq(prompt, self.tok.encode, bos)
+        sys_ids = self._sys_ids if adapter is None else None
         pfx: dict = {}
         if sys_ids and len(ids_l) > len(sys_ids) \
                 and ids_l[:len(sys_ids)] == sys_ids:
-            ids_l = ids_l[len(sys_ids):]
-            pfx = {"prefix_id": "sys"}
+            # suffix admission length: spliced rows swap the one sentinel
+            # for n_tokens soft tokens
+            n_sfx = len(ids_l) - len(sys_ids)
+            if sequence is not None:
+                n_sfx += self.cfg.switch.n_tokens - 1
+            if n_sfx <= self.engine.buckets[-1]:
+                ids_l = ids_l[len(sys_ids):]
+                pfx = {"prefix_id": "sys"}
         if sequence is not None:
             emb = self._splice_ids(ids_l, sequence)
             n = emb.shape[0] + (len(sys_ids) if pfx else 0)
@@ -199,9 +205,8 @@ class OpusServer:
                 "_prompt_tokens": n, **pfx}
 
     def warmup(self) -> None:
-        """Register the shared prefix (if enabled), then pre-compile every
-        admission shape and the decode step before traffic arrives."""
-        self._ensure_sys_prefix()
+        """Pre-compile every admission shape and the decode step before
+        traffic arrives (the shared prefix registered at construction)."""
         self.engine.warmup()
 
     def embed_items(self, items) -> tuple:
@@ -382,7 +387,11 @@ class OpusServer:
         if not ev.wait(timeout):
             self._cancel(rid)
             raise TimeoutError(f"request {rid} timed out")
-        out = self._results.pop(rid)
+        out = self._results.pop(rid, None)
+        if out is None:
+            # the engine thread's cancel drain raced our wake-up and
+            # popped the result — only the drain-timeout path does this
+            raise ServerDraining("request cancelled by server drain")
         if isinstance(out, Exception):   # engine-side rejection
             raise out
         return out
@@ -448,7 +457,9 @@ class OpusServer:
             # free the slot instead of decoding to budget
             self._cancel(rid)
             raise
-        out = self._results.pop(rid)
+        out = self._results.pop(rid, None)
+        if out is None:   # drain-timeout cancel raced the wake-up
+            raise ServerDraining("request cancelled by server drain")
         if isinstance(out, Exception):
             raise out
         return out

@@ -435,3 +435,15 @@ def test_stream_stop_strings_end_to_end(served):
     streamed = "".join(c["choices"][0]["text"] for c in chunks)
     assert streamed == text[:text.find(stop)]
     assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+
+
+def test_empty_stop_strings_rejected(served):
+    """stop='' would match at position 0 and empty every completion;
+    reject it like OpenAI does (blocking and streaming)."""
+    _, _, _, srv = served
+    with pytest.raises(ValueError, match="non-empty"):
+        openai_api.handle_completion(
+            srv, {"prompt": "Hi", "max_tokens": 4, "stop": ""})
+    with pytest.raises(ValueError, match="non-empty"):
+        openai_api.stream_completion(
+            srv, {"prompt": "Hi", "max_tokens": 4, "stop": ["ok", ""]})

@@ -550,3 +550,45 @@ def test_max_queue_backpressure():
         assert out["tokens"] == 2     # accepts again once drained
     finally:
         srv.close()
+
+
+def test_text_only_seq_marker_is_literal(served):
+    """A literal '<seq>' in a text-only prompt is content, not a splice
+    marker: no sentinel reaches the engine (review finding — the -200 id
+    clamped to token 0 and silently corrupted the output)."""
+    _, _, tok, srv = served
+    sub = srv.prepare_request("explain the <seq> marker", None)
+    ids = sub["token_ids"]
+    assert int(ids.min()) >= 0, "splice sentinel leaked into text path"
+    assert tok.decode([int(t) for t in ids if t != tok.bos_token_id]) \
+        == "explain the <seq> marker"
+    out = srv.handle_generate({"prompt": "explain the <seq> marker",
+                               "max_new_tokens": 2, "_timeout": 300})
+    assert out["tokens"] == 2
+
+
+def test_prefix_falls_back_for_overbucket_suffix():
+    """--cache-system-prefix must not break prompts whose SUFFIX exceeds
+    the largest prefill bucket: they fall back to full admission (which
+    chunked prefill handles) instead of a 400 from engine.submit."""
+    from opus_pllm_tpu.core.config import OpusConfig
+    from opus_pllm_tpu.models import opus
+    cfg = OpusConfig.tiny("llama")
+    params = opus.init(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    srv = OpusServer(params, cfg, tok, max_slots=2, max_len=2048,
+                     prefill_buckets=(64, 128, 256, 384),
+                     chunk_prefill=64, default_max_new=4,
+                     cache_system_prefix=True)
+    try:
+        short = srv.prepare_request(srv._prompt_for("Where?"), SEQ)
+        assert short.get("prefix_id") == "sys"
+        long_instr = "Describe the protein. " * 40   # suffix > 384
+        sub = srv.prepare_request(srv._prompt_for(long_instr), SEQ)
+        assert "prefix_id" not in sub, "over-bucket suffix kept the prefix"
+        out = srv.handle_annotate({"instruction": long_instr,
+                                   "sequence": SEQ, "max_new_tokens": 2,
+                                   "_timeout": 600})
+        assert out["tokens"] == 2   # the chunked path served it
+    finally:
+        srv.close()
