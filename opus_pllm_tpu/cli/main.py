@@ -833,8 +833,8 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--engine", action="store_true",
                    help="continuous-batching engine instead of static "
                         "batches: per-sequence finish + mid-stream "
-                        "admission (T=0 token-identical; T>0 needs "
-                        "--top-p 1)")
+                        "admission (T=0 token-identical; T>0 samples "
+                        "with per-request temperature + top-p)")
     a.add_argument("--max-slots", type=int, default=16,
                    help="engine slots (--engine only)")
     a.add_argument("--steps-per-tick", type=int, default=4,

@@ -244,9 +244,6 @@ def run_annotation_eval(params, cfg: OpusConfig, tokenizer, file_path: str,
 
 
 def _check_engine_gen(gen: GenerationConfig) -> None:
-    if gen.do_sample and gen.top_p < 1.0:
-        raise ValueError("the engine eval path samples with temperature "
-                         "only; pass top_p=1 (or temperature 0)")
     if getattr(gen, "num_beams", 1) > 1:
         raise ValueError("beam search needs the static path (drop --engine)")
 
@@ -356,6 +353,7 @@ def _engine_generate(params, cfg: OpusConfig, tokenizer, prompts, sequences,
     done = eng.run([ServeRequest(i, embeds=e,
                                  max_new_tokens=gen.max_new_tokens,
                                  temperature=gen.temperature,
+                                 top_p=gen.top_p if gen.do_sample else 1.0,
                                  eos_token_id=gen.eos_token_id,
                                  adapter_id=adapter_id,
                                  prefix_id=prefix_id)
@@ -391,8 +389,8 @@ def run_annotation_eval_engine(params, cfg: OpusConfig, tokenizer,
     the next prompt into the freed slot mid-stream, so device utilization
     tracks actual tokens, not per-batch maxima. T=0 output is
     token-identical to run_annotation_eval (tests/test_engine_eval.py);
-    sampling is temperature-only (the slot decode step has no top-p), so
-    T>0 requires top_p=1.
+    T>0 samples with per-request temperature + top_p (the reference's
+    default decode mode T=0.1/top_p=0.7, run_opus_ddp.py:156-158).
     """
     if examples is None:
         examples = ds.load_annotation_json(file_path)

@@ -107,6 +107,33 @@ def sample_token(logits, key, temperature: float, top_p: float):
     return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
 
 
+def sample_token_rows(logits, key, temps, top_ps):
+    """Per-row temperature + nucleus sampling over (B, V) fp32 logits —
+    the vector counterpart of sample_token for the serving engine's
+    mixed-request batches (each slot carries its own T / top_p). Rows
+    with temp <= 0 take the argmax; the nucleus mask matches
+    sample_token's HF semantics exactly (same construction), and the
+    full-vocab sort is gated behind a lax.cond so all-top_p=1 ticks
+    (greedy/temperature traffic) never pay for it.
+    """
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    lg = logits.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None]
+
+    def nucleus(lg):
+        probs = jax.nn.softmax(lg, axis=-1)
+        sp = jnp.sort(probs, axis=-1)[:, ::-1]
+        keep_mass = jnp.cumsum(sp, axis=-1) - sp
+        cutoff = jnp.sum((keep_mass < top_ps[:, None]).astype(jnp.int32),
+                         axis=-1)
+        kth = jnp.take_along_axis(sp, jnp.maximum(cutoff - 1, 0)[:, None],
+                                  axis=-1)
+        return jnp.where(probs >= kth, lg, -jnp.inf)
+
+    masked = jax.lax.cond(jnp.all(top_ps >= 1.0), lambda x: x, nucleus, lg)
+    sampled = jax.random.categorical(key, masked).astype(jnp.int32)
+    return jnp.where(temps > 0, sampled, greedy)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import DecoderConfig
+from ..infer.engine import sample_token_rows
 from ..models import decoder
 
 
@@ -62,6 +63,10 @@ class ServeRequest:
     token_ids: Optional[np.ndarray] = None
     max_new_tokens: int = 128
     temperature: float = 0.0
+    # nucleus sampling (HF semantics, same mask as infer.engine
+    # sample_token); 1.0 = plain temperature sampling. The reference's
+    # default decode mode is T=0.1 / top_p=0.7 (run_opus_ddp.py:156-158)
+    top_p: float = 1.0
     eos_token_id: int = -1
     prefix_id: Optional[Any] = None
     # streaming: called from the engine thread with each batch of newly
@@ -222,6 +227,9 @@ class ServingEngine:
             "remaining": z(np.int32),      # new-token budget left
             "eos": np.full((nrows,), -1, np.int32),
             "temperature": z(np.float32),
+            # 1.0 when unused: jnp.all(top_ps >= 1) lets the compiled
+            # steps skip the nucleus sort entirely on greedy/T-only ticks
+            "top_p": np.full((nrows,), 1.0, np.float32),
             "adapter": np.full((nrows,), self._zero_adapter, np.int32),
         }
         self._key = jax.random.PRNGKey(seed)
@@ -355,29 +363,32 @@ class ServingEngine:
             for n in sizes:
                 if n not in self._chunk_fns:
                     self._chunk_fns[n] = self._chunk_prefill_fn(n)
-                meta = np.zeros((5, n), np.float32)
+                meta = np.zeros((6, n), np.float32)
                 meta[0, :] = 1.0
                 meta[2, :] = self.max_slots
                 meta[3, :] = self._zero_adapter
+                meta[5, :] = 1.0
                 self._key, k = jax.random.split(self._key)
                 self.cache, _ = self._chunk_fns[n](
                     self.params, self.cache,
                     jnp.zeros((n, self.chunk, self.cfg.hidden_size),
                               self.cfg.jnp_dtype),
                     jnp.asarray(meta), k, self._lora_bank)
-        packed = np.zeros((7, self.max_slots + 1), np.float32)
+        packed = np.zeros((8, self.max_slots + 1), np.float32)
         packed[4] = -1.0
         packed[6] = self._zero_adapter
+        packed[7] = 1.0
         self._key, k = jax.random.split(self._key)
         self.cache, _ = self._decode(self.params, self.cache,
                                      jnp.asarray(packed), k,
                                      self._lora_bank)
 
     def _dummy_meta(self, n: int) -> np.ndarray:
-        meta = np.zeros((4, n), np.float32)
+        meta = np.zeros((5, n), np.float32)
         meta[0, :] = 1.0                    # dummy rows: length 1
         meta[2, :] = self.max_slots         # dummy rows: trash slot
         meta[3, :] = self._zero_adapter     # dummy rows: base adapter
+        meta[4, :] = 1.0                    # dummy rows: top_p off
         return meta
 
     def _run_prefill(self, bucket: int, n: int, embs, meta):
@@ -416,7 +427,8 @@ class ServingEngine:
         K = self.steps_per_tick
 
         def one(params, la, carry, key):
-            cache, active, length, last_token, remaining, eos, temp = carry
+            (cache, active, length, last_token, remaining, eos, temp,
+             top_ps) = carry
             emb = decoder.embed_tokens(params, jnp.maximum(last_token, 0)
                                        ).astype(cfg.jnp_dtype)[:, None]
             pos = length[:, None]
@@ -428,10 +440,7 @@ class ServingEngine:
                 params, cfg, emb, pos, mask4, cache=cache,
                 lora=la, lora_scale=self.lora_scale, ntk_ctx=self.max_len)
             lg = logits[:, -1].astype(jnp.float32)
-            greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-            sampled = jax.random.categorical(
-                key, lg / jnp.maximum(temp, 1e-6)[:, None]).astype(jnp.int32)
-            nxt = jnp.where(temp > 0, sampled, greedy)
+            nxt = sample_token_rows(lg, key, temp, top_ps)
             nxt = jnp.where(active, nxt, last_token)
             remaining = remaining - active.astype(jnp.int32)
             done = active & ((nxt == eos) | (remaining <= 0))
@@ -441,11 +450,12 @@ class ServingEngine:
             # inactive rows point past capacity so their phantom write
             # DROPS (a row mid-chunked-prefill holds real KV at low slots)
             cache = dict(cache, index=jnp.where(active, length, L))
-            return (cache, active, length, nxt, remaining, eos, temp), nxt
+            return (cache, active, length, nxt, remaining, eos, temp,
+                    top_ps), nxt
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, cache, packed, key, bank):
-            # packed (7, B) fp32 — ONE host->device transfer per tick
+            # packed (8, B) fp32 — ONE host->device transfer per tick
             # (int slot state round-trips exactly through fp32 < 2^24)
             active = packed[0] > 0
             length = packed[1].astype(jnp.int32)
@@ -456,6 +466,7 @@ class ServingEngine:
             # per-row adapters are fixed for the whole tick: gather once,
             # not once per scanned step
             la = self._gather_lora(bank, packed[6].astype(jnp.int32))
+            top_ps = packed[7]
             # the host owns the slot state: trust ITS length vector, not
             # whatever the cache carried from the previous tick. Inactive
             # rows write at max_len so their garbage DROPS (mode="drop")
@@ -463,7 +474,8 @@ class ServingEngine:
             # prefill holds real KV there that a phantom decode write
             # would corrupt
             cache = dict(cache, index=jnp.where(active, length, L))
-            carry = (cache, active, length, last_token, remaining, eos, temp)
+            carry = (cache, active, length, last_token, remaining, eos,
+                     temp, top_ps)
             if K == 1:
                 carry, nxt = one(params, la, carry, key)
                 return carry[0], nxt[None]
@@ -490,12 +502,13 @@ class ServingEngine:
         quantized = self._quantized
         stacked = self.stacked
 
-        # meta (4, n) fp32: [prompt_len, temperature, slot, adapter] — one
-        # small transfer; masks/positions derive in-graph
+        # meta (5, n) fp32: [prompt_len, temperature, slot, adapter,
+        # top_p] — one small transfer; masks/positions derive in-graph
         n_valid = meta[0].astype(jnp.int32)
         temps = meta[1]
         slots = meta[2].astype(jnp.int32)
         la = self._gather_lora(bank, meta[3].astype(jnp.int32))
+        top_ps = meta[4]
         ar = jnp.arange(bucket)
         mask = ar[None, :] < n_valid[:, None]
         pos = (plen + ar)[None, :] * mask
@@ -539,10 +552,7 @@ class ServingEngine:
             hid, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)
         last = decoder.head_logits(
             params, cfg, last_h)[:, 0].astype(jnp.float32)
-        greedy = jnp.argmax(last, axis=-1).astype(jnp.int32)
-        sampled = jax.random.categorical(
-            key, last / jnp.maximum(temps, 1e-6)[:, None]).astype(jnp.int32)
-        first = jnp.where(temps > 0, sampled, greedy)
+        first = sample_token_rows(last, key, temps, top_ps)
 
         def put(b, r):
             st5 = b.ndim == 5                   # leading Layers dim
@@ -596,12 +606,14 @@ class ServingEngine:
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def chunk_step(params, big, embs, meta, key, bank):
-            # meta (5, n) fp32: [valid, temperature, slot, adapter, offset]
+            # meta (6, n) fp32: [valid, temperature, slot, adapter,
+            # offset, top_p]
             n_valid = meta[0].astype(jnp.int32)
             temps = meta[1]
             slots = meta[2].astype(jnp.int32)
             la = self._gather_lora(bank, meta[3].astype(jnp.int32))
             off = meta[4].astype(jnp.int32)
+            top_ps = meta[5]
             ar = jnp.arange(C)
             valid_q = ar[None, :] < n_valid[:, None]
             pos = (off[:, None] + ar[None, :]) * valid_q
@@ -626,11 +638,7 @@ class ServingEngine:
                 hid, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)
             last = decoder.head_logits(
                 params, cfg, last_h)[:, 0].astype(jnp.float32)
-            greedy = jnp.argmax(last, axis=-1).astype(jnp.int32)
-            sampled = jax.random.categorical(
-                key, last / jnp.maximum(temps, 1e-6)[:, None]
-            ).astype(jnp.int32)
-            first = jnp.where(temps > 0, sampled, greedy)
+            first = sample_token_rows(last, key, temps, top_ps)
             # scatter the rows back whole: only [off, off+C) changed, the
             # rest is an idempotent copy (dummy rows overwrite the trash
             # slot, like padded admission groups)
@@ -655,16 +663,17 @@ class ServingEngine:
         if n not in self._chunk_fns:
             self._chunk_fns[n] = self._chunk_prefill_fn(n)
         embs = np.zeros((n, C, self.cfg.hidden_size), np.float32)
-        meta = np.zeros((5, n), np.float32)
+        meta = np.zeros((6, n), np.float32)
         meta[0, :] = 1.0                          # dummy rows: 1 token
         meta[2, :] = self.max_slots               # dummy rows: trash slot
         meta[3, :] = self._zero_adapter
+        meta[5, :] = 1.0                          # dummy rows: top_p off
         for r, slot in enumerate(group):
             req, emb, done = self._chunking[slot]
             piece = emb[done:done + C]
             embs[r, :piece.shape[0]] = piece
             meta[:, r] = (piece.shape[0], req.temperature, slot,
-                          self._adapter_of(req), done)
+                          self._adapter_of(req), done, req.top_p)
         self._key, k = jax.random.split(self._key)
         self.cache, first = self._chunk_fns[n](
             self.params, self.cache, jnp.asarray(embs, self.cfg.jnp_dtype),
@@ -686,6 +695,7 @@ class ServingEngine:
             st["remaining"][slot] = req.max_new_tokens - 1
             st["eos"][slot] = req.eos_token_id
             st["temperature"][slot] = req.temperature
+            st["top_p"][slot] = req.top_p
             st["adapter"][slot] = self._adapter_of(req)
             self._slot_tokens[slot] = [tok]
             if req.on_tokens is not None and tok != req.eos_token_id:
@@ -790,6 +800,7 @@ class ServingEngine:
                 self._chunking.pop(slot, None)   # mid-chunked-prefill
                 self._t_submit.pop(request_id, None)   # not observed
                 self.state["active"][slot] = False
+                self.state["top_p"][slot] = 1.0
                 self._completions.append(
                     Completion(request_id, toks, "cancelled"))
                 self.counters["cancelled"] += 1
@@ -853,7 +864,7 @@ class ServingEngine:
         for r, (slot, req, emb, _) in enumerate(group):
             embs[r, :emb.shape[0]] = emb
             meta[:, r] = (emb.shape[0], req.temperature, slot,
-                          self._adapter_of(req))
+                          self._adapter_of(req), req.top_p)
         if prefix_id is not None:
             first_h = self._run_prefill_prefix(prefix_id, bucket, n,
                                                embs, meta)
@@ -872,6 +883,7 @@ class ServingEngine:
             st["remaining"][slot] = req.max_new_tokens - 1
             st["eos"][slot] = req.eos_token_id
             st["temperature"][slot] = req.temperature
+            st["top_p"][slot] = req.top_p
             st["adapter"][slot] = self._adapter_of(req)
             self._slot_req[slot] = req
             self._slot_tokens[slot] = [tok]
@@ -899,6 +911,9 @@ class ServingEngine:
         self.counters["completions"] += 1
         self.counters["tokens"] += len(toks)
         self.state["active"][slot] = False
+        # freed slots must not keep a <1 top_p: it would force the
+        # decode step's nucleus branch for every later all-greedy tick
+        self.state["top_p"][slot] = 1.0
 
     def step(self) -> List[Completion]:
         """One scheduler tick: admit queued requests, push chunked
@@ -914,7 +929,7 @@ class ServingEngine:
         st = self.state
         packed = np.stack([st["active"], st["length"], st["last_token"],
                            st["remaining"], st["eos"], st["temperature"],
-                           st["adapter"]]).astype(np.float32)
+                           st["adapter"], st["top_p"]]).astype(np.float32)
         self._key, k = jax.random.split(self._key)
         self.cache, toks = self._decode(
             self.params, self.cache, jnp.asarray(packed), k,

@@ -17,8 +17,9 @@ Conventions (matching vLLM's multi-LoRA serving):
     <seq> splice marker in the assembled prompt.
   - streaming is standard SSE chat chunks terminated by `data: [DONE]`.
 
-Engine limits surface as 400s, not silent degradation: top_p/n/logprobs
-are rejected (the slot decode step samples with temperature only).
+Engine limits surface as 400s, not silent degradation: n>1/logprobs
+are rejected. temperature + top_p both apply per-request inside the
+compiled decode step (sample_token_rows).
 `stop` strings apply as a post-hoc truncation on the blocking paths and
 as an append-only host-side scan on the streaming paths (_stop_filter —
 held-back tail so stops split across deltas match; a match cancels the
@@ -36,9 +37,9 @@ _FINISH = {"eos": "stop", "length": "length"}
 
 
 def _check_unsupported(body: dict) -> None:
-    if float(body.get("top_p", 1.0)) != 1.0:
-        raise ValueError("top_p is unsupported on the serving engine "
-                         "(temperature-only sampling); drop top_p")
+    tp = float(body.get("top_p", 1.0))
+    if not 0.0 < tp <= 1.0:
+        raise ValueError(f"top_p must be in (0, 1], got {tp}")
     if int(body.get("n", 1)) != 1:
         raise ValueError("n>1 is unsupported; send parallel requests "
                          "instead (they batch in the engine)")
@@ -181,6 +182,7 @@ def handle_chat(srv, body: dict) -> dict:
     c = srv.submit_and_wait(
         max_new_tokens=_max_new(srv, body),
         temperature=float(body.get("temperature", 0.0)),
+        top_p=float(body.get("top_p", 1.0)),
         adapter=adapter, timeout=body.get("_timeout"), **sub)
     text = srv.tok.decode(
         [t for t in c.tokens if t != srv.tok.eos_token_id])
@@ -219,6 +221,7 @@ def handle_completion(srv, body: dict) -> dict:
     c = srv.submit_and_wait(
         max_new_tokens=_max_new(srv, body),
         temperature=float(body.get("temperature", 0.0)),
+        top_p=float(body.get("top_p", 1.0)),
         adapter=adapter, timeout=body.get("_timeout"), **sub)
     text = srv.tok.decode(
         [t for t in c.tokens if t != srv.tok.eos_token_id])
@@ -286,6 +289,7 @@ def stream_chat(srv, body: dict):
     gen = srv.submit_streaming(
         max_new_tokens=_max_new(srv, body),
         temperature=float(body.get("temperature", 0.0)),
+        top_p=float(body.get("top_p", 1.0)),
         adapter=adapter, timeout=body.get("_timeout"), **sub)
     cid = f"chatcmpl-{int(time.time() * 1000)}"
     model = body.get("model") or srv.model_id
@@ -333,6 +337,7 @@ def stream_completion(srv, body: dict):
     gen = srv.submit_streaming(
         max_new_tokens=_max_new(srv, body),
         temperature=float(body.get("temperature", 0.0)),
+        top_p=float(body.get("top_p", 1.0)),
         adapter=adapter, timeout=body.get("_timeout"), **sub)
     cid = f"cmpl-{int(time.time() * 1000)}"
     model = body.get("model") or srv.model_id

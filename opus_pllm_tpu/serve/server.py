@@ -368,6 +368,7 @@ class OpusServer:
 
     def submit_and_wait(self, *, embeds=None, token_ids=None,
                         max_new_tokens: int, temperature: float,
+                        top_p: float = 1.0,
                         adapter: Optional[str] = None,
                         prefix_id=None,
                         timeout: Optional[float] = None) -> Completion:
@@ -381,6 +382,7 @@ class OpusServer:
         self._pending.put(ServeRequest(  # discards it on submission
             rid, embeds=embeds, token_ids=token_ids,
             max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p,
             eos_token_id=self.tok.eos_token_id, adapter_id=adapter,
             prefix_id=prefix_id))
         self._wake.set()
@@ -398,6 +400,7 @@ class OpusServer:
 
     def submit_streaming(self, *, embeds=None, token_ids=None,
                          max_new_tokens: int, temperature: float,
+                         top_p: float = 1.0,
                          adapter: Optional[str] = None,
                          prefix_id=None,
                          timeout: Optional[float] = None):
@@ -414,10 +417,11 @@ class OpusServer:
         return self._submit_streaming(
             embeds=embeds, token_ids=token_ids,
             max_new_tokens=max_new_tokens, temperature=temperature,
-            adapter=adapter, prefix_id=prefix_id, timeout=timeout)
+            top_p=top_p, adapter=adapter, prefix_id=prefix_id,
+            timeout=timeout)
 
     def _submit_streaming(self, *, embeds, token_ids, max_new_tokens,
-                          temperature, adapter, prefix_id, timeout):
+                          temperature, top_p, adapter, prefix_id, timeout):
         with self._id_lock:
             rid = self._next_id
             self._next_id += 1
@@ -428,6 +432,7 @@ class OpusServer:
         self._pending.put(ServeRequest(
             rid, embeds=embeds, token_ids=token_ids,
             max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p,
             eos_token_id=self.tok.eos_token_id, on_tokens=q.put,
             adapter_id=adapter, prefix_id=prefix_id))
         self._wake.set()
@@ -568,6 +573,7 @@ class OpusServer:
             max_new_tokens=int(body.get("max_new_tokens",
                                         self.default_max_new)),
             temperature=float(body.get("temperature", 0.0)),
+            top_p=float(body.get("top_p", 1.0)),
             adapter=body.get("adapter"),
             timeout=body.get("_timeout"), **sub)
         text = truncate_at_sep(self.tok.decode(
@@ -586,6 +592,7 @@ class OpusServer:
             max_new_tokens=int(body.get("max_new_tokens",
                                         self.default_max_new)),
             temperature=float(body.get("temperature", 0.0)),
+            top_p=float(body.get("top_p", 1.0)),
             adapter=body.get("adapter"),
             timeout=body.get("_timeout"), **sub)
         text = self.tok.decode(
@@ -659,6 +666,7 @@ class OpusServer:
             max_new_tokens=int(body.get("max_new_tokens",
                                         self.default_max_new)),
             temperature=float(body.get("temperature", 0.0)),
+            top_p=float(body.get("top_p", 1.0)),
             adapter=body.get("adapter"),
             timeout=body.get("_timeout"), **sub)
         return self._stream_events(gen, truncate=True)
@@ -674,6 +682,7 @@ class OpusServer:
             max_new_tokens=int(body.get("max_new_tokens",
                                         self.default_max_new)),
             temperature=float(body.get("temperature", 0.0)),
+            top_p=float(body.get("top_p", 1.0)),
             adapter=body.get("adapter"),
             timeout=body.get("_timeout"), **sub)
         return self._stream_events(gen, truncate=False)

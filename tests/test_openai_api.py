@@ -137,7 +137,9 @@ def test_unsupported_params_reject(served):
     _, _, _, srv = served
     msgs = [{"role": "user", "content": "hi"}]
     with pytest.raises(ValueError, match="top_p"):
-        openai_api.handle_chat(srv, {"messages": msgs, "top_p": 0.9})
+        openai_api.handle_chat(srv, {"messages": msgs, "top_p": 0.0})
+    with pytest.raises(ValueError, match="top_p"):
+        openai_api.handle_chat(srv, {"messages": msgs, "top_p": 1.5})
     with pytest.raises(ValueError, match="n>1"):
         openai_api.handle_chat(srv, {"messages": msgs, "n": 2})
     with pytest.raises(ValueError, match="logprobs"):
@@ -447,3 +449,16 @@ def test_empty_stop_strings_rejected(served):
     with pytest.raises(ValueError, match="non-empty"):
         openai_api.stream_completion(
             srv, {"prompt": "Hi", "max_tokens": 4, "stop": ["ok", ""]})
+
+
+def test_top_p_collapses_to_greedy(served):
+    """top_p near 0 keeps only the argmax: a sampled completion with a
+    tiny nucleus equals the greedy one (per-request top-p reaches the
+    engine through the OpenAI front)."""
+    _, _, _, srv = served
+    body = {"prompt": "Hello there", "max_tokens": 6}
+    ref = openai_api.handle_completion(
+        srv, dict(body, temperature=0.0))
+    out = openai_api.handle_completion(
+        srv, dict(body, temperature=0.9, top_p=1e-6))
+    assert out["choices"][0]["text"] == ref["choices"][0]["text"]
