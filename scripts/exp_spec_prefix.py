@@ -27,7 +27,8 @@ import json
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+import pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
