@@ -77,7 +77,8 @@ for key, fn in orig_prefills.items():
         def timed(*a, **k):
             t = time.perf_counter()
             r = fn(*a, **k)
-            jax.block_until_ready(r[1])
+            # dispatch wall only: blocking here would re-serialize the
+            # async admission this script exists to measure
             tm["prefill"] += time.perf_counter() - t
             tm["n_prefills"] += 1
             return r

@@ -157,6 +157,13 @@ for label, use_prefix in (("off", False), ("on", True)):
         reqs = [ServeRequest(i, embeds=np.concatenate([prefix, sufs[i]]),
                              max_new_tokens=PNEW, eos_token_id=-1)
                 for i in range(NREQ)]
+    # warm pass first (first-tick compiles + scheduling noise), measure the
+    # second — the same warm-then-measure discipline as the speculative
+    # section above; engines are reusable after run()
+    eng.run([ServeRequest(10_000 + r.request_id, embeds=r.embeds,
+                          prefix_id=r.prefix_id,
+                          max_new_tokens=r.max_new_tokens,
+                          eos_token_id=-1) for r in reqs])
     t0 = time.perf_counter()
     done = eng.run(reqs)
     dt = time.perf_counter() - t0
