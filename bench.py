@@ -171,16 +171,20 @@ def _synth_int8_decoder(cfg, stacked: bool = False):
 
 
 def _synth_int4_decoder(cfg):
-    """Random int4-packed decoder params (per-layer layout). Random packed
-    bytes ARE valid nibble pairs, so the 3.6 GB synth never materializes an
-    unpacked tree; scales keep dequantized weights at trained magnitude."""
+    """Random int4-packed decoder params (per-layer layout, v2 magic-bitcast
+    int32 words — every 8B in-dim is a 512-multiple so quantize_linear4
+    picks v2; BENCH_NOTES round 4 measured v2 1.15-1.22x over the v1 byte
+    layout e2e). Random words ARE valid packs (any nibble is a biased int4),
+    so the 3.6 GB synth never materializes an unpacked tree; scales keep
+    dequantized weights at trained magnitude."""
     rng = np.random.default_rng(0)
     h, d, L = cfg.hidden_size, cfg.head_dim, cfg.num_layers
     qd, kvd = cfg.num_heads * d, cfg.num_kv_heads * d
-    s_val = 0.02 / 4.04   # int4 uniform(-8..7) std ~4.04 -> weight std ~0.02
+    s_val = 0.02 / 4.6   # biased-nibble uniform std ~4.6 -> weight std ~0.02
 
     def lin_p(k, n):
-        w = jnp.asarray(rng.integers(-128, 128, (k // 2, n), dtype=np.int8))
+        w = jnp.asarray(rng.integers(-2**31, 2**31, (k // 8, n),
+                                     dtype=np.int64).astype(np.int32))
         jax.block_until_ready(w)   # one leaf in flight at a time
         return {"kernel_p": w,
                 "gscale": jnp.full((k // 128, n), s_val, jnp.float32)}
@@ -478,7 +482,12 @@ def bench_serve(on_tpu: bool) -> None:
     lat = eng.latency
     if lat["ttft"].count:
         emit("serving_ttft_mean_ms", lat["ttft"].mean * 1e3,
-             "ms (engine-side submit->first token)", False)
+             "ms (engine-side submit->first token; includes queue wait "
+             "from oversubscription: n_req >> slots)", False)
+        emit("serving_service_ttft_mean_ms",
+             lat["service_ttft"].mean * 1e3,
+             "ms (slot claim->first token: admission overhead the engine "
+             "itself adds, queue-depth independent)", False)
         emit("serving_duration_mean_ms", lat["duration"].mean * 1e3,
              "ms (engine-side submit->completion)", False)
 

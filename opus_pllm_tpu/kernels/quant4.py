@@ -61,6 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 BK = 256      # K rows per packed block (two 128-row scale groups)
 GROUP = 128   # K rows per scale group
+SUPER = 512   # v2: K rows per int32 superblock (four 128-row scale groups)
 
 
 def quantize_grouped(w, group: int = GROUP) -> Tuple[np.ndarray, np.ndarray]:
@@ -106,26 +107,83 @@ def unpack_int4(packed):
     return blocks.reshape(2 * k2, n)
 
 
+def pack_int4_v2(q) -> np.ndarray:
+    """int4-valued int8 (K, N) -> packed int32 words (K/8, N).
+
+    The magic-bitcast layout (see _kernel_v2): K splits into 512-row
+    superblocks of four 128-row scale groups g0..g3; nibbles are stored
+    BIASED (q+8, in [1, 15]) so the in-kernel mantissa-OR yields
+    136 + q directly. Word row i of superblock sb packs, per byte
+    (little-endian):
+
+        byte0 = b[g0, 2i] | b[g1, 2i] << 4
+        byte1 = b[g2, 2i] | b[g3, 2i] << 4
+        byte2 = b[g0, 2i+1] | b[g1, 2i+1] << 4
+        byte3 = b[g2, 2i+1] | b[g3, 2i+1] << 4
+
+    chosen so that ((word >> 4g) & 0x000F000F) | 0x43004300, bitcast to a
+    bf16 pair (low half -> row 2i, high half -> row 2i+1, the documented
+    pltpu.bitcast narrowing order), reconstructs group g's rows IN ORDER.
+    """
+    xp = np if isinstance(q, np.ndarray) else jnp
+    k, n = q.shape
+    assert k % SUPER == 0, (k, SUPER)
+    b = (q.astype(xp.int32) + 8).astype(xp.uint32)      # [1, 15]
+    blk = b.reshape(k // SUPER, 4, GROUP, n)            # [sb, g, j, n]
+    e, o = blk[:, :, 0::2], blk[:, :, 1::2]             # (SB, 4, 64, n)
+    word = (e[:, 0] | (e[:, 1] << 4) | (e[:, 2] << 8) | (e[:, 3] << 12)
+            | (o[:, 0] << 16) | (o[:, 1] << 20) | (o[:, 2] << 24)
+            | (o[:, 3] << 28)).reshape(k // 8, n)
+    if xp is np:
+        return word.view(np.int32)
+    return jax.lax.bitcast_convert_type(word, jnp.int32)
+
+
+def unpack_int4_v2(packed):
+    """packed int32 (K/8, N) -> int4-valued int8 (K, N) (XLA/parity path)."""
+    xp = np if isinstance(packed, np.ndarray) else jnp
+    k8, n = packed.shape
+    u = (packed.view(np.uint32) if xp is np
+         else jax.lax.bitcast_convert_type(packed, jnp.uint32))
+    sb = u.reshape(k8 // 64, 64, n)
+    groups = []
+    for g in range(4):
+        e = (sb >> (4 * g)) & 0xF                       # rows 2i
+        o = (sb >> (16 + 4 * g)) & 0xF                  # rows 2i + 1
+        groups.append(xp.stack([e, o], axis=2).reshape(-1, GROUP, n))
+    out = xp.stack(groups, axis=1).reshape(8 * k8, n)
+    return (out.astype(xp.int32) - 8).astype(xp.int8)
+
+
 def quantize_linear4(p: Dict) -> Dict:
     """dense params {kernel, bias?} -> {kernel_p, gscale, bias?}.
 
-    Returns None when the in-dim is not a multiple of BK (caller should
-    keep that projection int8/bf16 instead).
+    kernel_p dtype discriminates the storage layout: int32 = v2
+    magic-bitcast words (K % 512 == 0, the fast path), int8 = v1 nibble
+    bytes (K % 256 == 0). Returns None when the in-dim is not a multiple
+    of BK (caller should keep that projection int8/bf16 instead).
     """
     k = p["kernel"].shape[0]
     if k % BK != 0:
         return None
     q, s = quantize_grouped(p["kernel"])
-    out = {"kernel_p": pack_int4(q), "gscale": s}
+    packed = pack_int4_v2(q) if k % SUPER == 0 else pack_int4(q)
+    out = {"kernel_p": packed, "gscale": s}
     if "bias" in p:
         out["bias"] = p["bias"]
     return out
 
 
+def _unpack_any(packed):
+    return (unpack_int4_v2(packed) if packed.dtype == jnp.int32
+            or (isinstance(packed, np.ndarray) and packed.dtype == np.int32)
+            else unpack_int4(packed))
+
+
 def _matmul_xla(x, packed, gscale):
     """Reference/fallback: unpack + dequant + dot (materializes (K, N))."""
-    k = 2 * packed.shape[0]
-    w = unpack_int4(packed).astype(jnp.bfloat16)
+    w = _unpack_any(packed).astype(jnp.bfloat16)
+    k = w.shape[0]
     w = (w.reshape(k // GROUP, GROUP, -1)
          * gscale[:, None, :].astype(jnp.bfloat16)).reshape(k, -1)
     return jnp.dot(x.astype(jnp.bfloat16), w,
@@ -157,6 +215,50 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc, *, sub: int, n_k: int):
         o_ref[...] = acc[...].astype(o_ref.dtype)
 
 
+def _kernel_v2(x_ref, p_ref, s_ref, o_ref, acc, *, sub: int, n_k: int):
+    """Magic-bitcast unpack: ~2.75 VPU ops/byte vs _kernel's ~6.
+
+    Each (64, BN) int32 tile holds one 512-row superblock (8 nibbles per
+    lane). Per scale group g in 0..3, ONE masked shift + OR places two
+    biased nibbles into the bf16 mantissa positions of the magic exponent
+    0x4300 (= 128.0, mantissa LSB = 1.0):
+
+        w = bitcast(((p >> 4g) & 0x000F000F) | 0x43004300, bf16)
+          = 136 + q   exactly (rows in order by construction, pack_int4_v2)
+
+    so the per-nibble i32->bf16 convert, the sign-extension shifts, and
+    the byte widen of the v1 kernel all disappear. The +136 bias folds
+    into a per-(row, group) correction using sum(x_g): exact up to fp32
+    summation-order differences vs the MXU's accumulation tree (~1e-5
+    relative; the parity tests bound it)."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    mask = jnp.int32(0x000F000F)
+    magic = jnp.int32(0x43004300)
+    w64 = SUPER // 8                       # int32 rows per superblock
+    for t in range(sub):
+        p32 = p_ref[t * w64:(t + 1) * w64, :]           # (64, BN) int32
+        for g in range(4):
+            sh = 4 * g
+            bits = ((p32 >> sh) if sh else p32) & mask | magic
+            w = pltpu.bitcast(bits, jnp.bfloat16)       # (128, BN) 136+q
+            xg = x_ref[:, t * SUPER + g * GROUP:
+                       t * SUPER + (g + 1) * GROUP]     # (BM, 128) bf16
+            d = jax.lax.dot_general(xg, w, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            xs = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            acc[...] += ((d - 136.0 * xs)
+                         * s_ref[0, 4 * t + g:4 * t + g + 1, :])
+
+    @pl.when(ik == n_k - 1)
+    def _fin():
+        o_ref[...] = acc[...].astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "impl"))
 def int4_matmul(x, packed, gscale, *, block_m: int = 256,
                 block_n: int = 1024, impl: str = "auto"):
@@ -179,9 +281,9 @@ def _int4_matmul_fwd(x, packed, gscale, block_m, block_n, impl):
 
 def _int4_matmul_bwd(block_m, block_n, impl, res, g):
     x, packed, gscale = res
-    k = 2 * packed.shape[0]
     # bitsandbytes-style bwd: dequantize once (bf16) for the transposed dot
-    w = unpack_int4(packed).astype(jnp.bfloat16)
+    w = _unpack_any(packed).astype(jnp.bfloat16)
+    k = w.shape[0]
     w = (w.reshape(k // GROUP, GROUP, -1)
          * gscale[:, None, :].astype(jnp.bfloat16)).reshape(k, -1)
     dx = jnp.dot(g.astype(jnp.bfloat16), w.T,
@@ -197,13 +299,16 @@ def _int4_matmul_impl(x, packed, gscale, block_m: int, block_n: int,
                       impl: str):
     m, k = x.shape
     k2, n = packed.shape
-    assert k == 2 * k2, (k, k2)
+    v2 = packed.dtype == jnp.int32
+    assert k == (8 * k2 if v2 else 2 * k2), (k, k2, packed.dtype)
     assert gscale.shape == (k // GROUP, n), gscale.shape
     use_pallas = impl == "pallas" or (
         impl == "auto" and jax.default_backend() == "tpu"
         and m % 8 == 0 and n % 128 == 0 and k % BK == 0)
     if not use_pallas:
         return _matmul_xla(x, packed, gscale)
+    if v2:
+        return _pallas_v2(x, packed, gscale, block_m, block_n)
 
     bm = min(block_m, m)
     # largest N block that divides n (vocab heads are 128-multiples but
@@ -226,6 +331,39 @@ def _int4_matmul_impl(x, packed, gscale, block_m: int, block_n: int,
             pl.BlockSpec((bm, BK * sub), lambda i, j, kk: (i, kk)),
             pl.BlockSpec((BK * sub // 2, bn), lambda i, j, kk: (kk, j)),
             pl.BlockSpec((1, 2 * sub, bn), lambda i, j, kk: (kk, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=int(m * k * x.dtype.itemsize + k * n // 2
+                               + m * n * x.dtype.itemsize),
+            transcendentals=0),
+    )(x.astype(jnp.bfloat16), packed, s3)
+
+
+def _pallas_v2(x, packed, gscale, block_m: int, block_n: int):
+    m, k = x.shape
+    _, n = packed.shape
+    bm = min(block_m, m)
+    bn = next((c for c in (block_n, 768, 512, 384, 256, 128)
+               if c <= block_n and n % c == 0), None)
+    sub = next((c for c in (2, 1) if k % (SUPER * c) == 0), None)
+    if bn is None or sub is None or m % bm:
+        return _matmul_xla(x, packed, gscale)
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), k // (SUPER * sub))
+    s3 = gscale.reshape(k // (SUPER * sub), 4 * sub, n)
+    rows = SUPER * sub // 8                    # int32 rows per program
+    return pl.pallas_call(
+        functools.partial(_kernel_v2, sub=sub, n_k=grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, SUPER * sub), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((rows, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, 4 * sub, bn), lambda i, j, kk: (kk, 0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),

@@ -71,8 +71,9 @@ def _rule(path, leaf) -> P:
         # column-parallel so the fp32 weights also shard
         return spec(DATA_AXIS, MODEL_AXIS)
     if last in ("kernel_q", "kernel_p"):   # int8/int4 weights: the packed
-        # rows track the kernel's K layout (int4 packs 2 K-rows per byte,
-        # so K-sharding stays block-aligned while K/shard % 256 == 0)
+        # rows track the kernel's K layout (int4 packs 2 K-rows per byte
+        # [v1 int8 storage] or 8 per int32 word [v2], so K-sharding stays
+        # block-aligned while K/shard % 256 == 0 [v1] / % 512 == 0 [v2])
         if parent in _ROW:
             return spec(MODEL_AXIS, DATA_AXIS)
         return spec(DATA_AXIS, MODEL_AXIS)

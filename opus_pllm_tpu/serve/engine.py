@@ -239,12 +239,16 @@ class ServingEngine:
                          "cancelled": 0}
         # request latency, observed at the engine (covers the HTTP front
         # AND the engine-backed eval runners): queue_wait = submit ->
-        # slot claim, ttft = submit -> first token, duration = submit ->
-        # completion. Cancelled requests are dropped, not observed.
+        # slot claim, ttft = submit -> first token, service_ttft = slot
+        # claim -> first token (TTFT minus queue depth: the engine's own
+        # admission overhead, comparable across workloads), duration =
+        # submit -> completion. Cancelled requests are dropped.
         self.latency = {"queue_wait": LatencyHistogram(),
                         "ttft": LatencyHistogram(),
+                        "service_ttft": LatencyHistogram(),
                         "duration": LatencyHistogram()}
         self._t_submit: Dict[Any, float] = {}
+        self._t_claim: Dict[Any, float] = {}
 
         self._queue: deque[ServeRequest] = deque()
         self._slot_req: Dict[int, ServeRequest] = {}
@@ -855,6 +859,7 @@ class ServingEngine:
             if q.request_id == request_id:
                 del self._queue[i]
                 self._t_submit.pop(request_id, None)   # not observed
+                self._t_claim.pop(request_id, None)
                 self._completions.append(
                     Completion(request_id, [], "cancelled"))
                 self.counters["cancelled"] += 1
@@ -865,6 +870,7 @@ class ServingEngine:
                 self._slot_req.pop(slot)
                 self._chunking.pop(slot, None)   # mid-chunked-prefill
                 self._t_submit.pop(request_id, None)   # not observed
+                self._t_claim.pop(request_id, None)
                 self.state["active"][slot] = False
                 self.state["top_p"][slot] = 1.0
                 self._completions.append(
@@ -895,7 +901,9 @@ class ServingEngine:
             req = self._queue.popleft()   # submit() validated capacity
             t0 = self._t_submit.get(req.request_id)
             if t0 is not None:            # slot claimed: queue wait over
-                self.latency["queue_wait"].observe(time.monotonic() - t0)
+                now = time.monotonic()
+                self.latency["queue_wait"].observe(now - t0)
+                self._t_claim[req.request_id] = now
             emb = self._embed(req)
             if self.chunk and emb.shape[0] > self.buckets[-1]:
                 # long prompt: claim the slot now, prefill it one chunk
@@ -974,15 +982,20 @@ class ServingEngine:
                 self._finish(slot, "length")
 
     def _observe_ttft(self, req: ServeRequest) -> None:
+        now = time.monotonic()
         t0 = self._t_submit.get(req.request_id)
         if t0 is not None:
-            self.latency["ttft"].observe(time.monotonic() - t0)
+            self.latency["ttft"].observe(now - t0)
+        tc = self._t_claim.pop(req.request_id, None)
+        if tc is not None:
+            self.latency["service_ttft"].observe(now - tc)
 
     def _finish(self, slot: int, reason: str) -> None:
         req = self._slot_req.pop(slot)
         toks = self._slot_tokens.pop(slot)
         if reason == "eos" and toks and toks[-1] == req.eos_token_id:
             toks = toks[:-1]
+        self._t_claim.pop(req.request_id, None)   # ttft may be unobserved
         t0 = self._t_submit.pop(req.request_id, None)
         if t0 is not None:
             self.latency["duration"].observe(time.monotonic() - t0)

@@ -124,7 +124,9 @@ print(f"prefill wall: {tm['prefill']*1e3:.0f} ms", flush=True)
 other = dt - tm["decode_dispatch"] - tm["prefill"]
 print(f"other (sched + fetch): {other*1e3:.0f} ms", flush=True)
 lat = eng.latency
-print(f"ttft mean {lat['ttft'].mean*1e3:.0f} ms, "
+print(f"ttft mean {lat['ttft'].mean*1e3:.0f} ms "
+      f"(service {lat['service_ttft'].mean*1e3:.0f} ms + queue "
+      f"{lat['queue_wait'].mean*1e3:.0f} ms), "
       f"duration mean {lat['duration'].mean*1e3:.0f} ms", flush=True)
 dec_only = [w for w, a in step_walls if a == 0]
 adm = [w for w, a in step_walls if a > 0]

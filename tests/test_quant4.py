@@ -23,6 +23,71 @@ def test_pack_unpack_roundtrip():
     np.testing.assert_array_equal(np.asarray(back), q)
 
 
+def test_pack_unpack_v2_roundtrip():
+    rng = np.random.default_rng(7)
+    q = rng.integers(-7, 8, size=(1024, 128)).astype(np.int8)
+    packed = quant4.pack_int4_v2(q)
+    assert packed.shape == (128, 128) and packed.dtype == np.int32
+    np.testing.assert_array_equal(np.asarray(quant4.unpack_int4_v2(packed)), q)
+    # jnp path agrees with numpy
+    pj = quant4.pack_int4_v2(jnp.asarray(q))
+    np.testing.assert_array_equal(np.asarray(pj), packed)
+    np.testing.assert_array_equal(
+        np.asarray(quant4.unpack_int4_v2(jnp.asarray(packed))), q)
+
+
+def test_quantize_linear4_picks_v2_for_512_multiples():
+    rng = np.random.default_rng(8)
+    p512 = quant4.quantize_linear4({"kernel": _rand_weight(rng, 512, 128)})
+    assert p512["kernel_p"].dtype == np.int32          # v2
+    p256 = quant4.quantize_linear4({"kernel": _rand_weight(rng, 256, 128)})
+    assert p256["kernel_p"].dtype == np.int8           # v1
+
+
+def test_int4_matmul_v2_xla_matches_dequantized():
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(8, 1024)).astype(np.float32))
+    w = _rand_weight(rng, 1024, 128)
+    q, s = quant4.quantize_grouped(w)
+    y_q = np.asarray(quant4.int4_matmul(
+        x, jnp.asarray(quant4.pack_int4_v2(q)), jnp.asarray(s), impl="xla"),
+        np.float32)
+    y_ref = np.asarray(x) @ _dequant(q, s)
+    assert np.abs(y_q - y_ref).max() < 0.005 * np.abs(y_ref).max()
+
+
+def test_pallas_kernel_v2_matches_xla_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(10)
+    m, k, n = 16, 1536, 256          # k % 512 == 0, odd superblock count
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    q, s = quant4.quantize_grouped(_rand_weight(rng, k, n))
+    packed, s = jnp.asarray(quant4.pack_int4_v2(q)), jnp.asarray(s)
+    with pltpu.force_tpu_interpret_mode():
+        y_p = np.asarray(quant4.int4_matmul(x, packed, s, impl="pallas"),
+                         np.float32)
+    y_ref = np.asarray(x) @ _dequant(np.asarray(q), np.asarray(s))
+    assert np.isfinite(y_p).all()
+    # the +136 bias correction is exact up to fp32 summation-order
+    # differences vs the MXU tree — bounded alongside bf16 rounding
+    assert np.abs(y_p - y_ref).max() < 0.005 * np.abs(y_ref).max()
+
+
+def test_grad_v2_matches_dequantized_reference():
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(8, 512)), jnp.float32)
+    q, s = quant4.quantize_grouped(_rand_weight(rng, 512, 128))
+    packed, s = jnp.asarray(quant4.pack_int4_v2(q)), jnp.asarray(s)
+    wd = _dequant(np.asarray(q), np.asarray(s))
+    g_ref = jax.grad(lambda x: jnp.sum((x @ jnp.asarray(wd)) ** 2))(x)
+    g_xla = jax.grad(lambda x: jnp.sum(
+        quant4.int4_matmul(x, packed, s, impl="xla") ** 2))(x)
+    rel = (np.abs(np.asarray(g_xla) - np.asarray(g_ref)).max()
+           / np.abs(np.asarray(g_ref)).max())
+    assert rel < 2e-2, rel
+
+
 def test_quantize_grouped_error_bounded():
     rng = np.random.default_rng(1)
     w = _rand_weight(rng, 512, 64)
