@@ -2,11 +2,13 @@
 bitsandbytes load_in_4bit + PEFT, builder.py:44-57 + :105-111).
 
 int4 weights are 3.9 GB vs int8's 8.6 GB, so the freed HBM goes to batch:
-measure B=4 (int8-comparable) and B=8.
+measure B=4 (int8-comparable) and B=8. Pass `v2` as argv[1] to synthesize
+the v2 magic-bitcast int32 layout (round 4) instead of v1 nibble bytes.
 """
 import functools
+import pathlib
 import sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import jax, jax.numpy as jnp, numpy as np
 import optax
 from opus_pllm_tpu.core.config import DecoderConfig, LoRAConfig, TrainConfig
@@ -15,17 +17,23 @@ from opus_pllm_tpu.models import decoder, opus
 from opus_pllm_tpu.models.layers import causal_mask
 from opus_pllm_tpu.train.optim import adamw
 
+V2 = len(sys.argv) > 1 and sys.argv[1] == "v2"
 cfg = DecoderConfig.llama3_8b()
 rng = np.random.default_rng(0)
 h, d, L = cfg.hidden_size, cfg.head_dim, cfg.num_layers
 qd, kvd = cfg.num_heads * d, cfg.num_kv_heads * d
-s_val = 0.02 / 4.04
+s_val = 0.02 / (4.6 if V2 else 4.04)
 
 
 def lin_p(k, n, stack=True):
-    shape = (L, k // 2, n) if stack else (k // 2, n)
+    if V2:
+        shape = (L, k // 8, n) if stack else (k // 8, n)
+        w = jnp.asarray(rng.integers(-2**31, 2**31, shape,
+                                     dtype=np.int64).astype(np.int32))
+    else:
+        shape = (L, k // 2, n) if stack else (k // 2, n)
+        w = jnp.asarray(rng.integers(-128, 128, shape, dtype=np.int8))
     sshape = (L, k // 128, n) if stack else (k // 128, n)
-    w = jnp.asarray(rng.integers(-128, 128, shape, dtype=np.int8))
     jax.block_until_ready(w)
     return {"kernel_p": w, "gscale": jnp.full(sshape, s_val, jnp.float32)}
 
@@ -90,7 +98,8 @@ for B in (4, 8):
         t_a = run_chain(3)
         t_b = run_chain(9)
         st = max((t_b - t_a) / 6, 1e-9)
-        print(f"int4 LoRA train B={B}: {B * S / st:.0f} tok/s/chip "
+        print(f"int4{'v2' if V2 else ''} LoRA train B={B}: "
+              f"{B * S / st:.0f} tok/s/chip "
               f"({st * 1e3:.0f} ms/step, l0={l0:.2f})", flush=True)
     except Exception as e:
         print(f"B={B} FAILED: {type(e).__name__}: {str(e)[:300]}",

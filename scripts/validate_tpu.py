@@ -105,21 +105,25 @@ def int8_kernel():
 
 
 def int4_kernel():
-    """Grouped int4 Pallas matmul vs the XLA unpack reference, decode- and
-    prefill-shaped, plus the LoRA-over-frozen-int4 backward."""
+    """Grouped int4 Pallas matmuls (v1 byte layout AND the v2 magic-bitcast
+    int32 layout) vs the XLA unpack reference, decode- and prefill-shaped,
+    plus the LoRA-over-frozen-int4 backward."""
     from opus_pllm_tpu.kernels import quant4
 
     rng = np.random.default_rng(2)
     for (m, k, n) in ((32, 4096, 14336), (256, 1024, 2048)):
         w = rng.normal(size=(k, n)).astype(np.float32) * 0.02
         q, s = quant4.quantize_grouped(w)
-        pk, sj = jnp.asarray(quant4.pack_int4(q)), jnp.asarray(s)
-        x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
-        y = np.asarray(quant4.int4_matmul(x, pk, sj, impl="pallas"),
-                       np.float32)
-        ref = np.asarray(quant4._matmul_xla(x, pk, sj), np.float32)
-        rel = np.abs(y - ref).max() / np.abs(ref).max()
-        assert rel < 0.02, (m, k, n, rel)
+        sj = jnp.asarray(s)
+        for tag, pack in (("v1", quant4.pack_int4),
+                          ("v2", quant4.pack_int4_v2)):
+            pk = jnp.asarray(pack(q))
+            x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
+            y = np.asarray(quant4.int4_matmul(x, pk, sj, impl="pallas"),
+                           np.float32)
+            ref = np.asarray(quant4._matmul_xla(x, pk, sj), np.float32)
+            rel = np.abs(y - ref).max() / np.abs(ref).max()
+            assert rel < 0.02, (tag, m, k, n, rel)
     # dx through the custom VJP matches the dequantized dense gradient
     x = jnp.asarray(rng.normal(size=(8, 1024)), jnp.bfloat16)
     w = rng.normal(size=(1024, 512)).astype(np.float32) * 0.02
