@@ -92,8 +92,11 @@ def _gen_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--draft-layers", type=int, default=0,
                    help="self-speculative decoding: draft with the "
                         "target's own first N layers, verify --n-draft "
-                        "proposals per target pass (token-identical, "
-                        "greedy-only: needs --temperature 0)")
+                        "proposals per target pass. Static path is "
+                        "token-identical and greedy-only (--temperature "
+                        "0); with --engine or serve, greedy requests "
+                        "speculate (token-identical) while sampled ones "
+                        "decode one token per tick")
     p.add_argument("--n-draft", type=int, default=4,
                    help="speculative proposals per verify pass "
                         "(--draft-layers only)")
@@ -328,9 +331,6 @@ def cmd_annotate(args) -> None:
     # BEFORE the (potentially multi-GB, minutes-long) model load
     seq_mesh = _seq_mesh(args)
     use_engine = getattr(args, "engine", False)
-    if use_engine and getattr(args, "draft_layers", 0):
-        raise SystemExit("--draft-layers runs on the static generate path "
-                         "only (drop --engine)")
     specs = _adapter_specs(args)
     if (specs or getattr(args, "use_adapter", None)) and not use_engine:
         raise SystemExit("--adapter/--use-adapter need --engine (the "
@@ -389,9 +389,6 @@ def cmd_annotate_all(args) -> None:
 
     seq_mesh = _seq_mesh(args)   # validate the flag conflicts pre-load
     use_engine = getattr(args, "engine", False)
-    if use_engine and getattr(args, "draft_layers", 0):
-        raise SystemExit("--draft-layers runs on the static generate path "
-                         "only (drop --engine)")
     specs = _adapter_specs(args)
     if (specs or getattr(args, "map", None)) and not use_engine:
         raise SystemExit("--adapter/--map need --engine")
@@ -451,9 +448,6 @@ def cmd_mcq(args) -> None:
 
     seq_mesh = _seq_mesh(args)   # validate the flag conflicts pre-load
     use_engine = getattr(args, "engine", False)
-    if use_engine and getattr(args, "draft_layers", 0):
-        raise SystemExit("--draft-layers runs on the static generate path "
-                         "only (drop --engine)")
     specs = _adapter_specs(args)
     if (specs or getattr(args, "use_adapter", None)) and not use_engine:
         raise SystemExit("--adapter/--use-adapter need --engine")
@@ -808,7 +802,11 @@ def cmd_serve(args) -> None:
         chunk_prefill=getattr(args, "chunk_prefill", None),
         adapter_capacity=slots,
         cache_system_prefix=getattr(args, "cache_system_prefix", False),
-        max_queue=getattr(args, "max_queue", None))
+        max_queue=getattr(args, "max_queue", None),
+        # self-speculative continuous batching: greedy requests advance up
+        # to --n-draft tokens per verify pass (sampled ones one per tick)
+        draft_layers=getattr(args, "draft_layers", 0) or None,
+        spec_k=getattr(args, "n_draft", 4))
     # pre-compile every admission shape + the decode step BEFORE accepting
     # traffic; otherwise first requests hit minutes-long jit compiles that
     # stall the queue and trip client timeouts

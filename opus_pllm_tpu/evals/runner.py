@@ -334,7 +334,7 @@ def _engine_generate(params, cfg: OpusConfig, tokenizer, prompts, sequences,
     # (repeats of a set always do). Keyed on everything that shapes the
     # compiled steps; the caller guarantees params/bank are constant.
     ck = (buckets, max_len, max_slots, steps_per_tick, gen.quantize_cache,
-          mesh is not None)
+          mesh is not None, gen.draft_layers, gen.n_draft)
     eng = engine_cache.get(ck) if engine_cache is not None else None
     if eng is None:
         eng = ServingEngine(
@@ -342,7 +342,10 @@ def _engine_generate(params, cfg: OpusConfig, tokenizer, prompts, sequences,
             max_len=max_len,
             prefill_buckets=buckets, steps_per_tick=steps_per_tick,
             quantize_cache=gen.quantize_cache, seed=gen.seed,
-            lora_bank=lora_bank, mesh=mesh)
+            lora_bank=lora_bank, mesh=mesh,
+            # self-speculative serving: greedy eval runs (the T=0 parity
+            # lane) advance up to n_draft tokens per verify pass
+            draft_layers=gen.draft_layers or None, spec_k=gen.n_draft)
         if engine_cache is not None:
             engine_cache[ck] = eng
     else:

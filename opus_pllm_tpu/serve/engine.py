@@ -152,7 +152,8 @@ class ServingEngine:
                  steps_per_tick: int = 1, admit_min_free: int = 1,
                  lora_bank=None, lora_scale: float = 1.0, mesh=None,
                  chunk_prefill: Optional[int] = None,
-                 adapter_capacity: Optional[int] = None):
+                 adapter_capacity: Optional[int] = None,
+                 draft_layers: Optional[int] = None, spec_k: int = 4):
         # tensor-parallel serving: with a mesh, params shard per the
         # partition rules ("model"-axis Megatron col/row splits) and the
         # KV cache shards over its heads axis; the compiled steps then run
@@ -259,7 +260,20 @@ class ServingEngine:
         # no host-side mutation intervenes — admissions/cancel reset it)
         self._pending: deque = deque()
         self._dev_packed = None
-        self._decode = self._build_decode_step()
+        # self-speculative continuous batching (serve --draft-layers N):
+        # greedy slots advance up to spec_k tokens per verify pass
+        self.draft_layers = int(draft_layers) if draft_layers else 0
+        self.spec_k = int(spec_k)
+        if self.draft_layers:
+            if not 0 < self.draft_layers < cfg.num_layers:
+                raise ValueError(
+                    f"draft_layers must be in [1, {cfg.num_layers - 1}] "
+                    f"(decoder has {cfg.num_layers} layers), "
+                    f"got {self.draft_layers}")
+            if self.spec_k < 2:
+                raise ValueError(f"spec_k must be >= 2, got {self.spec_k}")
+        self._decode = (self._build_spec_decode_step() if self.draft_layers
+                        else self._build_decode_step())
         self._prefills: Dict[Any, Any] = {}
         self._prefixes: Dict[Any, Dict[str, Any]] = {}
         # chunked prefill: prompts longer than the largest bucket admit in
@@ -524,6 +538,172 @@ class ServingEngine:
                 last2.astype(f32), rem2.astype(f32), eos2.astype(f32),
                 temp2, packed[6], top2])
             return carry[0], packed_out, toks          # toks (K, B)
+
+        return step
+
+    def _build_spec_decode_step(self):
+        """Self-speculative decode tick (`draft_layers=N`, `spec_k=K`).
+
+        Each of the `steps_per_tick` iterations runs draft-then-verify:
+
+        * **Draft**: the target's own first N layers (infer/speculative.py
+          `draft_from_target` — layer-skip self-speculation, no extra
+          weights) greedily propose K-1 tokens. Because draft and target
+          share layers 0..N-1 *and their weights*, the big cache's first
+          N layers already hold the draft's KV for every verified token —
+          the draft only needs a READ-ONLY slice of them plus a small
+          scan-carried sub-cache for its own in-flight proposals, which is
+          DISCARDED after the iteration (the verify pass recomputes those
+          positions' KV for all layers anyway).
+        * **Verify**: ONE target forward over the K-token chunk
+          [last_token, d_1..d_{K-1}] at per-row positions, writing all K
+          positions' KV into the big cache. Greedy rows (T=0) emit the
+          longest verified prefix + 1 — TOKEN-IDENTICAL to plain greedy
+          decode by construction, the draft only affects speed. Sampled
+          rows (T>0) emit exactly one token from the chunk's position-0
+          logits, which ARE the plain decode logits, so mixed batches
+          stay correct. Rejected drafts leave stale KV beyond each row's
+          length; the per-row masks exclude it and later writes overwrite
+          it — the same slot discipline as plain decode ticks.
+
+        Per-row acceptance (not the static path's batch-uniform minimum):
+        the serving cache already scatters at per-row indices, so each
+        slot advances by its own accepted count. The tick returns
+        (tokens (S, K, B), consumed (S, B)); the host applies the
+        device-computed consumption directly (_process_spec_tick).
+        Beyond-parity: the reference decodes strictly one token per
+        forward (opus_llama.py:96-132)."""
+        cfg = self.cfg
+        L = self.max_len
+        K = self.spec_k
+        N = self.draft_layers
+        S = self.steps_per_tick
+        dcfg = dataclasses.replace(cfg, num_layers=N)
+
+        def first_n(tree):
+            """First-N-layers view of a {layers|layers_stacked: ...} tree
+            (works for quantized leaves and LoRA banks alike)."""
+            if tree is None:
+                return None
+            out = {k: v for k, v in tree.items()
+                   if k not in ("layers", "layers_stacked")}
+            if "layers_stacked" in tree:
+                out["layers_stacked"] = jax.tree.map(
+                    lambda a: a[:N], tree["layers_stacked"])
+            else:
+                out["layers"] = tree["layers"][:N]
+            return out
+
+        def spec_one(params, dparams, la, dla, carry, key):
+            (cache, active, length, last_token, remaining, eos, temp,
+             top_ps) = carry
+            b = length.shape[0]
+
+            # --- draft: K-1 greedy proposals over a read-only slice ----
+            # (the cache keys "layers" for BOTH layouts: a list per layer,
+            # or a dict of leaves with a leading layer axis when stacked)
+            lay = cache["layers"]
+            dlay = (lay[:N] if isinstance(lay, list)
+                    else jax.tree.map(lambda a: a[:N], lay))
+            dcache0 = dict(cache, layers=dlay,
+                           index=jnp.where(active, length, L))
+
+            def dstep(c, j):
+                dc, tok = c
+                emb = decoder.embed_tokens(params, jnp.maximum(tok, 0)
+                                           ).astype(cfg.jnp_dtype)[:, None]
+                pos = (length + j)[:, None]
+                valid = (jnp.arange(L)[None, :] <= (length + j)[:, None])
+                dc = dict(dc, index=jnp.where(active, length + j, L))
+                lg, dc = decoder.forward(
+                    dparams, dcfg, emb, pos, valid[:, None, None, :],
+                    cache=dc, lora=dla, lora_scale=self.lora_scale,
+                    ntk_ctx=L)
+                nxt = jnp.argmax(lg[:, -1].astype(jnp.float32),
+                                 axis=-1).astype(jnp.int32)
+                return (dc, nxt), nxt
+
+            (_, _), props = jax.lax.scan(dstep, (dcache0, last_token),
+                                         jnp.arange(K - 1))
+            props = props.transpose(1, 0)                      # (B, K-1)
+
+            # --- verify: one K-token target forward ---------------------
+            chunk = jnp.concatenate([last_token[:, None], props], axis=1)
+            emb = decoder.embed_tokens(params, jnp.maximum(chunk, 0)
+                                       ).astype(cfg.jnp_dtype)
+            pos = length[:, None] + jnp.arange(K)[None, :]
+            cols = jnp.arange(L)[None, None, None, :]
+            rows = jnp.arange(K)[None, None, :, None]
+            # chunk row j attends [0, length + j]: the verified prefix
+            # plus the chunk slots this forward writes before attending
+            mask4 = cols <= (length[:, None, None, None] + rows)
+            cache = dict(cache, index=jnp.where(active, length, L))
+            logits, cache = decoder.forward(
+                params, cfg, emb, pos, mask4, cache=cache, lora=la,
+                lora_scale=self.lora_scale, ntk_ctx=L)
+            lg = logits.astype(jnp.float32)                    # (B, K, V)
+            v = jnp.argmax(lg, axis=-1).astype(jnp.int32)      # (B, K)
+            sampled0 = sample_token_rows(lg[:, 0], key, temp, top_ps)
+            greedy = temp <= 0.0
+
+            # --- per-row acceptance + emission --------------------------
+            match = props == v[:, :K - 1]
+            a_row = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                            axis=1)                            # 0..K-1
+            n_emit = jnp.where(greedy, a_row + 1, 1)
+            emit = v.at[:, 0].set(jnp.where(greedy, v[:, 0], sampled0))
+            # finish within the emitted prefix: same per-step rule as
+            # plain decode (remaining -= 1; done on eos or budget)
+            j1 = jnp.arange(1, K + 1)[None, :]
+            in_emit = j1 <= n_emit[:, None]
+            eos_hit = (emit == eos[:, None]) & in_emit
+            budget_out = ((remaining[:, None] - j1) <= 0) & in_emit
+            finish = eos_hit | budget_out
+            any_fin = jnp.any(finish, axis=1)
+            first_fin = jnp.argmax(finish, axis=1)
+            consumed = jnp.where(any_fin, first_fin + 1, n_emit)
+            consumed = jnp.where(active, consumed, 0)
+            length = length + consumed
+            remaining = remaining - consumed
+            last_token = jnp.where(
+                consumed > 0,
+                emit[jnp.arange(b), jnp.maximum(consumed - 1, 0)],
+                last_token)
+            active = active & ~any_fin
+            cache = dict(cache, index=jnp.where(active, length, L))
+            return (cache, active, length, last_token, remaining, eos,
+                    temp, top_ps), (emit.transpose(1, 0), consumed)
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(params, cache, packed, key, bank):
+            active = packed[0] > 0
+            length = packed[1].astype(jnp.int32)
+            last_token = packed[2].astype(jnp.int32)
+            remaining = packed[3].astype(jnp.int32)
+            eos = packed[4].astype(jnp.int32)
+            temp = packed[5]
+            la = self._gather_lora(bank, packed[6].astype(jnp.int32))
+            top_ps = packed[7]
+            dparams = first_n(params)
+            dla = first_n(la)
+            cache = dict(cache, index=jnp.where(active, length, L))
+            carry = (cache, active, length, last_token, remaining, eos,
+                     temp, top_ps)
+            if S == 1:
+                carry, (toks, cons) = spec_one(params, dparams, la, dla,
+                                               carry, key)
+                toks, cons = toks[None], cons[None]
+            else:
+                carry, (toks, cons) = jax.lax.scan(
+                    lambda c, k: spec_one(params, dparams, la, dla, c, k),
+                    carry, jax.random.split(key, S))
+            f32 = jnp.float32
+            (_, active2, length2, last2, rem2, eos2, temp2, top2) = carry
+            packed_out = jnp.stack([
+                active2.astype(f32), length2.astype(f32),
+                last2.astype(f32), rem2.astype(f32), eos2.astype(f32),
+                temp2, packed[6], top2])
+            return carry[0], packed_out, (toks, cons)  # (S,K,B), (S,B)
 
         return step
 
@@ -1051,7 +1231,7 @@ class ServingEngine:
         if self._pending:
             rem = st["remaining"][:self.max_slots][
                 st["active"][:self.max_slots]]
-            if rem.size and (rem - self._inflight_steps() <= 0).all():
+            if rem.size and (rem - self._inflight_steps_min() <= 0).all():
                 # every active slot has certainly exhausted its budget in
                 # the in-flight ticks: another dispatch would be pure waste
                 self._drain_pending()
@@ -1062,16 +1242,29 @@ class ServingEngine:
         self.cache, self._dev_packed, toks = self._decode(
             self.params, self.cache, self._packed_in(), k, self._lora_bank)
         self._tick += 1
-        self._pending.append(("tick", toks))
+        self._pending.append(("stick" if self.draft_layers else "tick",
+                              toks))
         while len(self._pending) > 1:                  # depth-1 pipeline
             self._process_one(self._pending.popleft())
         out, self._completions = self._completions, []
         return out
 
+    def _inflight_ticks(self) -> int:
+        return sum(1 for e in self._pending if e[0] in ("tick", "stick"))
+
     def _inflight_steps(self) -> int:
-        """Decode steps dispatched but not yet host-processed."""
-        return self.steps_per_tick * sum(1 for e in self._pending
-                                         if e[0] == "tick")
+        """Upper bound of tokens the dispatched-but-unprocessed ticks may
+        consume per slot (spec ticks emit up to spec_k per iteration) —
+        for `may_free`: a slot MAY have finished in flight."""
+        per = self.steps_per_tick * (self.spec_k if self.draft_layers
+                                     else 1)
+        return per * self._inflight_ticks()
+
+    def _inflight_steps_min(self) -> int:
+        """Guaranteed tokens per still-active slot across the in-flight
+        ticks (spec iterations emit AT LEAST one) — for the dispatch-waste
+        check: `remaining <= this` proves the slot finishes in flight."""
+        return self.steps_per_tick * self._inflight_ticks()
 
     def _drain_pending(self) -> None:
         """Process every in-flight decode tick / deferred admission so the
@@ -1083,6 +1276,8 @@ class ServingEngine:
     def _process_one(self, entry) -> None:
         if entry[0] == "admit":
             self._process_admit(entry[1], entry[2])
+        elif entry[0] == "stick":
+            self._process_spec_tick(entry[1])
         else:
             self._process_tick(entry[1])
 
@@ -1122,6 +1317,42 @@ class ServingEngine:
                     cb(delta)
             if fin:
                 self._finish(int(slot), "eos" if by_eos else "length")
+
+    def _process_spec_tick(self, tc) -> None:
+        """Apply a speculative tick's device-computed consumption: toks
+        (S, K, B) and consumed (S, B) — unlike _process_tick there is
+        nothing to reconstruct, the compiled step already applied the
+        per-step finish rule (eos/budget inside each accepted prefix) and
+        reported how many tokens each row actually emitted."""
+        toks, cons = tc
+        toks_h = np.asarray(toks)                      # the per-tick fetch
+        cons_h = np.asarray(cons).astype(np.int64)
+        st = self.state
+        B = self.max_slots
+        for s in range(toks_h.shape[0]):
+            T = toks_h[s, :, :B]                       # (K, B)
+            C = cons_h[s, :B]
+            idx = np.flatnonzero(C > 0)
+            if idx.size == 0:
+                continue
+            st["remaining"][idx] -= C[idx]
+            st["length"][idx] += C[idx]
+            st["last_token"][idx] = T[C[idx] - 1, idx]
+            for slot in idx:
+                c = int(C[slot])
+                new = T[:c, slot].tolist()
+                self._slot_tokens[slot].extend(new)
+                # the device stops each row's emission at the FIRST finish
+                # condition, so eos can only sit at the last consumed slot
+                by_eos = new[-1] == st["eos"][slot]
+                fin = by_eos or st["remaining"][slot] <= 0
+                cb = self._slot_req[slot].on_tokens
+                if cb is not None:
+                    delta = new[:-1] if by_eos else new   # never stream EOS
+                    if delta:
+                        cb(delta)
+                if fin:
+                    self._finish(int(slot), "eos" if by_eos else "length")
 
     @property
     def adapters(self) -> tuple:

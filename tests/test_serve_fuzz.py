@@ -54,7 +54,11 @@ def _oneshot(params, cfg, emb, max_new, prefix_emb=None):
     return done[0].tokens
 
 
-def test_fuzz_mixed_traffic_token_identical(setup):
+@pytest.mark.parametrize("spec", [False, True], ids=["plain", "spec"])
+def test_fuzz_mixed_traffic_token_identical(setup, spec):
+    """spec=True runs the same storm through the self-speculative engine
+    (draft_layers=1): greedy traffic must stay token-identical under
+    variable per-row acceptance interleaved with admissions/cancels."""
     cfg, params, lcfg, adapters = setup
     s = lora_mod.scaling(lcfg)
     rng = np.random.default_rng(42)
@@ -79,7 +83,8 @@ def test_fuzz_mixed_traffic_token_identical(setup):
     eng = ServingEngine(params, cfg, max_slots=4, max_len=160,
                         prefill_buckets=(16, 32, 64), steps_per_tick=2,
                         lora_bank=adapters, lora_scale=s,
-                        chunk_prefill=16, adapter_capacity=3)
+                        chunk_prefill=16, adapter_capacity=3,
+                        draft_layers=1 if spec else None, spec_k=3)
     eng.register_prefix("sys", embeds=prefix_emb)
 
     done = {}
