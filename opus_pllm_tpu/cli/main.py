@@ -277,7 +277,12 @@ def _build(args):
         params, _ = builder.load_pretrained(
             args.model_base, args.weights, cfg, esm_path=args.esm,
             quantize="int4" if getattr(args, "load_int4", False)
-            else "int8" if getattr(args, "load_int8", False) else None)
+            else "int8" if getattr(args, "load_int8", False) else None,
+            # training dequantizes through XLA every fwd/bwd, where the
+            # v1 byte layout wins (2500 vs 2021 tok/s 8B LoRA B=8);
+            # decode/serving gets the v2 magic-bitcast kernel (1.2x)
+            int4_layout=("v1" if getattr(args, "cmd", "").startswith(
+                "train") else "auto"))
     # stacked layers -> lax.scan: one-layer compiles for the 32/33-deep
     # stacks; --unroll-layers trades compile time for 12-19% decode
     # throughput at 8B scale (BENCH_NOTES.md round 2)
@@ -806,7 +811,8 @@ def cmd_serve(args) -> None:
         # self-speculative continuous batching: greedy requests advance up
         # to --n-draft tokens per verify pass (sampled ones one per tick)
         draft_layers=getattr(args, "draft_layers", 0) or None,
-        spec_k=getattr(args, "n_draft", 4))
+        spec_k=getattr(args, "n_draft", 4),
+        spec_adaptive=not getattr(args, "no_spec_adaptive", False))
     # pre-compile every admission shape + the decode step BEFORE accepting
     # traffic; otherwise first requests hit minutes-long jit compiles that
     # stall the queue and trip client timeouts
@@ -958,6 +964,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "lora_adapter/); requests select one with "
                          '{"adapter": NAME} — the ablation protocol\'s '
                          "per-task adapters served concurrently")
+    sv.add_argument("--no-spec-adaptive", action="store_true",
+                    help="with --draft-layers: always speculate instead "
+                         "of falling back to plain decode ticks when the "
+                         "measured acceptance stops covering the draft "
+                         "cost (the adaptive default)")
     sv.add_argument("--chunk-prefill", type=int, default=None,
                     metavar="C",
                     help="admit prompts longer than the largest prefill "

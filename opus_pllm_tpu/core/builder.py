@@ -174,6 +174,7 @@ def load_pretrained(model_base: Optional[str], weights_dir: Optional[str],
                     cfg: OpusConfig, *, esm_path: Optional[str] = None,
                     lora_cfg: Optional[LoRAConfig] = None,
                     merge_lora: bool = True, quantize: Optional[str] = None,
+                    int4_layout: str = "auto",
                     dtype=jnp.bfloat16) -> Tuple[dict, Optional[dict]]:
     """Assemble the full params tree -> (params, unmerged_lora_or_None).
 
@@ -248,7 +249,10 @@ def load_pretrained(model_base: Optional[str], weights_dir: Optional[str],
         already = "kernel_p" in params["llm"]["layers"][0].get("q_proj", {})
         if not already:
             from ..kernels.quant4 import quantize_decoder4
-            params["llm"] = quantize_decoder4(params["llm"])
+            # int4_layout: "auto" -> v2 magic-bitcast words (decode fast
+            # path); "v1" -> nibble bytes (the QLoRA training-load layout,
+            # faster through the XLA dequant fwd/bwd — quant4.py)
+            params["llm"] = quantize_decoder4(params["llm"], int4_layout)
     elif quantize is not None:
         raise ValueError(f"unknown quantize mode: {quantize}")
     return params, unmerged

@@ -155,19 +155,29 @@ def unpack_int4_v2(packed):
     return (out.astype(xp.int32) - 8).astype(xp.int8)
 
 
-def quantize_linear4(p: Dict) -> Dict:
+def quantize_linear4(p: Dict, layout: str = "auto") -> Dict:
     """dense params {kernel, bias?} -> {kernel_p, gscale, bias?}.
 
     kernel_p dtype discriminates the storage layout: int32 = v2
-    magic-bitcast words (K % 512 == 0, the fast path), int8 = v1 nibble
-    bytes (K % 256 == 0). Returns None when the in-dim is not a multiple
-    of BK (caller should keep that projection int8/bf16 instead).
+    magic-bitcast words (K % 512 == 0), int8 = v1 nibble bytes
+    (K % 256 == 0). Returns None when the in-dim is not a multiple of BK
+    (caller should keep that projection int8/bf16 instead).
+
+    layout: "auto" picks v2 where the shape allows — the DECODE fast
+    path (1.15-1.22x over v1, BENCH_NOTES round 4). "v1" forces nibble
+    bytes: the TRAINING fast path — the QLoRA fwd/bwd dequantizes
+    through XLA (`_matmul_xla`), where v1's byte unpack beats v2's
+    word-shift chain (measured 2500 vs 2021 tok/s/chip, 8B int4-base
+    LoRA train B=8). "v2" forces words where possible.
     """
+    if layout not in ("auto", "v1", "v2"):
+        raise ValueError(f"layout must be auto/v1/v2, got {layout!r}")
     k = p["kernel"].shape[0]
     if k % BK != 0:
         return None
     q, s = quantize_grouped(p["kernel"])
-    packed = pack_int4_v2(q) if k % SUPER == 0 else pack_int4(q)
+    use_v2 = layout != "v1" and k % SUPER == 0
+    packed = pack_int4_v2(q) if use_v2 else pack_int4(q)
     out = {"kernel_p": packed, "gscale": s}
     if "bias" in p:
         out["bias"] = p["bias"]
@@ -395,17 +405,19 @@ def qdense4(p: Dict, x, *, impl: str = "auto"):
     return y
 
 
-def quantize_decoder4(params: Dict) -> Dict:
+def quantize_decoder4(params: Dict, layout: str = "auto") -> Dict:
     """Int4-quantize every large dense kernel in a decoder param tree.
 
     Embeddings and norms stay bf16; projections whose in-dim is not a
     multiple of BK (none in the supported families) stay unquantized.
     Mirrors quant.quantize_decoder, at half the weight bytes.
+    layout: see quantize_linear4 — "auto" (v2-where-possible, decode)
+    or "v1" (nibble bytes, the training-load layout).
     """
     from .quant import _QUANT_TARGETS
     out = dict(params)
     if "lm_head" in params:
-        q = quantize_linear4(params["lm_head"])
+        q = quantize_linear4(params["lm_head"], layout)
         if q is not None:
             out["lm_head"] = q
     out["layers"] = []
@@ -413,7 +425,7 @@ def quantize_decoder4(params: Dict) -> Dict:
         nlp = dict(lp)
         for t in _QUANT_TARGETS:
             if t in lp and "kernel" in lp[t]:
-                q = quantize_linear4(lp[t])
+                q = quantize_linear4(lp[t], layout)
                 if q is not None:
                     nlp[t] = q
         out["layers"].append(nlp)

@@ -153,7 +153,8 @@ class ServingEngine:
                  lora_bank=None, lora_scale: float = 1.0, mesh=None,
                  chunk_prefill: Optional[int] = None,
                  adapter_capacity: Optional[int] = None,
-                 draft_layers: Optional[int] = None, spec_k: int = 4):
+                 draft_layers: Optional[int] = None, spec_k: int = 4,
+                 spec_adaptive: bool = True):
         # tensor-parallel serving: with a mesh, params shard per the
         # partition rules ("model"-axis Megatron col/row splits) and the
         # KV cache shards over its heads axis; the compiled steps then run
@@ -272,8 +273,27 @@ class ServingEngine:
                     f"got {self.draft_layers}")
             if self.spec_k < 2:
                 raise ValueError(f"spec_k must be >= 2, got {self.spec_k}")
-        self._decode = (self._build_spec_decode_step() if self.draft_layers
-                        else self._build_decode_step())
+        self._decode = self._build_decode_step()
+        self._decode_spec = (self._build_spec_decode_step()
+                             if self.draft_layers else None)
+        # adaptive speculation: a spec iteration costs ~1 + (spec_k-1)*N/L
+        # target-weight passes, a plain step costs 1/token — speculation
+        # pays only while mean accepted tokens/iteration clears that
+        # ratio. The host tracks an EMA from the device-reported per-row
+        # consumption and falls back to plain ticks when the draft stops
+        # earning its keep (cold models, adversarial prompts), re-probing
+        # with one spec tick every `_spec_probe_every` plain ticks. Both
+        # compiled steps share the packed-state format, so switching per
+        # tick is free and composes with the depth-1 pipeline.
+        self.spec_adaptive = bool(spec_adaptive) and bool(self.draft_layers)
+        if self.draft_layers:
+            self._spec_threshold = 1.0 + ((self.spec_k - 1)
+                                          * self.draft_layers
+                                          / cfg.num_layers) + 0.05
+        self._spec_on = bool(self.draft_layers)
+        self._spec_ema: Optional[float] = None
+        self._spec_probe_every = 32
+        self._spec_probe_in = 0
         self._prefills: Dict[Any, Any] = {}
         self._prefixes: Dict[Any, Dict[str, Any]] = {}
         # chunked prefill: prompts longer than the largest bucket admit in
@@ -405,6 +425,13 @@ class ServingEngine:
         self.cache, _, _ = self._decode(self.params, self.cache,
                                         jnp.asarray(packed), k,
                                         self._lora_bank)
+        if self._decode_spec is not None:
+            # adaptive speculation switches per tick between the two
+            # compiled steps — both must be warm before traffic
+            self._key, k = jax.random.split(self._key)
+            self.cache, _, _ = self._decode_spec(
+                self.params, self.cache, jnp.asarray(packed), k,
+                self._lora_bank)
         # prefill calls no longer fetch their first tokens (deferred to
         # the drain), so force completion here: compile time must land in
         # warmup, not in the first serving tick
@@ -1238,16 +1265,28 @@ class ServingEngine:
                 out, self._completions = self._completions, []
                 return out
 
+        use_spec = self._spec_use_now()
         self._key, k = jax.random.split(self._key)
-        self.cache, self._dev_packed, toks = self._decode(
+        self.cache, self._dev_packed, toks = (
+            self._decode_spec if use_spec else self._decode)(
             self.params, self.cache, self._packed_in(), k, self._lora_bank)
         self._tick += 1
-        self._pending.append(("stick" if self.draft_layers else "tick",
-                              toks))
+        self._pending.append(("stick" if use_spec else "tick", toks))
         while len(self._pending) > 1:                  # depth-1 pipeline
             self._process_one(self._pending.popleft())
         out, self._completions = self._completions, []
         return out
+
+    def _spec_use_now(self) -> bool:
+        """Speculate this tick? Always when non-adaptive; when adaptive,
+        while acceptance has been earning its cost — with one probe tick
+        every _spec_probe_every plain ticks after a fall-back."""
+        if not self.draft_layers:
+            return False
+        if not self.spec_adaptive or self._spec_on:
+            return True
+        self._spec_probe_in -= 1
+        return self._spec_probe_in <= 0
 
     def _inflight_ticks(self) -> int:
         return sum(1 for e in self._pending if e[0] in ("tick", "stick"))
@@ -1335,6 +1374,9 @@ class ServingEngine:
             idx = np.flatnonzero(C > 0)
             if idx.size == 0:
                 continue
+            acc = float(C[idx].sum()) / idx.size       # tokens/iteration
+            self._spec_ema = (acc if self._spec_ema is None
+                              else 0.8 * self._spec_ema + 0.2 * acc)
             st["remaining"][idx] -= C[idx]
             st["length"][idx] += C[idx]
             st["last_token"][idx] = T[C[idx] - 1, idx]
@@ -1353,6 +1395,15 @@ class ServingEngine:
                         cb(delta)
                 if fin:
                     self._finish(int(slot), "eos" if by_eos else "length")
+        if self.spec_adaptive and self._spec_ema is not None:
+            on = self._spec_ema >= self._spec_threshold
+            if not on:
+                # falling back (or a failed probe): forget the stale EMA
+                # so the next probe tick is judged on its own acceptance,
+                # and restart the probe countdown
+                self._spec_ema = None
+                self._spec_probe_in = self._spec_probe_every
+            self._spec_on = on
 
     @property
     def adapters(self) -> tuple:

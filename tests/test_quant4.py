@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from opus_pllm_tpu.kernels import quant4
 from opus_pllm_tpu.models import decoder
@@ -42,6 +43,38 @@ def test_quantize_linear4_picks_v2_for_512_multiples():
     assert p512["kernel_p"].dtype == np.int32          # v2
     p256 = quant4.quantize_linear4({"kernel": _rand_weight(rng, 256, 128)})
     assert p256["kernel_p"].dtype == np.int8           # v1
+
+
+def test_quantize_linear4_layout_override():
+    """layout='v1' forces nibble bytes even on 512-multiples (the
+    training-load layout: XLA dequant fwd/bwd is faster on bytes —
+    BENCH_NOTES round 4); both layouts dequantize to the same weights."""
+    rng = np.random.default_rng(80)
+    w = _rand_weight(rng, 512, 128)
+    pv1 = quant4.quantize_linear4({"kernel": w}, layout="v1")
+    pv2 = quant4.quantize_linear4({"kernel": w}, layout="auto")
+    assert pv1["kernel_p"].dtype == np.int8
+    assert pv2["kernel_p"].dtype == np.int32
+    np.testing.assert_array_equal(
+        np.asarray(quant4.unpack_int4(jnp.asarray(pv1["kernel_p"]))),
+        np.asarray(quant4.unpack_int4_v2(jnp.asarray(pv2["kernel_p"]))))
+    with pytest.raises(ValueError, match="layout"):
+        quant4.quantize_linear4({"kernel": w}, layout="v3")
+
+
+def test_quantize_decoder4_layout_threads_through():
+    import jax
+
+    from opus_pllm_tpu.core.config import DecoderConfig
+    from opus_pllm_tpu.models import decoder as dec
+    cfg = DecoderConfig(family="llama", vocab_size=64, hidden_size=512,
+                        intermediate_size=512, num_layers=1, num_heads=4,
+                        num_kv_heads=2, head_dim=128, dtype="float32")
+    params = dec.init(jax.random.PRNGKey(0), cfg)
+    v1 = quant4.quantize_decoder4(params, "v1")
+    auto = quant4.quantize_decoder4(params)
+    assert v1["layers"][0]["q_proj"]["kernel_p"].dtype == np.int8
+    assert auto["layers"][0]["q_proj"]["kernel_p"].dtype == np.int32
 
 
 def test_int4_matmul_v2_xla_matches_dequantized():

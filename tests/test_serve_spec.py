@@ -219,6 +219,61 @@ def test_steps_per_tick(tiny):
         assert spec[i].tokens == plain[i].tokens, i
 
 
+def test_adaptive_falls_back_on_low_acceptance(tiny):
+    """Random weights accept ~1/vocab of proposals (~1.0 tokens/iter);
+    the adaptive engine must fall back to plain ticks (the EMA drops
+    under the 1 + (K-1)*N/L cost threshold) while staying
+    token-identical."""
+    cfg, params = tiny
+    mk = lambda: [_mk(i, cfg, 90 + i, 5, 20) for i in range(2)]
+    plain, _ = _run(params, cfg, mk())
+    spec, eng = _run(params, cfg, mk(), draft_layers=1, spec_k=4)
+    assert eng.spec_adaptive
+    assert not eng._spec_on, "engine kept speculating at ~zero acceptance"
+    for i in range(2):
+        assert spec[i].tokens == plain[i].tokens, i
+
+
+def test_adaptive_stays_on_full_acceptance(tiny):
+    """Identity upper layers accept everything; the engine must keep
+    speculating."""
+    cfg, params = tiny
+    p2 = dict(params)
+    p2["layers"] = list(params["layers"][:1]) + [
+        {**lyr, "o_proj": {"kernel": jnp.zeros_like(lyr["o_proj"]["kernel"])},
+         "down_proj": {"kernel": jnp.zeros_like(lyr["down_proj"]["kernel"])}}
+        for lyr in params["layers"][1:]]
+    _, eng = _run(p2, cfg, [_mk("r", cfg, 5, 6, 20)], draft_layers=1,
+                  spec_k=4)
+    assert eng._spec_on
+    assert eng._spec_ema is not None and eng._spec_ema > 3.0
+
+
+def test_adaptive_probe_recovers(tiny):
+    """A fallen-back engine re-probes with one spec tick and turns
+    speculation back on when the probe's acceptance clears the bar."""
+    cfg, params = tiny
+    p2 = dict(params)
+    p2["layers"] = list(params["layers"][:1]) + [
+        {**lyr, "o_proj": {"kernel": jnp.zeros_like(lyr["o_proj"]["kernel"])},
+         "down_proj": {"kernel": jnp.zeros_like(lyr["down_proj"]["kernel"])}}
+        for lyr in params["layers"][1:]]
+    plain, _ = _run(p2, cfg, [_mk("r", cfg, 5, 6, 24)])
+    eng = ServingEngine(p2, cfg, max_slots=2, max_len=96,
+                        prefill_buckets=(16,), draft_layers=1, spec_k=4)
+    eng._spec_on = False           # simulate a prior fallback
+    eng._spec_probe_in = 2
+    eng.submit(_mk("r", cfg, 5, 6, 24))
+    out = {}
+    ticks = 0
+    while eng.busy and ticks < 300:
+        for c in eng.step():
+            out[c.request_id] = c
+        ticks += 1
+    assert eng._spec_on, "probe never re-enabled speculation"
+    assert out["r"].tokens == plain["r"].tokens
+
+
 def test_validation(tiny):
     cfg, params = tiny
     with pytest.raises(ValueError, match="draft_layers"):
