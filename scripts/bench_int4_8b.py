@@ -5,8 +5,10 @@ unfused vs fused qkv/gateup projections. Random packed bytes ARE valid
 int4 nibbles, so the 3.6 GB weight synth never materializes an unpacked
 int8 tree.
 """
-import sys, time
-sys.path.insert(0, "/root/repo")
+import pathlib
+import sys
+import time
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import jax, jax.numpy as jnp, numpy as np
 from opus_pllm_tpu.core.config import DecoderConfig
 from opus_pllm_tpu.infer import engine

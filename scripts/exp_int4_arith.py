@@ -12,8 +12,10 @@ coarser quantization groups (256 vs 128 rows).
     d = xl . w_bf + (xh - 16*xl) . hi_bf ;  acc += d * s[block]
 """
 import functools
-import sys, time
-sys.path.insert(0, "/root/repo")
+import pathlib
+import sys
+import time
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

@@ -8,8 +8,10 @@ Two measurements:
       short (64) and long (2048) prompts — the int4 cache's regime is
       KV-read-dominated decode.
 """
-import sys, time
-sys.path.insert(0, "/root/repo")
+import pathlib
+import sys
+import time
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import jax, jax.numpy as jnp, numpy as np
 from opus_pllm_tpu.core.config import DecoderConfig
 from opus_pllm_tpu.infer import engine
