@@ -93,7 +93,7 @@ def analyze(logdir, tag, top=25):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("which", nargs="?", default="both",
-                    choices=["xla", "flash", "both"])
+                    choices=["xla", "flash", "fused", "both", "all"])
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--seqlen", type=int, default=512)
     ap.add_argument("--outdir", default="/tmp/enc_traces")
@@ -104,12 +104,15 @@ def main():
     cfg, params, toks = build(args.batch, args.seqlen)
 
     runs = []
-    if args.which in ("both", "xla"):
+    if args.which in ("both", "xla", "all"):
         runs.append(("xla", jax.jit(
             lambda p, t: esm2.pooled_embedding(p, cfg, t, impl="xla"))))
-    if args.which in ("both", "flash"):
+    if args.which in ("both", "flash", "all"):
         runs.append(("flash", jax.jit(
             lambda p, t: esm2.pooled_embedding(p, cfg, t, impl="flash"))))
+    if args.which in ("fused", "all"):
+        runs.append(("fused", jax.jit(
+            lambda p, t: esm2.pooled_embedding(p, cfg, t, impl="fused"))))
 
     results = {}
     for tag, fn in runs:
