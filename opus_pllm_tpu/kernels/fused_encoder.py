@@ -336,6 +336,56 @@ def fused_ffn(x, w1, b1, w2, b2, ln_sb, *, eps: float = 1e-5,
     )(x, w1, b1_r, w2, b2_r, ln_r)
 
 
+def _out_proj_kernel(a_ref, w_ref, b_ref, x_ref, o_ref, *, n_pairs: int):
+    acc = x_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    a = a_ref[0]                                      # (HP, S, 128)
+    for g in range(n_pairs):
+        acc += jax.lax.dot_general(
+            a[g], w_ref[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (S,128)@(128,E)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+@jax.jit
+def fused_out_proj(a, w, b, x):
+    """x + unpack(a) @ w + b without materializing the (B, S, E) transpose.
+
+    a (B, HP, S, 128): flash_attention_pairs output (pair packing preserves
+    head order, so lanes of pair g are exactly embed columns
+    [g*128, (g+1)*128) — the contraction can run per pair-group directly
+    from the packed layout). w (E, E); b (E,) or None; x (B, S, E)
+    residual. The whole (E, E) weight sits in VMEM (3.3 MB at E=1280), so
+    the grid is just (B,) and each program issues HP (S,128)x(128,E) MXU
+    dots accumulated in fp32 — the XLA alternative round-trips the ~167 MB
+    (B, HP, S, 128) tensor through a relayout copy before the projection
+    GEMM can read it."""
+    bsz, hp, s, lanes = a.shape
+    e = w.shape[0]
+    assert lanes == LANES and hp * LANES == e
+    w_p = w.reshape(hp, LANES, e)
+    bias = b if b is not None else jnp.zeros((e,), w.dtype)
+    b_r = jnp.broadcast_to(bias[None, :], (8, e))
+    return pl.pallas_call(
+        functools.partial(_out_proj_kernel, n_pairs=hp),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, hp, s, LANES), lambda ib: (ib, 0, 0, 0)),
+            pl.BlockSpec((hp, LANES, e), lambda ib: (0, 0, 0)),
+            pl.BlockSpec((8, e), lambda ib: (0, 0)),
+            pl.BlockSpec((1, s, e), lambda ib: (ib, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, e), lambda ib: (ib, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * s * e * e,
+            bytes_accessed=(a.size + w.size + 2 * x.size) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(a, w_p, b_r, x)
+
+
 def pack_qkv_params(p_layer):
     """A layer's q/k/v projections in the (3, E, E) / (3, E) layout the
     fused kernel consumes. Handles all three layouts: separate
@@ -397,15 +447,22 @@ def fuse_encoder_params(params):
     return out
 
 
-def encoder_attention(p_layer, x, mask, cos, sin, *, eps: float = 1e-5):
-    """Full fused attention block: LN -> QKV -> rope -> flash -> (B, S, E)
-    ready for the output projection. mask: (B, 1, S, S) bool or None."""
-    b, s, e = x.shape
+def encoder_attention_packed(p_layer, x, mask, cos, sin, *,
+                             eps: float = 1e-5):
+    """LN -> QKV -> rope -> flash, returning the PAIR-PACKED (B, HP, S, 128)
+    flash output for fused_out_proj to consume without a transpose."""
     w, bias = pack_qkv_params(p_layer)
     ln = p_layer["attn_norm"]
     ln_sb = jnp.stack([ln["scale"], ln["bias"]])
     qkv = fused_ln_qkv_rope(x, w, bias, ln_sb, cos, sin, eps=eps)
-    o = flash_attention_pairs(qkv, mask)
+    return flash_attention_pairs(qkv, mask)
+
+
+def encoder_attention(p_layer, x, mask, cos, sin, *, eps: float = 1e-5):
+    """Full fused attention block: LN -> QKV -> rope -> flash -> (B, S, E)
+    ready for the output projection. mask: (B, 1, S, S) bool or None."""
+    b, s, e = x.shape
+    o = encoder_attention_packed(p_layer, x, mask, cos, sin, eps=eps)
     # (B, HP, S, 128) -> (B, S, E); pair packing preserves head order
     return o.transpose(0, 2, 1, 3).reshape(b, s, e)
 

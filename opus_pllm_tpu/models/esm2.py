@@ -118,8 +118,15 @@ def _block(p, cfg: ESM2Config, x, mask, cos, sin, impl):
         # measured 1.83x on the 650M encode (BENCH_NOTES.md round 2)
         from ..kernels import fused_encoder
 
-        a = fused_encoder.encoder_attention(p, x, mask, cos, sin)
-        x = x + dense(p["o_proj"], a)
+        a = fused_encoder.encoder_attention_packed(p, x, mask, cos, sin)
+        if "kernel" in p["o_proj"]:
+            # fused out-projection: consumes the pair-packed flash output
+            # directly (no (B, HP, S, 128) relayout), residual+bias inside
+            x = fused_encoder.fused_out_proj(
+                a, p["o_proj"]["kernel"], p["o_proj"].get("bias"), x)
+        else:  # quantized o_proj: fall back to the XLA transpose + qdense
+            x = x + dense(p["o_proj"],
+                          a.transpose(0, 2, 1, 3).reshape(b, s, e))
         ln2 = jnp.stack([p["ffn_norm"]["scale"], p["ffn_norm"]["bias"]])
         return fused_encoder.fused_ffn(
             x, p["fc1"]["kernel"], p["fc1"]["bias"],

@@ -102,6 +102,25 @@ def test_fused_ffn_matches_xla():
                                atol=2e-5, rtol=1e-5)
 
 
+def test_fused_out_proj_matches_xla():
+    """x + unpack(a) @ w + b from the packed (B, HP, S, 128) layout vs the
+    transpose/reshape + dense composition, bias present and absent."""
+    b, hp, s = 2, 3, 16
+    e = hp * 128
+    rng = np.random.default_rng(8)
+    a = jnp.asarray(rng.standard_normal((b, hp, s, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((e, e)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(e) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, s, e)), jnp.float32)
+    unpacked = a.transpose(0, 2, 1, 3).reshape(b, s, e)
+    for bb in (bias, None):
+        ref = x + unpacked @ w + (0.0 if bb is None else bb)
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_encoder.fused_out_proj(a, w, bb, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-5)
+
+
 def test_pair_packing_preserves_head_order():
     """(B, HP, S, 128).transpose.reshape must equal the (B, S, H*D)
     head-major layout the output projection expects."""
