@@ -90,13 +90,12 @@ def _prepare_inputs(tokenizer, prompts, sequences, *, prompt_bucket: int,
 def make_draft(params, cfg: OpusConfig, gen: GenerationConfig):
     """Build the self-speculative layer-skip draft ONCE per run (the
     stacked layout slices device arrays — per-batch rebuilds would copy).
-    Returns None when gen.draft_layers == 0; validates the greedy-only /
-    no-beams constraints of the speculative engine."""
+    Returns None when gen.draft_layers == 0; validates the no-beams
+    constraint of the speculative engine (greedy runs are token-identical
+    to plain generate; sampled runs are distribution-identical via
+    rejection-verified speculative sampling — infer/speculative.py)."""
     if gen.draft_layers <= 0:
         return None
-    if gen.do_sample:
-        raise ValueError("speculative decoding (--draft-layers) is "
-                         "greedy-only: set --temperature 0")
     if gen.num_beams > 1:
         raise ValueError("--draft-layers with beam search is unsupported")
     from ..infer import speculative
@@ -152,7 +151,9 @@ def _generate_spliced(params, cfg, tokenizer, ids, mask, esm_toks, gen,
                              "is unsupported (drop --seq-shards)")
         # self-speculative decode: the layer-skip draft shares the
         # target's embedding space, so the SAME spliced embeddings feed
-        # both (draft_from_target); token-identical to greedy generate
+        # both (draft_from_target); token-identical to greedy generate,
+        # distribution-identical to sampled generate (rejection-verified
+        # speculative sampling — the reference's default decode mode)
         from ..infer import speculative
         dparams, dcfg = draft
         out = speculative.speculative_generate(
@@ -160,6 +161,8 @@ def _generate_spliced(params, cfg, tokenizer, ids, mask, esm_toks, gen,
             sp.mask, pos, max_new_tokens=gen.max_new_tokens,
             n_draft=gen.n_draft, eos_token_id=gen.eos_token_id,
             pad_token_id=gen.pad_token_id,
+            temperature=gen.temperature if gen.do_sample else 0.0,
+            top_p=gen.top_p if gen.do_sample else 1.0, rng=rng,
             quantize_cache=gen.quantize_cache, impl=impl)
     elif seq_mesh is not None:
         # KV cache sharded over the ("seq",) mesh — ring prefill +
@@ -343,8 +346,10 @@ def _engine_generate(params, cfg: OpusConfig, tokenizer, prompts, sequences,
             prefill_buckets=buckets, steps_per_tick=steps_per_tick,
             quantize_cache=gen.quantize_cache, seed=gen.seed,
             lora_bank=lora_bank, mesh=mesh,
-            # self-speculative serving: greedy eval runs (the T=0 parity
-            # lane) advance up to n_draft tokens per verify pass
+            # self-speculative serving: greedy AND sampled eval runs
+            # (incl. the reference-default T=0.1/top_p=0.7 decode, via
+            # rejection-verified speculative sampling) advance up to
+            # n_draft tokens per verify pass
             draft_layers=gen.draft_layers or None, spec_k=gen.n_draft)
         if engine_cache is not None:
             engine_cache[ck] = eng

@@ -107,29 +107,53 @@ def sample_token(logits, key, temperature: float, top_p: float):
     return jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
 
 
+def warp_logits_rows(logits, temps, top_ps):
+    """Per-row temperature scaling + HF nucleus mask over (..., V) fp32
+    logits; temps/top_ps broadcast to logits.shape[:-1]. The SINGLE
+    definition of the sampling distribution: sample_token_rows draws a
+    categorical from it and warp_probs_rows softmaxes it, so the serving
+    engine's plain sampling and the speculative-sampling acceptance
+    ratios (serve spec decode) can never use different warps. The
+    full-vocab nucleus sort is gated behind a lax.cond so all-top_p=1
+    batches (greedy/temperature traffic) never pay for it.
+    """
+    shape = logits.shape[:-1]
+    t = jnp.broadcast_to(temps, shape)
+    tp = jnp.broadcast_to(top_ps, shape)
+    lg = logits.astype(jnp.float32) / jnp.maximum(t, 1e-6)[..., None]
+
+    def nucleus(lg):
+        probs = jax.nn.softmax(lg, axis=-1)
+        sp = jnp.sort(probs, axis=-1)[..., ::-1]
+        keep_mass = jnp.cumsum(sp, axis=-1) - sp
+        cutoff = jnp.sum((keep_mass < tp[..., None]).astype(jnp.int32),
+                         axis=-1)
+        kth = jnp.take_along_axis(sp, jnp.maximum(cutoff - 1, 0)[..., None],
+                                  axis=-1)
+        return jnp.where(probs >= kth, lg, -jnp.inf)
+
+    return jax.lax.cond(jnp.all(tp >= 1.0), lambda x: x, nucleus, lg)
+
+
+def warp_probs_rows(logits, temps, top_ps):
+    """The per-row sampling DISTRIBUTION (..., V) that sample_token_rows
+    draws from — softmax of the warped logits. Rejection-verified
+    speculative sampling computes its acceptance ratios p/q and residual
+    max(p - q, 0) from these, which is what makes its output
+    distribution-identical to plain sampling."""
+    return jax.nn.softmax(warp_logits_rows(logits, temps, top_ps), axis=-1)
+
+
 def sample_token_rows(logits, key, temps, top_ps):
     """Per-row temperature + nucleus sampling over (B, V) fp32 logits —
     the vector counterpart of sample_token for the serving engine's
     mixed-request batches (each slot carries its own T / top_p). Rows
     with temp <= 0 take the argmax; the nucleus mask matches
-    sample_token's HF semantics exactly (same construction), and the
-    full-vocab sort is gated behind a lax.cond so all-top_p=1 ticks
-    (greedy/temperature traffic) never pay for it.
+    sample_token's HF semantics exactly (same construction via
+    warp_logits_rows).
     """
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    lg = logits.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None]
-
-    def nucleus(lg):
-        probs = jax.nn.softmax(lg, axis=-1)
-        sp = jnp.sort(probs, axis=-1)[:, ::-1]
-        keep_mass = jnp.cumsum(sp, axis=-1) - sp
-        cutoff = jnp.sum((keep_mass < top_ps[:, None]).astype(jnp.int32),
-                         axis=-1)
-        kth = jnp.take_along_axis(sp, jnp.maximum(cutoff - 1, 0)[:, None],
-                                  axis=-1)
-        return jnp.where(probs >= kth, lg, -jnp.inf)
-
-    masked = jax.lax.cond(jnp.all(top_ps >= 1.0), lambda x: x, nucleus, lg)
+    masked = warp_logits_rows(logits, temps, top_ps)
     sampled = jax.random.categorical(key, masked).astype(jnp.int32)
     return jnp.where(temps > 0, sampled, greedy)
 

@@ -20,6 +20,15 @@ the host-device protocol is minimal:
   bucket and handled by ONE fused prefill+merge call: prefill the group
   as a sub-batch, scatter its cache rows into the free slots, sample
   each request's first token — one dispatch + one tiny fetch per group.
+* Admissions do NOT drain the decode pipeline: per-request _RowState
+  records + per-tick owner snapshots let a slot whose occupant provably
+  finishes within the in-flight ticks (budget exhaustion; an early EOS
+  only ends it sooner) be handed to the next request immediately
+  ("parking"). The prefill queues behind the in-flight ticks in device
+  program order and chains the device-resident packed state, so the
+  device never idles between admission waves — the wave-boundary drain
+  (~87 ms of fetch wait + round trip per wave) was the entire
+  serving-vs-static gap at round 4 (scripts/exp_serve_profile.py).
 * The host scheduler mirrors the device transition rules exactly
   (append -> budget decrement -> eos/budget finish), so it always knows
   every slot's length and never asks the device.
@@ -47,7 +56,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import DecoderConfig
-from ..infer.engine import sample_token_rows
+from ..infer.engine import sample_token_rows, warp_probs_rows
+from ..infer.speculative import accept_and_emit
 from ..models import decoder
 
 
@@ -83,6 +93,26 @@ class Completion:
     request_id: Any
     tokens: List[int]
     finish_reason: str          # "eos" | "length"
+
+
+class _RowState:
+    """Mutable per-REQUEST decode mirror: budget, eos id and emitted
+    tokens travel with the REQUEST, not the slot. Pending tick entries
+    snapshot {slot: _RowState} at dispatch, so a slot can be handed to
+    the next request while the previous occupant's final ticks are still
+    in flight (no-drain admission): each tick's tokens route to whoever
+    owned the slot when that tick was DISPATCHED, and the old request's
+    finish is detected from its own state when the tick drains."""
+
+    __slots__ = ("req", "remaining", "tokens", "parked", "done")
+
+    def __init__(self, req: ServeRequest):
+        self.req = req
+        self.remaining = req.max_new_tokens   # budget left incl. unfetched
+        self.tokens: List[int] = []
+        self.parked = False                   # slot reassigned; finish is
+        #                                       guaranteed within pending
+        self.done = False
 
 
 def _bucket(n: int, buckets: Tuple[int, ...]) -> int:
@@ -121,6 +151,20 @@ class LatencyHistogram:
     @property
     def mean(self) -> float:
         return self.sum / self.count if self.count else 0.0
+
+    def percentile(self, q: float) -> float:
+        """Upper-bound estimate of the q-quantile (0..1) from the bucket
+        counts — the resolution is the bucket bounds, exactly like a
+        Prometheus histogram_quantile."""
+        if not self.count:
+            return 0.0
+        target = q * self.count
+        cum = 0
+        for b, c in zip(self.bounds, self.counts):
+            cum += c
+            if cum >= target:
+                return b
+        return float("inf")
 
     def prometheus(self, name: str) -> List[str]:
         """Text-exposition lines (cumulative le buckets + sum + count)."""
@@ -238,7 +282,7 @@ class ServingEngine:
         self._tick = 0
         # monotonic counters for the /metrics observability surface
         self.counters = {"completions": 0, "tokens": 0, "prefills": 0,
-                         "cancelled": 0}
+                         "cancelled": 0, "parked": 0}
         # request latency, observed at the engine (covers the HTTP front
         # AND the engine-backed eval runners): queue_wait = submit ->
         # slot claim, ttft = submit -> first token, service_ttft = slot
@@ -253,8 +297,10 @@ class ServingEngine:
         self._t_claim: Dict[Any, float] = {}
 
         self._queue: deque[ServeRequest] = deque()
-        self._slot_req: Dict[int, ServeRequest] = {}
-        self._slot_tokens: Dict[int, List[int]] = {}
+        # live slot ownership; each tick entry snapshots this mapping at
+        # dispatch so token routing survives no-drain slot handover
+        self._slot_owner: Dict[int, _RowState] = {}
+        self._parked: List[_RowState] = []
         self._completions: List[Completion] = []
         # decode pipeline: token blocks of dispatched-but-unprocessed
         # ticks, and the latest tick's post-state ON DEVICE (valid while
@@ -262,7 +308,8 @@ class ServingEngine:
         self._pending: deque = deque()
         self._dev_packed = None
         # self-speculative continuous batching (serve --draft-layers N):
-        # greedy slots advance up to spec_k tokens per verify pass
+        # every slot — greedy AND sampled (rejection-verified speculative
+        # sampling) — advances up to spec_k tokens per verify pass
         self.draft_layers = int(draft_layers) if draft_layers else 0
         self.spec_k = int(spec_k)
         if self.draft_layers:
@@ -585,13 +632,21 @@ class ServingEngine:
         * **Verify**: ONE target forward over the K-token chunk
           [last_token, d_1..d_{K-1}] at per-row positions, writing all K
           positions' KV into the big cache. Greedy rows (T=0) emit the
-          longest verified prefix + 1 — TOKEN-IDENTICAL to plain greedy
-          decode by construction, the draft only affects speed. Sampled
-          rows (T>0) emit exactly one token from the chunk's position-0
-          logits, which ARE the plain decode logits, so mixed batches
-          stay correct. Rejected drafts leave stale KV beyond each row's
-          length; the per-row masks exclude it and later writes overwrite
-          it — the same slot discipline as plain decode ticks.
+          longest argmax-verified prefix + 1 — TOKEN-IDENTICAL to plain
+          greedy decode by construction. Sampled rows (T>0) run
+          rejection-verified speculative sampling (the reference's
+          default decode mode, run_opus_ddp.py:156-158: do_sample,
+          T=0.1/top_p=0.7): the draft PROPOSES from its own warped
+          distribution q_j, the verify pass accepts proposal j with
+          probability min(1, p_j(d_j)/q_j(d_j)) and emits a residual
+          sample norm(max(p_j - q_j, 0)) at the first rejection (a plain
+          p_{K-1} sample on full acceptance) — per position the emitted
+          token is distributed EXACTLY as plain sampling
+          (infer/speculative.accept_and_emit), so the draft only affects
+          speed for sampled rows too. Rejected drafts leave stale KV
+          beyond each row's length; the per-row masks exclude it and
+          later writes overwrite it — the same slot discipline as plain
+          decode ticks.
 
         Per-row acceptance (not the static path's batch-uniform minimum):
         the serving cache already scatters at per-row indices, so each
@@ -625,8 +680,13 @@ class ServingEngine:
             (cache, active, length, last_token, remaining, eos, temp,
              top_ps) = carry
             b = length.shape[0]
+            k_draft, k_acc = jax.random.split(key)
 
-            # --- draft: K-1 greedy proposals over a read-only slice ----
+            # --- draft: K-1 proposals over a read-only slice -----------
+            # greedy rows propose their argmax; sampled rows propose from
+            # the draft's own warped distribution q_j (same T/top_p warp
+            # as plain decode), which the verify pass needs for the
+            # rejection test — so q_j rides along in the scan output.
             # (the cache keys "layers" for BOTH layouts: a list per layer,
             # or a dict of leaves with a leading layer axis when stacked)
             lay = cache["layers"]
@@ -635,7 +695,8 @@ class ServingEngine:
             dcache0 = dict(cache, layers=dlay,
                            index=jnp.where(active, length, L))
 
-            def dstep(c, j):
+            def dstep(c, jk):
+                j, dk = jk
                 dc, tok = c
                 emb = decoder.embed_tokens(params, jnp.maximum(tok, 0)
                                            ).astype(cfg.jnp_dtype)[:, None]
@@ -646,13 +707,16 @@ class ServingEngine:
                     dparams, dcfg, emb, pos, valid[:, None, None, :],
                     cache=dc, lora=dla, lora_scale=self.lora_scale,
                     ntk_ctx=L)
-                nxt = jnp.argmax(lg[:, -1].astype(jnp.float32),
-                                 axis=-1).astype(jnp.int32)
-                return (dc, nxt), nxt
+                lgf = lg[:, -1].astype(jnp.float32)
+                nxt = sample_token_rows(lgf, dk, temp, top_ps)
+                q = warp_probs_rows(lgf, temp, top_ps)
+                return (dc, nxt), (nxt, q)
 
-            (_, _), props = jax.lax.scan(dstep, (dcache0, last_token),
-                                         jnp.arange(K - 1))
+            (_, _), (props, qs) = jax.lax.scan(
+                dstep, (dcache0, last_token),
+                (jnp.arange(K - 1), jax.random.split(k_draft, K - 1)))
             props = props.transpose(1, 0)                      # (B, K-1)
+            qs = qs.transpose(1, 0, 2)                         # (B, K-1, V)
 
             # --- verify: one K-token target forward ---------------------
             chunk = jnp.concatenate([last_token[:, None], props], axis=1)
@@ -670,15 +734,15 @@ class ServingEngine:
                 lora_scale=self.lora_scale, ntk_ctx=L)
             lg = logits.astype(jnp.float32)                    # (B, K, V)
             v = jnp.argmax(lg, axis=-1).astype(jnp.int32)      # (B, K)
-            sampled0 = sample_token_rows(lg[:, 0], key, temp, top_ps)
             greedy = temp <= 0.0
 
             # --- per-row acceptance + emission --------------------------
-            match = props == v[:, :K - 1]
-            a_row = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
-                            axis=1)                            # 0..K-1
-            n_emit = jnp.where(greedy, a_row + 1, 1)
-            emit = v.at[:, 0].set(jnp.where(greedy, v[:, 0], sampled0))
+            # greedy rows: longest argmax-matched prefix + argmax bonus;
+            # sampled rows: rejection-verified speculative sampling over
+            # the warped target distributions p_j (what plain decode
+            # samples from) — distribution-identical by construction
+            ps = warp_probs_rows(lg, temp[:, None], top_ps[:, None])
+            emit, n_emit = accept_and_emit(props, qs, v, ps, greedy, k_acc)
             # finish within the emitted prefix: same per-step rule as
             # plain decode (remaining -= 1; done on eos or budget)
             j1 = jnp.arange(1, K + 1)[None, :]
@@ -970,7 +1034,9 @@ class ServingEngine:
             st["temperature"][slot] = req.temperature
             st["top_p"][slot] = req.top_p
             st["adapter"][slot] = self._adapter_of(req)
-            self._slot_tokens[slot] = [tok]
+            rs = self._slot_owner[slot]
+            rs.tokens.append(tok)
+            rs.remaining -= 1
             if req.on_tokens is not None and tok != req.eos_token_id:
                 req.on_tokens([tok])
             if tok == req.eos_token_id:
@@ -1002,8 +1068,8 @@ class ServingEngine:
         """Work pending: queued requests, occupied slots, or unharvested
         completions (the server thread polls this to know whether step()
         would make progress)."""
-        return bool(self._queue or self._slot_req or self._completions
-                    or self._chunking)
+        return bool(self._queue or self._slot_owner or self._completions
+                    or self._chunking or self._pending)
 
     def submit(self, req: ServeRequest) -> None:
         """Validate eagerly — a request that cannot be served must fail
@@ -1071,24 +1137,25 @@ class ServingEngine:
                     Completion(request_id, [], "cancelled"))
                 self.counters["cancelled"] += 1
                 return True
-        for slot, req in self._slot_req.items():
-            if req.request_id == request_id:
-                toks = self._slot_tokens.pop(slot)
-                self._slot_req.pop(slot)
+        for slot, rs in self._slot_owner.items():
+            if rs.req.request_id == request_id:
+                self._slot_owner.pop(slot)
+                rs.done = True
                 self._chunking.pop(slot, None)   # mid-chunked-prefill
                 self._t_submit.pop(request_id, None)   # not observed
                 self._t_claim.pop(request_id, None)
                 self.state["active"][slot] = False
                 self.state["top_p"][slot] = 1.0
                 self._completions.append(
-                    Completion(request_id, toks, "cancelled"))
+                    Completion(request_id, rs.tokens, "cancelled"))
                 self.counters["cancelled"] += 1
                 return True
         return False
 
     def _free_slots(self) -> List[int]:
         return [i for i in range(self.max_slots)
-                if not self.state["active"][i] and i not in self._slot_req]
+                if not self.state["active"][i]
+                and i not in self._slot_owner]
 
     def _embed(self, req: ServeRequest) -> np.ndarray:
         if req.embeds is not None:
@@ -1096,11 +1163,54 @@ class ServingEngine:
         return np.asarray(decoder.embed_tokens(
             self.params, jnp.asarray(req.token_ids)[None])[0])
 
+    def _predicted_free(self) -> List[int]:
+        """Active slots whose occupant PROVABLY finishes within the
+        dispatched-but-unprocessed ticks: its mirror budget (which
+        excludes in-flight consumption) exhausts within the guaranteed
+        per-slot steps — an early EOS only finishes it sooner. These can
+        be handed to new requests WITHOUT draining the pipeline: the
+        device packed chain retires them on device before the prefill
+        (same stream, program order), and their final tokens route to
+        them when the old ticks drain (the owner snapshots)."""
+        st = self.state
+        g = self._inflight_steps_min()
+        if not g:
+            return []
+        out = []
+        for s in range(self.max_slots):
+            if (st["active"][s] and s not in self._chunking
+                    and st["remaining"][s] <= g):
+                rs = self._slot_owner.get(s)
+                if rs is not None and not rs.done:
+                    out.append(s)
+        return out
+
+    def _park(self, slot: int) -> None:
+        """Hand a provably-finishing slot over: the old occupant's state
+        keeps living in its _RowState (already snapshotted by the
+        in-flight tick entries); the slot's live mirror frees for the
+        next admission."""
+        rs = self._slot_owner.pop(slot)
+        rs.parked = True
+        self._parked.append(rs)
+        self.counters["parked"] += 1
+        self.state["active"][slot] = False
+        self.state["top_p"][slot] = 1.0
+
     def _admit(self) -> None:
         """Group queued requests by prompt bucket and admit each group
-        with one fused prefill+merge call."""
+        with one fused prefill+merge call. Slots whose occupants
+        provably finish in flight are handed over without a drain
+        (round-4 verdict weak #1: admission waves were the whole
+        serving-vs-static gap — ~87 ms/wave of drain wait + round trip
+        serialized between waves while the device sat idle)."""
         free = self._free_slots()
         want = min(self.admit_min_free, len(self._queue), self.max_slots)
+        if len(free) < want:
+            need = min(len(self._queue), self.max_slots) - len(free)
+            for slot in self._predicted_free()[:max(need, 0)]:
+                self._park(slot)
+                free.append(slot)
         if len(free) < want:
             return                      # wait for a fuller admission batch
         batch: List[Tuple[int, ServeRequest, np.ndarray, tuple]] = []
@@ -1116,8 +1226,7 @@ class ServingEngine:
                 # long prompt: claim the slot now, prefill it one chunk
                 # per tick (interleaved with decode) in _advance_chunks
                 slot = free.pop(0)
-                self._slot_req[slot] = req
-                self._slot_tokens[slot] = []
+                self._slot_owner[slot] = _RowState(req)
                 self._chunking[slot] = [req, emb, 0]
                 continue
             batch.append((free.pop(0), req, emb,
@@ -1168,25 +1277,30 @@ class ServingEngine:
             st["temperature"][slot] = req.temperature
             st["top_p"][slot] = req.top_p
             st["adapter"][slot] = self._adapter_of(req)
-            self._slot_req[slot] = req
-            self._slot_tokens[slot] = []
-            records.append((r, slot, req))
+            rs = _RowState(req)
+            self._slot_owner[slot] = rs
+            records.append((r, slot, rs))
         self._pending.append(("admit", first, records))
 
     def _process_admit(self, first, records) -> None:
         st = self.state
         first_h = np.asarray(first)
-        for r, slot, req in records:
+        for r, slot, rs in records:
+            if rs.done:                     # cancelled before the drain
+                continue
+            req = rs.req
             tok = int(first_h[r])
             self._observe_ttft(req)
-            st["last_token"][slot] = tok
-            self._slot_tokens[slot] = [tok]
+            if self._slot_owner.get(slot) is rs:
+                st["last_token"][slot] = tok
+            rs.tokens.append(tok)
+            rs.remaining -= 1
             if req.on_tokens is not None and tok != req.eos_token_id:
                 req.on_tokens([tok])
             if tok == req.eos_token_id:
-                self._finish(slot, "eos")
+                self._complete(rs, "eos", slot)
             elif req.max_new_tokens <= 1:
-                self._finish(slot, "length")
+                self._complete(rs, "length", slot)
 
     def _observe_ttft(self, req: ServeRequest) -> None:
         now = time.monotonic()
@@ -1198,8 +1312,14 @@ class ServingEngine:
             self.latency["service_ttft"].observe(now - tc)
 
     def _finish(self, slot: int, reason: str) -> None:
-        req = self._slot_req.pop(slot)
-        toks = self._slot_tokens.pop(slot)
+        self._complete(self._slot_owner[slot], reason, slot)
+
+    def _complete(self, rs: _RowState, reason: str, slot: int) -> None:
+        """Emit rs's completion; free the slot's live mirror iff rs
+        still owns it (a parked rs's slot already serves its successor)."""
+        rs.done = True
+        req = rs.req
+        toks = rs.tokens
         if reason == "eos" and toks and toks[-1] == req.eos_token_id:
             toks = toks[:-1]
         self._t_claim.pop(req.request_id, None)   # ttft may be unobserved
@@ -1209,10 +1329,12 @@ class ServingEngine:
         self._completions.append(Completion(req.request_id, toks, reason))
         self.counters["completions"] += 1
         self.counters["tokens"] += len(toks)
-        self.state["active"][slot] = False
-        # freed slots must not keep a <1 top_p: it would force the
-        # decode step's nucleus branch for every later all-greedy tick
-        self.state["top_p"][slot] = 1.0
+        if self._slot_owner.get(slot) is rs:
+            self._slot_owner.pop(slot)
+            self.state["active"][slot] = False
+            # freed slots must not keep a <1 top_p: it would force the
+            # decode step's nucleus branch for every later all-greedy tick
+            self.state["top_p"][slot] = 1.0
 
     def step(self) -> List[Completion]:
         """One scheduler tick: admit queued requests, push chunked
@@ -1232,26 +1354,31 @@ class ServingEngine:
         if self._chunking:
             self._drain_pending()
         elif self._queue and self._pending:
-            # admissions need an up-to-date free-slot picture — but
-            # draining EVERY tick while requests merely wait in the queue
-            # (no slot can free) would serialize the whole queue phase.
-            # Drain only when admission could actually proceed: enough
-            # free slots already, or an in-flight tick may have finished
-            # one (budget provably exhausted in flight, or EOS possible).
+            # admissions DON'T require draining: pending tick entries
+            # snapshot their owner mapping, so handing a free — or
+            # provably-finishing, parked — slot to a new request cannot
+            # misroute in-flight tokens, and the device packed chain
+            # keeps device state consistent on its own. Drain only when
+            # admission is blocked and an in-flight tick may have freed
+            # a slot in a way the mirror cannot predict (early EOS, or
+            # spec ticks consuming more than the guaranteed minimum).
             st0 = self.state
             want = min(self.admit_min_free, len(self._queue),
                        self.max_slots)
-            act = st0["active"][:self.max_slots]
-            may_free = bool(np.any(act & (
-                (st0["remaining"][:self.max_slots]
-                 <= self._inflight_steps())
-                | (st0["eos"][:self.max_slots] != -1))))
-            if len(self._free_slots()) >= want or may_free:
-                self._drain_pending()
+            if (len(self._free_slots()) + len(self._predicted_free())
+                    < want):
+                act = st0["active"][:self.max_slots]
+                may_free = bool(np.any(act & (
+                    (st0["remaining"][:self.max_slots]
+                     <= self._inflight_steps())
+                    | (st0["eos"][:self.max_slots] != -1))))
+                if may_free:
+                    self._drain_pending()
         self._admit()
         self._advance_chunks()
         st = self.state
-        if not self._slot_req or not np.any(st["active"][:self.max_slots]):
+        if not self._slot_owner \
+                or not np.any(st["active"][:self.max_slots]):
             self._drain_pending()
             out, self._completions = self._completions, []
             return out
@@ -1271,7 +1398,12 @@ class ServingEngine:
             self._decode_spec if use_spec else self._decode)(
             self.params, self.cache, self._packed_in(), k, self._lora_bank)
         self._tick += 1
-        self._pending.append(("stick" if use_spec else "tick", toks))
+        # owner snapshot: this tick's tokens belong to whoever holds the
+        # slot NOW, even if the slot is handed over before the fetch
+        owners = {s: rs for s, rs in self._slot_owner.items()
+                  if st["active"][s]}
+        self._pending.append(("stick" if use_spec else "tick", toks,
+                              owners))
         while len(self._pending) > 1:                  # depth-1 pipeline
             self._process_one(self._pending.popleft())
         out, self._completions = self._completions, []
@@ -1308,56 +1440,75 @@ class ServingEngine:
     def _drain_pending(self) -> None:
         """Process every in-flight decode tick / deferred admission so the
         host slot mirror is current. Must run before any host-side state
-        mutation."""
+        mutation. A parked request is guaranteed to finish within the
+        entries that were in flight when its slot was handed over — the
+        assertion makes a violated precondition loud instead of a hang."""
         while self._pending:
             self._process_one(self._pending.popleft())
+        if self._parked:
+            stuck = [rs.req.request_id for rs in self._parked
+                     if not rs.done]
+            assert not stuck, f"parked requests did not finish: {stuck}"
+            self._parked = []
 
     def _process_one(self, entry) -> None:
         if entry[0] == "admit":
             self._process_admit(entry[1], entry[2])
         elif entry[0] == "stick":
-            self._process_spec_tick(entry[1])
+            self._process_spec_tick(entry[1], entry[2])
         else:
-            self._process_tick(entry[1])
+            self._process_tick(entry[1], entry[2])
 
-    def _process_tick(self, toks) -> None:
-        st = self.state
+    def _apply_row(self, rs: _RowState, slot: int, new: List[int],
+                   by_eos: bool, fin: bool) -> None:
+        """Shared per-row bookkeeping for a processed tick: tokens,
+        live-mirror update (only while rs still owns the slot),
+        streaming callback, completion."""
+        rs.tokens.extend(new)
+        rs.remaining -= len(new)
+        if self._slot_owner.get(slot) is rs:
+            st = self.state
+            st["remaining"][slot] -= len(new)
+            st["length"][slot] += len(new)
+            st["last_token"][slot] = new[-1]
+        cb = rs.req.on_tokens
+        if cb is not None:
+            delta = new[:-1] if by_eos else new       # never stream EOS
+            if delta:
+                cb(delta)
+        if fin:
+            self._complete(rs, "eos" if by_eos else "length", slot)
+
+    def _process_tick(self, toks, owners) -> None:
+        """Mirror the device transitions against the tick's OWNER
+        SNAPSHOT: per row, tokens are consumed until the first finish
+        condition (eos hit or budget exhausted) — identical to the
+        device's per-step rule (one(): remaining -= 1; done = (nxt ==
+        eos) | (remaining <= 0)). Routing by snapshot keeps parked
+        requests' final tokens with THEM when their slot already serves
+        a successor."""
         toks_h = np.asarray(toks)                      # the per-tick fetch
+        K = toks_h.shape[0]
+        for slot, rs in owners.items():
+            if rs.done or rs.remaining <= 0:
+                continue                # finished in an earlier entry
+            eos = rs.req.eos_token_id
+            c, by_eos, fin = 0, False, False
+            rem = rs.remaining
+            for k in range(K):
+                tok = int(toks_h[k, slot])
+                c += 1
+                rem -= 1
+                if tok == eos:
+                    by_eos = fin = True
+                    break
+                if rem <= 0:
+                    fin = True
+                    break
+            self._apply_row(rs, slot, toks_h[:c, slot].tolist(),
+                            by_eos, fin)
 
-        # mirror the device transitions, vectorized over slots: per slot,
-        # tokens are consumed until the first finish condition (eos hit or
-        # budget exhausted) — identical to the device's per-step rule
-        # (one(): remaining -= 1; done = (nxt == eos) | (remaining <= 0))
-        K, B = toks_h.shape[0], self.max_slots
-        T = toks_h[:, :B]                              # (K, B)
-        act0 = st["active"][:B].copy()
-        eos_hit = T == st["eos"][None, :B]
-        budget_out = (st["remaining"][None, :B]
-                      - np.arange(1, K + 1)[:, None]) <= 0
-        finish = eos_hit | budget_out                  # (K, B)
-        any_fin = finish.any(axis=0)
-        first_fin = np.where(any_fin, finish.argmax(axis=0), K)
-        consumed = np.where(act0, np.minimum(first_fin + 1, K), 0)
-
-        idx = np.flatnonzero(consumed > 0)
-        st["remaining"][idx] -= consumed[idx]
-        st["length"][idx] += consumed[idx]
-        st["last_token"][idx] = T[consumed[idx] - 1, idx]
-        for slot in idx:
-            c = int(consumed[slot])
-            new = T[:c, slot].tolist()
-            self._slot_tokens[slot].extend(new)
-            fin = bool(any_fin[slot]) and first_fin[slot] < K
-            by_eos = fin and bool(eos_hit[first_fin[slot], slot])
-            cb = self._slot_req[slot].on_tokens
-            if cb is not None:
-                delta = new[:-1] if by_eos else new   # never stream EOS
-                if delta:
-                    cb(delta)
-            if fin:
-                self._finish(int(slot), "eos" if by_eos else "length")
-
-    def _process_spec_tick(self, tc) -> None:
+    def _process_spec_tick(self, tc, owners) -> None:
         """Apply a speculative tick's device-computed consumption: toks
         (S, K, B) and consumed (S, B) — unlike _process_tick there is
         nothing to reconstruct, the compiled step already applied the
@@ -1366,7 +1517,6 @@ class ServingEngine:
         toks, cons = tc
         toks_h = np.asarray(toks)                      # the per-tick fetch
         cons_h = np.asarray(cons).astype(np.int64)
-        st = self.state
         B = self.max_slots
         for s in range(toks_h.shape[0]):
             T = toks_h[s, :, :B]                       # (K, B)
@@ -1377,24 +1527,17 @@ class ServingEngine:
             acc = float(C[idx].sum()) / idx.size       # tokens/iteration
             self._spec_ema = (acc if self._spec_ema is None
                               else 0.8 * self._spec_ema + 0.2 * acc)
-            st["remaining"][idx] -= C[idx]
-            st["length"][idx] += C[idx]
-            st["last_token"][idx] = T[C[idx] - 1, idx]
             for slot in idx:
+                rs = owners.get(int(slot))
+                if rs is None or rs.done:
+                    continue
                 c = int(C[slot])
                 new = T[:c, slot].tolist()
-                self._slot_tokens[slot].extend(new)
                 # the device stops each row's emission at the FIRST finish
                 # condition, so eos can only sit at the last consumed slot
-                by_eos = new[-1] == st["eos"][slot]
-                fin = by_eos or st["remaining"][slot] <= 0
-                cb = self._slot_req[slot].on_tokens
-                if cb is not None:
-                    delta = new[:-1] if by_eos else new   # never stream EOS
-                    if delta:
-                        cb(delta)
-                if fin:
-                    self._finish(int(slot), "eos" if by_eos else "length")
+                by_eos = new[-1] == rs.req.eos_token_id
+                fin = by_eos or rs.remaining - c <= 0
+                self._apply_row(rs, int(slot), new, by_eos, fin)
         if self.spec_adaptive and self._spec_ema is not None:
             on = self._spec_ema >= self._spec_threshold
             if not on:
@@ -1457,9 +1600,10 @@ class ServingEngine:
         if name not in self._adapter_index:
             raise ValueError(f"unknown adapter {name!r} "
                              f"(serving: {sorted(self._adapter_index)})")
+        self._drain_pending()    # parked/in-flight rows must settle first
         in_use = (any(q.adapter_id == name for q in self._queue)
-                  or any(req.adapter_id == name
-                         for req in self._slot_req.values()))
+                  or any(rs.req.adapter_id == name
+                         for rs in self._slot_owner.values()))
         if in_use:
             raise ValueError(f"adapter {name!r} has queued or in-flight "
                              "requests; retry once they finish")
@@ -1481,7 +1625,7 @@ class ServingEngine:
             self.submit(r)
         done: Dict[Any, Completion] = {}
         ticks = 0
-        while (self._queue or self._slot_req) and (
+        while (self._queue or self._slot_owner) and (
                 max_ticks is None or ticks < max_ticks):
             for c in self.step():
                 done[c.request_id] = c

@@ -52,7 +52,8 @@ def identity_upper(params, n):
     return out
 
 
-def run(params, slots, draft_layers, spec_k, spt, label):
+def run(params, slots, draft_layers, spec_k, spt, label, temp=0.0,
+        top_p=1.0):
     eng = ServingEngine(params, cfg, max_slots=slots,
                         max_len=((P + NEW + 127) // 128) * 128,
                         prefill_buckets=(P,), steps_per_tick=spt,
@@ -62,7 +63,8 @@ def run(params, slots, draft_layers, spec_k, spt, label):
     eng.warmup()
     reqs = [ServeRequest(i, embeds=(rng.standard_normal(
         (P, cfg.hidden_size)) * 0.3).astype(np.float32),
-        max_new_tokens=NEW, eos_token_id=-1) for i in range(slots)]
+        max_new_tokens=NEW, temperature=temp, top_p=top_p,
+        eos_token_id=-1) for i in range(slots)]
     t0 = time.perf_counter()
     done = eng.run(reqs)
     dt = time.perf_counter() - t0
@@ -79,15 +81,22 @@ def run(params, slots, draft_layers, spec_k, spt, label):
     return total / dt
 
 
-for slots in (2, 8):
-    spt = 8 if slots == 2 else 16
-    plain = run(params, slots, None, 0, spt, f"plain      b{slots}")
-    floor = run(params, slots, N_DRAFT_LAYERS, 4, max(spt // 4, 1),
-                f"spec floor b{slots} (random weights, ~0 acceptance)")
-    ip = identity_upper(params, N_DRAFT_LAYERS)
-    plain_i = run(ip, slots, None, 0, spt, f"plain-id   b{slots}")
-    ceil = run(ip, slots, N_DRAFT_LAYERS, 4, max(spt // 4, 1),
-               f"spec ceil  b{slots} (identity uppers, 1.0 acceptance)")
-    print(f"b{slots}: floor {floor / plain:.2f}x, "
-          f"ceiling {ceil / plain_i:.2f}x of plain", flush=True)
+# both decode lanes: greedy (T=0, token-identical speculation) and the
+# reference's DEFAULT sampled decode (run_opus_ddp.py:156-158: do_sample,
+# T=0.1/top_p=0.7 — rejection-verified speculative sampling)
+for temp, top_p, lane in ((0.0, 1.0, "greedy"), (0.1, 0.7, "sampled")):
+    for slots in (2, 8):
+        spt = 8 if slots == 2 else 16
+        kw = dict(temp=temp, top_p=top_p)
+        plain = run(params, slots, None, 0, spt,
+                    f"{lane} plain      b{slots}", **kw)
+        floor = run(params, slots, N_DRAFT_LAYERS, 4, max(spt // 4, 1),
+                    f"{lane} spec floor b{slots} (random, ~0 acc)", **kw)
+        ip = identity_upper(params, N_DRAFT_LAYERS)
+        plain_i = run(ip, slots, None, 0, spt,
+                      f"{lane} plain-id   b{slots}", **kw)
+        ceil = run(ip, slots, N_DRAFT_LAYERS, 4, max(spt // 4, 1),
+                   f"{lane} spec ceil  b{slots} (identity uppers)", **kw)
+        print(f"{lane} b{slots}: floor {floor / plain:.2f}x, "
+              f"ceiling {ceil / plain_i:.2f}x of plain", flush=True)
 print("done", flush=True)

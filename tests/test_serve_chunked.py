@@ -74,7 +74,7 @@ def test_chunked_interleaves_with_decode(setup):
         for c in eng.step():
             done[c.request_id] = c
         if eng._chunking and any(len(t) > 1
-                                 for t in eng._slot_tokens.values()):
+                                 for t in (rs.tokens for rs in eng._slot_owner.values())):
             saw_interleave = True
         ticks += 1
     for rid, toks in ref.items():
@@ -105,7 +105,7 @@ def test_chunked_cancel_mid_prefill(setup):
     assert eng._chunking, "should still be chunking"
     assert eng.cancel("x")
     out = eng.step()
-    assert not eng._chunking and not eng._slot_req
+    assert not eng._chunking and not eng._slot_owner
     cancelled = [c for c in out if c.finish_reason == "cancelled"]
     assert cancelled and cancelled[0].tokens == []
     # the engine keeps serving

@@ -133,7 +133,7 @@ def test_fuzz_mixed_traffic_token_identical(setup, spec):
     assert done[a_req["rid"]].tokens != base_ref or len(base_ref) <= 1
 
     # zero leaked state after the storm
-    assert not eng._slot_req and not eng._chunking and not eng._queue
+    assert not eng._slot_owner and not eng._chunking and not eng._queue
     assert not np.any(eng.state["active"][:eng.max_slots])
     assert not eng._t_submit, "latency stamps leaked"
     assert eng.counters["completions"] == len(plan) - len(cancelled)

@@ -42,7 +42,7 @@ def _spec(dparams, dcfg, params, cfg, ids, mask, pos, max_new, K, eos=-1):
     demb = decoder.embed_tokens(dparams, ids)
     out = speculative._speculative(dparams, params, dcfg, cfg, emb, demb,
                                    mask, pos, max_new, K, eos, 0, False,
-                                   "auto")
+                                   0.0, 1.0, None, "auto")
     return np.asarray(out.tokens), np.asarray(out.lengths), int(out.iterations)
 
 
@@ -107,7 +107,7 @@ def test_stacked_and_quantized_cache_paths():
     emb = decoder.embed_tokens(stacked, ids)
     out = speculative._speculative(stacked, params, cfg, cfg, emb, emb,
                                    mask, pos, max_new, 3, -1, 0, True,
-                                   "auto")
+                                   0.0, 1.0, None, "auto")
     # int8 KV quantization perturbs logits; tokens may legitimately differ
     # from the bf16-cache reference on random weights — only check shape
     # discipline and that the run completes finite
@@ -140,6 +140,43 @@ def test_draft_from_target_layouts():
     for bad in (0, cfg.num_layers, 5):
         with pytest.raises(ValueError, match="draft_layers"):
             speculative.draft_from_target(params, cfg, bad)
+
+
+def test_sampled_statistical_equivalence_static():
+    """speculative_generate at T>0 (rejection-verified speculative
+    sampling, batch-min truncated acceptance) must match plain
+    engine.generate's per-position token marginals — the draft only
+    affects speed. Deterministic key streams; thresholds sit ~2x above
+    the empirical-vs-empirical sampling noise at this sample count."""
+    cfg = DecoderConfig(family="llama", vocab_size=32, hidden_size=32,
+                        intermediate_size=64, num_layers=3, num_heads=2,
+                        num_kv_heads=2, head_dim=16, dtype="float32")
+    params = decoder.init(jax.random.PRNGKey(4), cfg)
+    dparams, dcfg = speculative.draft_from_target(params, cfg, 1)
+    b, l, new = 16, 6, 4
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(4, cfg.vocab_size, (b, l)), jnp.int32)
+    mask = jnp.ones((b, l), bool)
+    pos = decoder.positions_from_mask(mask)
+    emb = decoder.embed_tokens(params, ids)
+
+    kw = dict(max_new_tokens=new, temperature=0.6, top_p=0.9,
+              eos_token_id=-1, pad_token_id=0)
+    plain, spec = [], []
+    for rep in range(80):
+        key = jax.random.PRNGKey(5000 + rep)
+        o1 = engine.generate(params, cfg, emb, mask, pos, key, **kw)
+        o2 = speculative.speculative_generate(
+            dparams, params, dcfg, cfg, emb, emb, mask, pos,
+            n_draft=3, rng=key, **kw)
+        plain.append(np.asarray(o1.tokens))
+        spec.append(np.asarray(o2.tokens))
+    plain = np.concatenate(plain)       # (80*b, new)
+    spec = np.concatenate(spec)
+    for j in range(new):
+        ha = np.bincount(plain[:, j], minlength=cfg.vocab_size) / len(plain)
+        hb = np.bincount(spec[:, j], minlength=cfg.vocab_size) / len(spec)
+        assert 0.5 * np.abs(ha - hb).sum() < 0.11, j
 
 
 def test_runner_self_speculative_token_identical(tmp_path):
@@ -184,9 +221,10 @@ def test_make_draft_validates():
     cfg = OpusConfig.tiny("llama")
     params = opus.init(jax.random.PRNGKey(0), cfg)
     assert runner.make_draft(params, cfg, GenerationConfig()) is None
-    with pytest.raises(ValueError, match="greedy-only"):
-        runner.make_draft(params, cfg,
-                          GenerationConfig(temperature=0.5, draft_layers=1))
+    # sampled decoding is allowed (rejection-verified speculative sampling)
+    assert runner.make_draft(
+        params, cfg,
+        GenerationConfig(temperature=0.5, draft_layers=1)) is not None
     with pytest.raises(ValueError, match="beam"):
         runner.make_draft(params, cfg,
                           GenerationConfig(temperature=0.0, num_beams=2,
