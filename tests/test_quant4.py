@@ -266,3 +266,54 @@ def test_generate_with_int4_weights():
                         eos_token_id=-1, pad_token_id=0)
     t = np.asarray(r.tokens)
     assert t.shape == (1, 4) and ((t >= 0) & (t < cfg.vocab_size)).all()
+
+
+def test_quant_layout_of_and_train_guard():
+    """The int4 v1/v2 checkpoint-layout story (round-4 verdict weak #6):
+    quant_layout_of reads the layout off the leaf dtypes, save_native
+    tags it on disk, and check_train_layout rejects a v2 (decode) pack
+    fed to a train-* command with a clear message."""
+    from opus_pllm_tpu.core import builder
+    from opus_pllm_tpu.kernels.quant import quantize_decoder
+
+    cfg = DecoderConfig(
+        family="llama", vocab_size=256, hidden_size=512,
+        intermediate_size=512, num_layers=1, num_heads=4,
+        num_kv_heads=2, head_dim=128, max_position_embeddings=512,
+        dtype="float32")   # 512-multiple in-dims: v2-eligible everywhere
+    params = decoder.init(jax.random.PRNGKey(0), cfg)
+    assert quant4.quant_layout_of(params) == "float32"
+    assert quant4.quant_layout_of(quantize_decoder(params)) == "int8"
+    v1 = quant4.quantize_decoder4(params, layout="v1")
+    v2 = quant4.quantize_decoder4(params, layout="auto")
+    assert quant4.quant_layout_of(v1) == "int4-v1"
+    assert quant4.quant_layout_of(v2) == "int4-v2"
+    # stacked trees report the same layout
+    assert quant4.quant_layout_of(decoder.stack_params(dict(v2))) \
+        == "int4-v2"
+
+    builder.check_train_layout("train-lora", v1)      # ok
+    builder.check_train_layout("annotate", v2)        # decode: ok
+    with pytest.raises(SystemExit, match="v2 magic-bitcast DECODE"):
+        builder.check_train_layout("train-lora", v2)
+
+
+def test_save_native_writes_layout_tag(tmp_path):
+    import json
+    import os
+
+    from opus_pllm_tpu.core import builder
+
+    cfg = _cfg256()
+    params = {"llm": quant4.quantize_decoder4(
+        decoder.init(jax.random.PRNGKey(0), cfg), layout="v1")}
+    out = str(tmp_path / "ckpt")
+    builder.save_native(out, params)
+    with open(os.path.join(out, "quant_layout.json")) as f:
+        meta = json.load(f)
+    assert meta["llm_layout"] == "int4-v1"
+    # the tag must not break the restore path
+    back = builder.load_native(out, like=params)
+    np.testing.assert_array_equal(
+        np.asarray(back["llm"]["layers"][0]["q_proj"]["kernel_p"]),
+        np.asarray(params["llm"]["layers"][0]["q_proj"]["kernel_p"]))
