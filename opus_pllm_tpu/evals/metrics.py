@@ -144,14 +144,37 @@ def rouge_lsum_pair(pred: str, ref: str) -> float:
     return _f1(union / n, union / m)
 
 
-def rouge_corpus(preds: Sequence[str], refs: Sequence[str]) -> Dict[str, float]:
+def rouge_corpus(preds: Sequence[str], refs: Sequence[str],
+                 aggregator: str = "mean",
+                 seed: int = 0) -> Dict[str, float]:
+    """Per-pair ROUGE aggregated over the corpus.
+
+    aggregator="mean" (default): exact means. "bootstrap_mid": the
+    reference's BootstrapAggregator `mid` (rouge_scorer scoring.py via
+    its vendored rouge metric) — 1000 seeded resamples of the per-pair
+    scores, median of the resample means. The two agree to O(sigma/sqrt
+    (n)); the divergence is quantified on the function-set fixture in
+    tests/test_metrics_wordnet.py and recorded in BENCH_NOTES.md."""
     r1 = [rouge_n_pair(p, r, 1) for p, r in zip(preds, refs)]
     r2 = [rouge_n_pair(p, r, 2) for p, r in zip(preds, refs)]
     rl = [rouge_l_pair(p, r) for p, r in zip(preds, refs)]
     rs = [rouge_lsum_pair(p, r) for p, r in zip(preds, refs)]
-    mean = lambda xs: float(np.mean(xs)) if xs else 0.0
-    return {"rouge1": mean(r1), "rouge2": mean(r2), "rougeL": mean(rl),
-            "rougeLsum": mean(rs)}
+    if aggregator == "bootstrap_mid":
+        rng = np.random.default_rng(seed)
+
+        def agg(xs):
+            if not xs:
+                return 0.0
+            a = np.asarray(xs)
+            idx = rng.integers(0, len(a), size=(1000, len(a)))
+            return float(np.median(a[idx].mean(axis=1)))
+    elif aggregator == "mean":
+        agg = lambda xs: float(np.mean(xs)) if xs else 0.0
+    else:
+        raise ValueError(f"aggregator must be mean/bootstrap_mid, "
+                         f"got {aggregator!r}")
+    return {"rouge1": agg(r1), "rouge2": agg(r2), "rougeL": agg(rl),
+            "rougeLsum": agg(rs)}
 
 
 # ---------------------------------------------------------------------------
@@ -191,26 +214,35 @@ def bleu_corpus(preds: Sequence[str], refs: Sequence[str],
 # alpha=0.9, beta=3, gamma=0.5)
 # ---------------------------------------------------------------------------
 
+class _NltkWordNet:
+    """nltk-backed synonym source (the reference's own stage-3 matcher,
+    meteor.py -> nltk meteor_score); same `synonyms()` contract as
+    evals.wordnet.WordNetSynonyms (the no-nltk WNdb-file loader)."""
+
+    def __init__(self, wn):
+        self._wn = wn
+
+    def synonyms(self, word: str) -> set:
+        syns = {word}
+        for ss in self._wn.synsets(word):
+            for l in ss.lemmas():
+                syns.add(l.name().replace("_", " "))
+        return syns
+
+
 try:  # wordnet needs its corpus on disk; degrade to exact+stem without it
     from nltk.corpus import wordnet as _wn
     _wn.synsets("protein")
-    _HAVE_WORDNET = True
+    _DEFAULT_SYNONYMS = _NltkWordNet(_wn)
 except Exception:  # pragma: no cover
-    _HAVE_WORDNET = False
+    _DEFAULT_SYNONYMS = None
+_HAVE_WORDNET = _DEFAULT_SYNONYMS is not None
 
 
-def _synonyms(word: str) -> set:
-    if not _HAVE_WORDNET:
-        return {word}
-    syns = {word}
-    for ss in _wn.synsets(word):
-        for l in ss.lemmas():
-            syns.add(l.name().replace("_", " "))
-    return syns
-
-
-def _meteor_align(pred: List[str], ref: List[str]) -> List[Tuple[int, int]]:
-    """Greedy stage-wise alignment: exact, then stem, then synonym."""
+def _meteor_align(pred: List[str], ref: List[str],
+                  syn=None) -> List[Tuple[int, int]]:
+    """Greedy stage-wise alignment: exact, then stem, then synonym
+    (`syn`: an object with synonyms(word)->set, or None to skip)."""
     taken_p, taken_r, pairs = set(), set(), []
 
     def run(match):
@@ -228,16 +260,23 @@ def _meteor_align(pred: List[str], ref: List[str]) -> List[Tuple[int, int]]:
 
     run(lambda a, b: a == b)
     run(lambda a, b: stem(a) == stem(b))
-    if _HAVE_WORDNET:
-        run(lambda a, b: b in _synonyms(a) or a in _synonyms(b))
+    if syn is not None:
+        run(lambda a, b: b in syn.synonyms(a) or a in syn.synonyms(b))
     return sorted(pairs)
 
 
 def meteor_pair(pred: str, ref: str, alpha: float = 0.9, beta: float = 3.0,
-                gamma: float = 0.5) -> float:
+                gamma: float = 0.5, synonyms="auto") -> float:
+    """synonyms: "auto" = nltk WordNet when its corpus is on disk (the
+    reference's matcher), an evals.wordnet.WordNetSynonyms (WNdb files,
+    no nltk) or any synonyms(word)->set object, or None for exact+stem
+    only. The exact+stem-vs-synonym delta is bounded on the function-set
+    fixture in tests/test_metrics_wordnet.py (recorded in
+    BENCH_NOTES.md)."""
+    syn = _DEFAULT_SYNONYMS if synonyms == "auto" else synonyms
     pt = [w.lower() for w in tokenize_13a(pred)]
     rt = [w.lower() for w in tokenize_13a(ref)]
-    pairs = _meteor_align(pt, rt)
+    pairs = _meteor_align(pt, rt, syn)
     m = len(pairs)
     if m == 0:
         return 0.0
@@ -254,9 +293,10 @@ def meteor_pair(pred: str, ref: str, alpha: float = 0.9, beta: float = 3.0,
     return fmean * (1 - penalty)
 
 
-def meteor_corpus(preds: Sequence[str], refs: Sequence[str]) -> float:
-    return float(np.mean([meteor_pair(p, r) for p, r in zip(preds, refs)])) \
-        if preds else 0.0
+def meteor_corpus(preds: Sequence[str], refs: Sequence[str],
+                  synonyms="auto") -> float:
+    return float(np.mean([meteor_pair(p, r, synonyms=synonyms)
+                          for p, r in zip(preds, refs)])) if preds else 0.0
 
 
 # ---------------------------------------------------------------------------
