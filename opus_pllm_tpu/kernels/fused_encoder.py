@@ -377,7 +377,9 @@ def fused_out_proj(a, w, b, x):
         out_specs=pl.BlockSpec((1, s, e), lambda ib: (ib, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            # batch programs carry no cross-program state (ADVICE r4:
+            # "arbitrary" serialized an embarrassingly parallel dim)
+            dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * s * e * e,
             bytes_accessed=(a.size + w.size + 2 * x.size) * x.dtype.itemsize,
@@ -469,8 +471,17 @@ def encoder_attention(p_layer, x, mask, cos, sin, *, eps: float = 1e-5):
 
 def supports(cfg, x) -> bool:
     """Shapes the fused path handles: d=64 heads, even head count,
-    whole-row (<=512-divisible) sequences, 128-tileable FFN dim."""
+    whole-row (<=512-divisible) sequences, 128-tileable FFN dim, and a
+    per-program VMEM footprint that fits the ~16 MB scoped budget
+    (ADVICE r4: unbounded S could hand auto-dispatch a shape that fails
+    to compile instead of falling back to XLA)."""
     b, s, e = x.shape
+    # fused_out_proj is the VMEM-heaviest program: double-buffered
+    # (S, E) a/x/out blocks + the whole (E, E) weight resident + an
+    # fp32 (S, E) accumulator
+    it = x.dtype.itemsize
+    vmem = 6 * s * e * it + e * e * it + 4 * s * e
     return (cfg.head_dim == 64 and cfg.num_heads % 2 == 0
             and e == cfg.num_heads * 64 and s % min(512, s) == 0
-            and s % 8 == 0 and cfg.ffn_dim % 128 == 0)
+            and s % 8 == 0 and cfg.ffn_dim % 128 == 0
+            and vmem <= 14 * 2 ** 20)

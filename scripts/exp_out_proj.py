@@ -91,8 +91,9 @@ def main() -> None:
         finally:
             fused_encoder.fused_out_proj = real
     base = results.get("xla")
-    for name, v in results.items():
-        print(f"{name:6s}: {v / base:.3f}x vs xla", flush=True)
+    if base:     # the xla lane may have been skipped/reordered (ADVICE r4)
+        for name, v in results.items():
+            print(f"{name:6s}: {v / base:.3f}x vs xla", flush=True)
 
 
 if __name__ == "__main__":

@@ -217,6 +217,30 @@ def fused_encoder_block():
     assert d.max() < 0.05 and d.mean() < 0.01, (d.max(), d.mean())
 
 
+def fused_out_proj_parity():
+    """fused_out_proj under the REAL Mosaic lowering (ADVICE r4: tests
+    cover it only in interpret mode; its (8, E) bias block and 4-D
+    a-block are their own lowering surface) vs the transpose+dense
+    composition at the north-star encode shape."""
+    import numpy as np
+
+    from opus_pllm_tpu.kernels import fused_encoder as fe
+
+    b, hp, s, e = 4, 10, 512, 1280
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.standard_normal((b, hp, s, 128)) * 0.3, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((e, e)) * 0.02, jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((e,)) * 0.01, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((b, s, e)) * 0.3, jnp.bfloat16)
+    got = np.asarray(fe.fused_out_proj(a, w, bias, x), np.float32)
+    unpacked = a.transpose(0, 2, 1, 3).reshape(b, s, e)
+    ref = np.asarray(
+        x + (unpacked.astype(jnp.float32) @ w.astype(jnp.float32)
+             + bias.astype(jnp.float32)).astype(jnp.bfloat16), np.float32)
+    d = np.abs(got - ref)
+    assert d.max() < 0.25 and d.mean() < 0.01, (d.max(), d.mean())
+
+
 def fused_decode_attention():
     """int8-KV decode attention kernel vs dequantize-then-attend, and the
     full engine decode (quantize_cache) vs the forced-XLA path."""
@@ -360,6 +384,7 @@ def main():
     assert jax.default_backend() == "tpu", \
         f"not on TPU: {jax.default_backend()}"
     check("fused encoder block (pairs)", fused_encoder_block)
+    check("fused out-proj parity (real lowering)", fused_out_proj_parity)
     check("fused int8-KV decode attention", fused_decode_attention)
     check("fused int4-KV decode attention", fused_decode_attention_int4)
     check("flash fwd d=128 padding", lambda: flash_forward(128, False))
