@@ -365,6 +365,19 @@ class TrainConfig:
     # (the single-chip counterpart of adding DDP replicas); combined by
     # valid-token weighting so the update equals the big-batch step
     grad_accum: int = 1
+    # per-layer rematerialization policy for the decoder backward pass:
+    # "full" = jax.checkpoint per layer (max memory savings, pays a full
+    # extra forward — required for single-chip 8B), "none" = save
+    # activations (measured 1.34x on the 1.1B stage-(c/d) step, which is
+    # compute-bound, not memory-bound, at batch 8 x seq 512 —
+    # BENCH_NOTES round 5), "dots" = checkpoint_dots policy (save MXU
+    # outputs, recompute elementwise only)
+    remat: str = "full"
+
+    @property
+    def remat_mode(self):
+        """TrainConfig.remat -> the decoder.forward remat argument."""
+        return {"full": True, "none": False, "dots": "dots"}[self.remat]
 
 
 def to_json(cfg: Any) -> str:

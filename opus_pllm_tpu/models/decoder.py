@@ -454,6 +454,22 @@ def unstack_params(params):
     return out
 
 
+def _remat_wrap(fn, remat):
+    """remat=False: plain fn. True: full per-layer jax.checkpoint (max
+    memory savings, pays a full forward recompute in the backward).
+    "dots": checkpoint with the checkpoint_dots policy — MXU dot outputs
+    are saved, only the cheap elementwise/norm ops recompute, trading a
+    little activation memory back for skipping the remat forward's
+    matmuls (the stage-(c/d) 1.1B step is compute-bound, not
+    memory-bound, at batch 8 x seq 512 — BENCH_NOTES round 5)."""
+    if not remat:
+        return fn
+    if remat == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.checkpoint_dots)
+    return jax.checkpoint(fn)
+
+
 def _forward_scan(params, cfg, x, mask4, cos, sin, cache, lora, lora_scale,
                   impl, remat, scan_mode: str = "xs"):
     """Stacked-layer loop as lax.scan.
@@ -496,7 +512,7 @@ def _forward_scan(params, cfg, x, mask4, cos, sin, cache, lora, lora_scale,
             return h, nlc
 
         if remat and cache is None:
-            body = jax.checkpoint(body)
+            body = _remat_wrap(body, remat)
         x, new_lc = jax.lax.scan(body, x, jnp.arange(n_layers))
     else:
         def body(carry, layer_in):
@@ -507,7 +523,7 @@ def _forward_scan(params, cfg, x, mask4, cos, sin, cache, lora, lora_scale,
             return h, nlc
 
         if remat and cache is None:
-            body = jax.checkpoint(body)
+            body = _remat_wrap(body, remat)
         x, new_lc = jax.lax.scan(body, x, (stacked, lc_stack, la_stack))
     new_cache = None
     if cache is not None:
@@ -577,10 +593,9 @@ def forward(params, cfg: DecoderConfig, input_embeds, positions, mask4,
     if remat and cache is None:
         # rematerialize per-layer activations in the backward pass: trades
         # FLOPs for HBM so stage-(c)/(d) training fits long spliced batches
-        block = jax.checkpoint(
+        block = _remat_wrap(
             lambda p, x, m, c, s, la: _block(cfg, p, x, m, c, s, None, None,
-                                             impl, la, lora_scale),
-            static_argnums=())
+                                             impl, la, lora_scale), remat)
     for i, p in enumerate(params["layers"]):
         lc = cache["layers"][i] if cache is not None else None
         la = lora["layers"][i] if lora is not None else None

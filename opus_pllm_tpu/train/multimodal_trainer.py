@@ -116,7 +116,8 @@ def loss_fn(trainable, frozen, cfg: OpusConfig, batch,
 
 def make_train_step(cfg: OpusConfig, tx, *, lora_cfg: Optional[LoRAConfig] = None,
                     donate: bool = True, ce_chunk: int = 0,
-                    scan_mode: str = "xs", grad_accum: int = 1):
+                    scan_mode: str = "xs", grad_accum: int = 1,
+                    remat=True):
     """Jitted train step. With donate=True (default) the state argument is
     donated: trainable/optimizer buffers are updated in place, halving the
     train-state footprint. The caller must not reuse a state object after
@@ -136,7 +137,7 @@ def make_train_step(cfg: OpusConfig, tx, *, lora_cfg: Optional[LoRAConfig] = Non
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         if grad_accum <= 1:
             (loss, metrics), grads = grad_fn(trainable, frozen, cfg, batch,
-                                             ls, True, ce_chunk, scan_mode)
+                                             ls, remat, ce_chunk, scan_mode)
             return loss, metrics, grads
 
         def split(x):
@@ -151,7 +152,7 @@ def make_train_step(cfg: OpusConfig, tx, *, lora_cfg: Optional[LoRAConfig] = Non
         def body(carry, chunk):
             loss_sum, cnt_sum, gsum = carry
             (loss, metrics), grads = grad_fn(trainable, frozen, cfg, chunk,
-                                             ls, True, ce_chunk, scan_mode)
+                                             ls, remat, ce_chunk, scan_mode)
             c = metrics["valid"].astype(jnp.float32)
             # d(mean)/dw * cnt = d(sum)/dw: accumulate loss-SUM gradients
             # in fp32, normalize once by the global count below
@@ -234,7 +235,10 @@ def fit(state: MMTrainState, tx, cfg: OpusConfig, tcfg: TrainConfig, frozen,
     step_fn = make_train_step(cfg, tx, lora_cfg=lora_cfg,
                               ce_chunk=getattr(tcfg, "ce_chunk", 0),
                               scan_mode=getattr(tcfg, "scan_mode", "xs"),
-                              grad_accum=getattr(tcfg, "grad_accum", 1))
+                              grad_accum=getattr(tcfg, "grad_accum", 1),
+                              remat=(tcfg.remat_mode
+                                     if hasattr(tcfg, "remat_mode")
+                                     else True))
     ctx = mesh if mesh is not None else contextlib.nullcontext()
 
     def place(batch):
