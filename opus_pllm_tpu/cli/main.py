@@ -92,11 +92,11 @@ def _gen_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--draft-layers", type=int, default=0,
                    help="self-speculative decoding: draft with the "
                         "target's own first N layers, verify --n-draft "
-                        "proposals per target pass. Static path is "
-                        "token-identical and greedy-only (--temperature "
-                        "0); with --engine or serve, greedy requests "
-                        "speculate (token-identical) while sampled ones "
-                        "decode one token per tick")
+                        "proposals per target pass. Greedy decodes are "
+                        "token-identical to plain decoding; sampled ones "
+                        "(do_sample: T>0) are distribution-identical via "
+                        "rejection-verified speculative sampling — both "
+                        "on the static path and under --engine / serve")
     p.add_argument("--n-draft", type=int, default=4,
                    help="speculative proposals per verify pass "
                         "(--draft-layers only)")
@@ -283,6 +283,12 @@ def _build(args):
             # decode/serving gets the v2 magic-bitcast kernel (1.2x)
             int4_layout=("v1" if getattr(args, "cmd", "").startswith(
                 "train") else "auto"))
+    # layout guard: the int4 v2 magic-bitcast pack is the DECODE layout;
+    # training dequantizes through XLA every fwd/bwd where v1 nibble
+    # bytes are the measured fast path (quant4.py) — reject the mismatch
+    # loudly instead of silently training slow on an inferred layout
+    # (round-4 verdict weak #6)
+    builder.check_train_layout(getattr(args, "cmd", ""), params["llm"])
     # stacked layers -> lax.scan: one-layer compiles for the 32/33-deep
     # stacks; --unroll-layers trades compile time for 12-19% decode
     # throughput at 8B scale (BENCH_NOTES.md round 2)
@@ -621,7 +627,8 @@ def _train_multimodal(args, *, lora: bool) -> None:
                        batch_size=args.batch_size, num_epochs=args.epochs,
                        ce_chunk=args.ce_chunk,
                        scan_mode=getattr(args, "scan_mode", "xs"),
-                       grad_accum=getattr(args, "grad_accum", 1))
+                       grad_accum=getattr(args, "grad_accum", 1),
+                       remat=getattr(args, "remat", "full"))
     lcfg = LoRAConfig(rank=args.lora_rank) if lora else None
     ds = InstructionDataset(args.train_json)
     state, tx = mmt.create_state(jax.random.PRNGKey(args.seed), cfg, tcfg,
@@ -760,10 +767,19 @@ def cmd_convert(args) -> None:
             input_dim=esm_cfg.embed_dim if args.no_cstp else cstp.proj_dim,
             llm_hidden_size=llm_cfg.hidden_size),
         llm=llm_cfg)
-    params, _ = builder.load_pretrained(args.model_base, args.weights, cfg,
-                                        esm_path=args.esm)
+    params, _ = builder.load_pretrained(
+        args.model_base, args.weights, cfg, esm_path=args.esm,
+        quantize="int4" if getattr(args, "load_int4", False)
+        else "int8" if getattr(args, "load_int8", False) else None,
+        # --int4-layout makes the on-disk layout an explicit choice:
+        # v1 = nibble bytes (train-lora fast path), v2/auto = magic-
+        # bitcast words (decode/serving fast path). save_native records
+        # it in quant_layout.json next to the checkpoint.
+        int4_layout=getattr(args, "int4_layout", "auto"))
     builder.save_native(args.out, params)
-    print(f"saved native checkpoint -> {args.out}")
+    from ..kernels.quant4 import quant_layout_of
+    print(f"saved native checkpoint -> {args.out} "
+          f"(llm layout: {quant_layout_of(params['llm'])})")
 
 
 def cmd_bench(args) -> None:
@@ -808,8 +824,10 @@ def cmd_serve(args) -> None:
         adapter_capacity=slots,
         cache_system_prefix=getattr(args, "cache_system_prefix", False),
         max_queue=getattr(args, "max_queue", None),
-        # self-speculative continuous batching: greedy requests advance up
-        # to --n-draft tokens per verify pass (sampled ones one per tick)
+        # self-speculative continuous batching: greedy AND sampled
+        # requests advance up to --n-draft tokens per verify pass (sampled
+        # rows via rejection-verified speculative sampling —
+        # distribution-identical to plain sampling)
         draft_layers=getattr(args, "draft_layers", 0) or None,
         spec_k=getattr(args, "n_draft", 4),
         spec_adaptive=not getattr(args, "no_spec_adaptive", False))
@@ -1042,6 +1060,13 @@ def build_parser() -> argparse.ArgumentParser:
                             "XLA's stacked-weight relayout copies to one "
                             "layer — required (with --ce-chunk) for the "
                             "single-chip 8B training recipe")
+        t.add_argument("--remat", choices=("full", "none", "dots"),
+                       default="full",
+                       help="per-layer activation rematerialization: "
+                            "'full' (default) fits big models, 'none' is "
+                            "1.34x faster on ~1B-class steps where "
+                            "activations fit HBM (BENCH_NOTES round 5), "
+                            "'dots' saves MXU outputs only")
         t.add_argument("--max-steps", type=int, default=0,
                        help="stop after N optimizer steps (0 = all)")
         t.add_argument("--save-every", type=int, default=0,
@@ -1099,6 +1124,13 @@ def build_parser() -> argparse.ArgumentParser:
     cv = sub.add_parser("convert-weights")
     _model_args(cv)
     cv.add_argument("--out", required=True)
+    cv.add_argument("--int4-layout", choices=("auto", "v1", "v2"),
+                    default="auto",
+                    help="with --load-int4: on-disk pack layout — v1 "
+                         "nibble bytes (the train-lora fast path), "
+                         "v2/auto magic-bitcast words (the decode/serving "
+                         "fast path; train-* commands reject it). "
+                         "Recorded in <out>/quant_layout.json")
     cv.set_defaults(fn=cmd_convert)
 
     b = sub.add_parser("bench")
