@@ -22,6 +22,8 @@ from opus_pllm_tpu.models import decoder as dec
 from opus_pllm_tpu.serve import engine as serve_engine
 from opus_pllm_tpu.serve.engine import ServeRequest, ServingEngine
 
+from opus_pllm_tpu.core.util import enable_persistent_compilation_cache
+enable_persistent_compilation_cache()
 print("backend:", jax.default_backend(), flush=True)
 cfg = DecoderConfig(family="llama", vocab_size=32000, hidden_size=2048,
                     intermediate_size=5632, num_layers=22, num_heads=16,
@@ -97,7 +99,7 @@ def run_once(seed):
         eng.submit(r)
     t0 = time.perf_counter()
     done = {}
-    while eng._queue or eng._slot_req:
+    while eng._queue or eng._slot_owner:
         q0 = len(eng._queue)
         ts = time.perf_counter()
         out = eng.step()

@@ -29,6 +29,8 @@ from opus_pllm_tpu.core.config import DecoderConfig
 from opus_pllm_tpu.models import decoder
 from opus_pllm_tpu.serve.engine import ServeRequest, ServingEngine
 
+from opus_pllm_tpu.core.util import enable_persistent_compilation_cache
+enable_persistent_compilation_cache()
 print("backend:", jax.default_backend(), flush=True)
 
 cfg = DecoderConfig(family="llama", vocab_size=32000, hidden_size=2048,

@@ -27,6 +27,8 @@ from opus_pllm_tpu.core.config import (CSTPConfig, DecoderConfig, ESM2Config,
 from opus_pllm_tpu.models import opus
 from opus_pllm_tpu.train import multimodal_trainer as mmt
 
+from opus_pllm_tpu.core.util import enable_persistent_compilation_cache
+enable_persistent_compilation_cache()
 print("backend:", jax.default_backend(), flush=True)
 
 llm = DecoderConfig(family="llama", vocab_size=32000, hidden_size=2048,
