@@ -47,26 +47,36 @@ def workload(kind: str, n_req: int):
         for i in range(n_req)]
 
 
+def _measure(kind: str, amf: int, label=True):
+    eng = ServingEngine(params, cfg, max_slots=slots,
+                        max_len=((p + 128 + 127) // 128) * 128,
+                        prefill_buckets=(p,), steps_per_tick=spt,
+                        admit_min_free=amf)
+    eng.warmup()
+    reqs = workload(kind, 32)
+    t0 = time.perf_counter()
+    done = eng.run(reqs)
+    dt = time.perf_counter() - t0
+    total = sum(len(c.tokens) for c in done.values())
+    assert len(done) == 32
+    if not label:
+        return
+    lat = eng.latency["ttft"]
+    print(f"admit_min_free={amf}: {total / dt:6.0f} tok/s  "
+          f"ttft p50={lat.percentile(0.5) * 1e3:6.0f} ms "
+          f"p95={lat.percentile(0.95) * 1e3:6.0f} ms "
+          f"(mean {lat.mean * 1e3:.0f} ms) "
+          f"prefills={eng.counters['prefills']} "
+          f"parked={eng.counters['parked']}", flush=True)
+
+
+# discarded warm run: the process's first ~10 dispatches ride the tunnel
+# ramp (~9 s of wall) and would poison whichever row runs first
+_measure("uniform", 4, label=False)
+print("warm run done", flush=True)
 for kind in ("uniform", "mixed"):
     print(f"--- workload {kind} (32 reqs / {slots} slots, spt {spt}) ---",
           flush=True)
     for amf in (1, 2, 4, 8):
-        eng = ServingEngine(params, cfg, max_slots=slots,
-                            max_len=((p + 128 + 127) // 128) * 128,
-                            prefill_buckets=(p,), steps_per_tick=spt,
-                            admit_min_free=amf)
-        eng.warmup()
-        reqs = workload(kind, 32)
-        t0 = time.perf_counter()
-        done = eng.run(reqs)
-        dt = time.perf_counter() - t0
-        total = sum(len(c.tokens) for c in done.values())
-        assert len(done) == 32
-        lat = eng.latency["ttft"]
-        print(f"admit_min_free={amf}: {total / dt:6.0f} tok/s  "
-              f"ttft p50={lat.percentile(0.5) * 1e3:6.0f} ms "
-              f"p95={lat.percentile(0.95) * 1e3:6.0f} ms "
-              f"(mean {lat.mean * 1e3:.0f} ms) "
-              f"prefills={eng.counters['prefills']} "
-              f"parked={eng.counters['parked']}", flush=True)
+        _measure(kind, amf)
 print("done", flush=True)

@@ -1,20 +1,30 @@
 """Mini end-to-end quality benchmark -> QUALITY_r{N}.json.
 
-Round-2 verdict item 8: a fixed-seed, tiny-model run of the FULL eval
-harness over 18 mini test sets mirroring the reference's benchmark families
-(eval_total_ablation.sh:27-45 + the MCQ set), producing one machine-
-checkable metrics table per round. Real weights don't exist in this image,
-so the metric VALUES are arbitrary — what matters is that they are
-deterministic: any unintended change to prompt assembly, tokenization,
-splicing, generation, truncation, or metric computation shifts them, and a
-diff of QUALITY_r{N}.json vs the previous round catches it.
+Round-2 verdict item 8, rebuilt per the round-4 verdict (missing #2,
+weak #4): a fixed-seed run of the FULL eval harness over 18 mini test
+sets mirroring the reference's benchmark families
+(eval_total_ablation.sh:27-45 + the MCQ set). Real weights don't exist
+in this zero-egress image, so ONE tiny fixture model is trained over ALL
+18 set families (a memorization probe: a 2-layer model can't
+generalize, but on memorized items it scores high, so quantization /
+behavioral damage becomes VISIBLE as a metric delta on EVERY set — the
+round-4 artifact scored 13 of 18 sets on an untrained model emitting
+garbage, where a regression was invisible).
 
-    python scripts/quality_eval.py [--out QUALITY_r03.json]
+The artifact is keyed on METRIC DELTAS, not hashes: `deltas` records
+each quantization variant's primary-metric change vs the bf16 base per
+set (the regression gate), `nondegenerate` asserts the base run scores
+above zero on every set, and generated_sha256 stays as a forensic aid
+only (any benign sampling/jit change churns hashes; deltas move only
+when quality moves).
+
+    python scripts/quality_eval.py [--out QUALITY_r05.json]
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import sys
@@ -58,6 +68,17 @@ FN_POOL = [
     "Forms a channel that conducts potassium ions across the membrane.",
     "Acts as a chaperone assisting the folding of nascent polypeptides.",
 ]
+
+TRAIN_N = 12   # per-set train items; the eval's items are their prefix
+#              (12 x 18 sets: small enough for the tiny model to memorize
+#              to near-exactness, large enough that the 6 eval items per
+#              set are a strict subset)
+
+
+def _rng_for(name: str):
+    # hash() is salted per process; don't use it
+    return np.random.default_rng(
+        int.from_bytes(name.encode()[:8].ljust(8, b"x"), "little") % (2 ** 31))
 
 
 def _seq(rng) -> str:
@@ -121,41 +142,81 @@ def _fixture_biobert():
     return bert.make_embed_fn(params, cfg, tok, max_tokens=500)
 
 
-def _quant_delta_section(tok, items_per_set: int, bert_fn=None) -> dict:
-    """Round-3 verdict weak #6: metric-level quantization deltas.
+def _mcq_chatml_batches(items, tok, batch_size: int, *, seed: int,
+                        epochs: int, prompt_bucket: int = 64,
+                        esm_bucket: int = 64):
+    """Training batches for MCQ items rendered EXACTLY like
+    run_mcq_eval's default chatml prompt (VICUNA_V3 + mcq_prompt), so the
+    memorization probe trains the same model interface the MCQ evals
+    score — annotation sets train through the standard
+    collate_instruction_batch (### Student/Professor layout), which is
+    what run_annotation_eval renders."""
+    from opus_pllm_tpu.core.config import IGNORE_INDEX
+    from opus_pllm_tpu.core.util import round_up
+    from opus_pllm_tpu.data.datasets import batch_iterator
+    from opus_pllm_tpu.evals import datasets as ds
+    from opus_pllm_tpu.infer.conversation import VICUNA_V3
+    from opus_pllm_tpu.infer.tokenization import pad_batch, tokenize_with_seq
+    from opus_pllm_tpu.models import esm2
 
-    Fixture-trains a small model (stage (c)+(d): switch + LoRA over the
-    frozen base) ON the items the eval then reuses — a memorization probe:
-    a 2-layer fixture can't generalize, so held-out metrics are vacuously
-    0.0 for every variant (round-3's failure mode); on memorized items the
-    base model scores high and quantization damage becomes VISIBLE as a
-    metric delta. Runs the SAME eval (same seeds, same inputs) across the
-    inference quantization variants the CLI advertises — int8/int4 KV
-    cache (--quantize-cache) and int8/int4 weight storage
-    (--load-int8/--load-int4, builder.py:44-57's bitsandbytes role) — and
-    records the metric deltas vs the unquantized run."""
+    def collate(chunk):
+        ids_list, labels_list = [], []
+        for d in chunk:
+            conv = VICUNA_V3.copy()
+            conv.append("user", "<seq>\n" + ds.mcq_prompt(d["question"],
+                                                          d["options"]))
+            prompt = conv.get_prompt_chatml(add_generation_prompt=True)
+            p_ids = tokenize_with_seq(prompt, tok.encode,
+                                      getattr(tok, "bos_token_id", None))
+            a_ids = tok.encode(" " + d["answer"]) + [tok.eos_token_id]
+            ids_list.append(p_ids + a_ids)
+            labels_list.append([IGNORE_INDEX] * len(p_ids) + a_ids)
+        pad_to = round_up(max(len(x) for x in ids_list), prompt_bucket)
+        input_ids, attn = pad_batch(ids_list, tok.pad_token_id, left=False,
+                                    max_len=pad_to)
+        labels, _ = pad_batch(labels_list, IGNORE_INDEX, left=False,
+                              max_len=pad_to)
+        labels = np.where(attn, labels, IGNORE_INDEX).astype(np.int32)
+        aa_len = max(len(d["input"]) for d in chunk) + 2
+        esm_toks, _ = esm2.tokenize([d["input"] for d in chunk],
+                                    max_len=round_up(aa_len, esm_bucket))
+        return {"input_ids": input_ids, "attn_mask": attn, "labels": labels,
+                "esm_tokens": esm_toks[:, None, :]}
+
+    for idx in batch_iterator(len(items), batch_size, shuffle=True,
+                              seed=seed, epochs=epochs, drop_remainder=True):
+        yield collate([items[int(i)] for i in idx])
+
+
+def _train_fixture(tok, *, epochs: int = 15):
+    """Fixture-train ONE tiny model (stage (c)+(d): switch + LoRA over the
+    frozen base) on the prefix-superset of EVERY eval set — all 18
+    families including MCQ — so every row of the quality table scores a
+    model that actually learned its items (round-4 verdict missing #2:
+    13 of 18 rows scored an untrained model; those rows could detect
+    nothing). Returns (cfg, inference params with LoRA merged, record)."""
+    import tempfile
+
     import jax.numpy as jnp
 
     from opus_pllm_tpu.core.config import (CSTPConfig, DecoderConfig,
-                                           ESM2Config, GenerationConfig,
-                                           LoRAConfig, OpusConfig,
-                                           SwitchProjectorConfig, TrainConfig)
+                                           ESM2Config, LoRAConfig,
+                                           OpusConfig,
+                                           SwitchProjectorConfig,
+                                           TrainConfig)
     from opus_pllm_tpu.data.collate import instruction_batches
     from opus_pllm_tpu.data.datasets import InstructionDataset
-    from opus_pllm_tpu.evals import datasets as ds
-    from opus_pllm_tpu.evals import runner
-    from opus_pllm_tpu.kernels.quant import quantize_decoder
-    from opus_pllm_tpu.kernels.quant4 import quantize_decoder4
     from opus_pllm_tpu.lora import lora as lora_mod
     from opus_pllm_tpu.models import opus
     from opus_pllm_tpu.train import multimodal_trainer as mmt
 
     # dims chosen so EVERY projection quantizes on the int4 path too
-    # (group size 128 needs in-dims that are multiples of 128)
-    llm = DecoderConfig(family="llama", vocab_size=256, hidden_size=128,
-                        intermediate_size=256, num_layers=2, num_heads=4,
-                        num_kv_heads=2, head_dim=32,
-                        max_position_embeddings=512, dtype="float32")
+    # (group size 128 needs in-dims that are multiples of 128); 256-hidden
+    # over 128: 18 memorized families need the extra capacity
+    llm = DecoderConfig(family="llama", vocab_size=256, hidden_size=256,
+                        intermediate_size=512, num_layers=2, num_heads=4,
+                        num_kv_heads=2, head_dim=64,
+                        max_position_embeddings=1024, dtype="float32")
     esm = ESM2Config.tiny()
     cfg = OpusConfig(
         esm=esm,
@@ -164,26 +225,29 @@ def _quant_delta_section(tok, items_per_set: int, bert_fn=None) -> dict:
         switch=SwitchProjectorConfig(input_dim=llm.hidden_size,
                                      llm_hidden_size=llm.hidden_size,
                                      n_tokens=8),
-        llm=llm, max_prompt_len=128)
+        llm=llm, max_prompt_len=1024)
     params = opus.init(jax.random.PRNGKey(0), cfg)
 
-    # training data from the same family pools the eval sets draw from
-    eval_sets = ["test_localization.json", "OPI_UniProtGO_test.json",
-                 "OPI_UniProtSeq_keywords_test.json",
-                 "OPI_UniProtSeq_function_test.json",
-                 "EC_number_New392_with_Name.json"]
-    # SAME seed as the eval below: _make_set draws sequentially, so the
-    # eval's items_per_set items are the prefix of this 24-item train set
-    train_items = []
-    for name in eval_sets:
-        rng = np.random.default_rng(
-            int.from_bytes(name.encode()[:8].ljust(8, b"x"), "little")
-            % (2 ** 31))
-        train_items += _make_set(name, rng, n=24)
-    import tempfile
+    from opus_pllm_tpu.evals.datasets import LOCALIZATION_SUFFIX
+
+    ann_items, mcq_items = [], []
+    for name in SETS:
+        items = _make_set(name, _rng_for(name), n=TRAIN_N)
+        if "mcq" in name.lower():
+            mcq_items.extend(items)
+            continue
+        if "localization" in name.lower():
+            # the eval runner appends LOCALIZATION_SUFFIX to these
+            # prompts (instruction_for, byte-exact to the reference) —
+            # the TRAIN copies must carry it too or the memorized model
+            # sees an unseen prompt at eval time and emits garbage on
+            # exactly the 3 localization rows
+            items = [dict(d, instruction=d["instruction"]
+                          + LOCALIZATION_SUFFIX) for d in items]
+        ann_items.extend(items)
     with tempfile.NamedTemporaryFile("w", suffix=".json",
                                      delete=False) as f:
-        json.dump(train_items, f)
+        json.dump(ann_items, f)
         sft_path = f.name
     dset = InstructionDataset(sft_path)
     lcfg = LoRAConfig(rank=8)
@@ -192,62 +256,116 @@ def _quant_delta_section(tok, items_per_set: int, bert_fn=None) -> dict:
                                  train_switch=True, lora_cfg=lcfg)
     step = mmt.make_train_step(cfg, tx, lora_cfg=lcfg)
     losses = []
-    for b in instruction_batches(dset, tok, 8, seed=0, epochs=20,
-                                 prompt_bucket=64, esm_bucket=64):
+
+    def batches():
+        # interleave: annotation batches (### layout) and MCQ batches
+        # (chatml layout) in one stream, MCQ roughly every 8th step
+        ann = instruction_batches(dset, tok, 8, seed=0, epochs=epochs,
+                                  prompt_bucket=64, esm_bucket=64)
+        mcq = _mcq_chatml_batches(mcq_items, tok, 8, seed=1,
+                                  epochs=8 * epochs)
+        for i, b in enumerate(ann):
+            yield b
+            if i % 8 == 7:
+                nxt = next(mcq, None)
+                if nxt is not None:
+                    yield nxt
+
+    for b in batches():
         state, m = step(state, params, {k: jnp.asarray(v)
                                         for k, v in b.items()})
         losses.append(float(m["loss"]))
+        if len(losses) % 100 == 0:
+            print(f"  train step {len(losses)}: loss {losses[-1]:.3f}",
+                  flush=True)
     os.unlink(sft_path)
 
     infer = dict(params)
     infer["switch"] = state.trainable["switch"]
     infer["llm"] = lora_mod.merge(params["llm"], state.trainable["lora"],
                                   lcfg)
-    variants = {
-        "base": (infer["llm"], False),
-        "int8_kv": (infer["llm"], "int8"),
-        "int4_kv": (infer["llm"], "int4"),
-        "int8_weights": (quantize_decoder(infer["llm"]), False),
-        "int4_weights_int4_kv": (quantize_decoder4(infer["llm"]), "int4"),
-    }
-    out = {"train_loss_first": round(losses[0], 4),
-           "train_loss_last": round(losses[-1], 4),
-           "train_steps": len(losses), "variants": {}}
-    for vname, (llm_params, qcache) in variants.items():
-        vp = dict(infer, llm=llm_params)
-        table = {}
-        for name in eval_sets:
-            rng = np.random.default_rng(
-                int.from_bytes(name.encode()[:8].ljust(8, b"x"), "little")
-                % (2 ** 31))
-            items = _make_set(name, rng, items_per_set)
-            max_new = min(ds.max_new_tokens_for(name), 64)
-            gen = GenerationConfig(max_new_tokens=max_new, temperature=0.0,
-                                   eos_token_id=tok.eos_token_id,
-                                   pad_token_id=tok.pad_token_id,
-                                   quantize_cache=qcache)
+    record = {"train_loss_first": round(losses[0], 4),
+              "train_loss_last": round(losses[-1], 4),
+              "train_steps": len(losses), "train_items_per_set": TRAIN_N,
+              "epochs": epochs}
+    print(f"fixture-train: {record}", flush=True)
+    return cfg, infer, record
+
+
+def _primary_metric(metrics: dict):
+    """(name, value) of the family's north-star metric: Accuracy for
+    localization/EC-free-text-exact/MCQ, F1 for the label-set tasks,
+    ROUGE-L for function description — mirroring
+    metrics_computing_opi.py:96-148's per-family headline."""
+    if "Accuracy" in metrics:
+        return "Accuracy", metrics["Accuracy"]
+    if "F1 Score" in metrics:
+        return "F1 Score", metrics["F1 Score"]
+    rg = metrics.get("ROUGEScore") or {}
+    return "rougeL", rg.get("rougel", 0.0)
+
+
+def _eval_all_sets(infer, cfg, tok, items_per_set: int, bert_fn,
+                   variant: str, qcache):
+    """The 18-set table for one quantization variant. MCQ runs BOTH the
+    free-decode extraction path (run_mcq_eval) and the scored path
+    (run_mcq_eval_scored — P(option letter) argmax, robust to imperfect
+    memorization); the scored accuracy is the primary metric."""
+    from opus_pllm_tpu.core.config import GenerationConfig
+    from opus_pllm_tpu.evals import datasets as ds
+    from opus_pllm_tpu.evals import runner
+
+    table = {}
+    for name in SETS:
+        items = _make_set(name, _rng_for(name), items_per_set)
+        max_new = min(ds.max_new_tokens_for(name), 64)
+        gen = GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                               eos_token_id=tok.eos_token_id,
+                               pad_token_id=tok.pad_token_id,
+                               quantize_cache=qcache)
+        if "mcq" in name.lower():
+            ex = [ds.MCQExample(d["question"], d["options"], d["input"],
+                                d["answer"]) for d in items]
+            rep = runner.run_mcq_eval_scored(
+                infer, cfg, tok, name, batch_size=items_per_set,
+                prompt_bucket=64, esm_bucket=64, examples=ex,
+                log_fn=lambda *a: None)
+            free = runner.run_mcq_eval(
+                infer, cfg, tok, name, gen=gen, batch_size=items_per_set,
+                prompt_bucket=64, esm_bucket=64, examples=ex,
+                log_fn=lambda *a: None)
+            blob = "\x1f".join(r["generated"] for r in free.results)
+            table[name] = {
+                "metrics": dict(rep.metrics,
+                                FreeDecodeAccuracy=free.metrics["Accuracy"],
+                                FreeDecodeOptionCounts=free.metrics[
+                                    "OptionCounts"]),
+                "generated_sha256":
+                    hashlib.sha256(blob.encode()).hexdigest(),
+                "sample_generated": free.results[0]["generated"][:80]}
+        else:
             ex = [ds.AnnotationExample(d["instruction"], d["input"],
                                        d["output"]) for d in items]
             rep = runner.run_annotation_eval(
-                vp, cfg, tok, name, gen=gen, batch_size=items_per_set,
+                infer, cfg, tok, name, gen=gen, batch_size=items_per_set,
                 prompt_bucket=64, esm_bucket=64, examples=ex,
                 bert_embed_fn=bert_fn, log_fn=lambda *a: None)
-            import hashlib
             blob = "\x1f".join(r["generated"] for r in rep.results)
-            table[name] = dict(
-                rep.metrics,
-                generated_sha256=hashlib.sha256(blob.encode()).hexdigest())
-        out["variants"][vname] = table
-        print(f"quant[{vname}]: "
-              + "; ".join(f"{k.split('_')[0]}={v}"
-                          for k, v in list(table.items())[:2]), flush=True)
-    return out
+            table[name] = {
+                "metrics": rep.metrics,
+                "generated_sha256":
+                    hashlib.sha256(blob.encode()).hexdigest(),
+                "sample_generated": rep.results[0]["generated"][:80]}
+        mname, mval = _primary_metric(table[name]["metrics"])
+        print(f"[{variant}] {name}: {mname}={mval}", flush=True)
+    return table
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="QUALITY_r04.json")
+    ap.add_argument("--out", default="QUALITY_r05.json")
     ap.add_argument("--items-per-set", type=int, default=6)
+    ap.add_argument("--epochs", type=int, default=30)
     args = ap.parse_args()
 
     # pin CPU (deterministic; the quality table must not depend on which
@@ -255,70 +373,65 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
 
-    from opus_pllm_tpu.core.config import GenerationConfig, OpusConfig
-    from opus_pllm_tpu.evals import datasets as ds
-    from opus_pllm_tpu.evals import runner
     from opus_pllm_tpu.infer.tokenization import ByteTokenizer
-    from opus_pllm_tpu.models import opus
+    from opus_pllm_tpu.kernels.quant import quantize_decoder
+    from opus_pllm_tpu.kernels.quant4 import quantize_decoder4
 
-    cfg = OpusConfig.tiny("llama")
-    params = opus.init(jax.random.PRNGKey(0), cfg)
     tok = ByteTokenizer()
     bert_fn = _fixture_biobert()
+    cfg, infer, train_rec = _train_fixture(tok, epochs=args.epochs)
 
-    table = {}
-    for name in SETS:
-        rng = np.random.default_rng(
-            int.from_bytes(name.encode()[:8].ljust(8, b"x"), "little")
-            % (2 ** 31))          # hash() is salted per process; don't use it
-        items = _make_set(name, rng, args.items_per_set)
-        # cap generation so the tiny-model run stays minutes, while keeping
-        # the per-task policy ORDERING (32 < 50 < 64)
-        max_new = min(ds.max_new_tokens_for(name), 64)
-        gen = GenerationConfig(max_new_tokens=max_new, temperature=0.0,
-                               eos_token_id=tok.eos_token_id,
-                               pad_token_id=tok.pad_token_id)
-        if "mcq" in name.lower():
-            ex = [ds.MCQExample(d["question"], d["options"], d["input"],
-                                d["answer"]) for d in items]
-            rep = runner.run_mcq_eval(params, cfg, tok, name, gen=gen,
-                                      batch_size=args.items_per_set,
-                                      prompt_bucket=64, esm_bucket=64,
-                                      examples=ex, log_fn=lambda *a: None)
-        else:
-            ex = [ds.AnnotationExample(d["instruction"], d["input"],
-                                       d["output"]) for d in items]
-            rep = runner.run_annotation_eval(params, cfg, tok, name, gen=gen,
-                                             batch_size=args.items_per_set,
-                                             prompt_bucket=64, esm_bucket=64,
-                                             examples=ex,
-                                             bert_embed_fn=bert_fn,
-                                             log_fn=lambda *a: None)
-        import hashlib
-        gen_blob = "\x1f".join(r["generated"] for r in rep.results)
-        table[name] = {
-            "metrics": rep.metrics,
-            # a random tiny model scores ~0 on every task, so the metric
-            # values alone under-detect regressions; the hash of the raw
-            # generations shifts on ANY behavioral change in tokenize /
-            # splice / generate / truncate
-            "generated_sha256": hashlib.sha256(gen_blob.encode()).hexdigest(),
-            "sample_generated": rep.results[0]["generated"][:80],
-        }
-        print(f"{name}: {rep.metrics} "
-              f"hash={table[name]['generated_sha256'][:12]}", flush=True)
+    variants = {
+        "base": (infer["llm"], False),
+        "int8_kv": (infer["llm"], "int8"),
+        "int4_kv": (infer["llm"], "int4"),
+        "int8_weights": (quantize_decoder(infer["llm"]), False),
+        "int4_weights_int4_kv": (quantize_decoder4(infer["llm"]), "int4"),
+    }
+    tables = {}
+    for vname, (llm_params, qcache) in variants.items():
+        vp = dict(infer, llm=llm_params)
+        tables[vname] = _eval_all_sets(vp, cfg, tok, args.items_per_set,
+                                       bert_fn, vname, qcache)
 
-    out = {"config": "OpusConfig.tiny('llama') PRNGKey(0), ByteTokenizer, "
-                     "temperature 0, fixed per-set data seeds; BERTScore "
-                     "via the fixture BioBERT (BertConfig.tiny, "
-                     "PRNGKey(42), char WordPiece)",
+    # the regression gate: per-set primary-metric deltas vs base, plus a
+    # base-run non-degeneracy check (every set must score above zero —
+    # a 0.0 row cannot detect a regression)
+    base_primary = {name: _primary_metric(tables["base"][name]["metrics"])
+                    for name in SETS}
+    deltas = {}
+    for vname in variants:
+        if vname == "base":
+            continue
+        deltas[vname] = {
+            name: round(_primary_metric(tables[vname][name]["metrics"])[1]
+                        - base_primary[name][1], 4)
+            for name in SETS}
+    nondegenerate = {name: bool(v > 0.0)
+                     for name, (m, v) in base_primary.items()}
+    bad = sorted(n for n, ok in nondegenerate.items() if not ok)
+    if bad:
+        print(f"WARNING: degenerate base rows (primary metric 0): {bad}",
+              flush=True)
+
+    out = {"config": "fixture-trained OpusConfig (256-hidden llama, "
+                     "switch+LoRA memorization probe over all 18 set "
+                     "families) PRNGKey(0), ByteTokenizer, temperature 0, "
+                     "fixed per-set data seeds; BERTScore via the fixture "
+                     "BioBERT (BertConfig.tiny, PRNGKey(42), char "
+                     "WordPiece); MCQ primary = scored-path accuracy",
            "items_per_set": args.items_per_set,
-           "sets": table,
-           "quant_deltas": _quant_delta_section(tok, args.items_per_set,
-                                                bert_fn=bert_fn)}
+           "train": train_rec,
+           "sets": tables["base"],
+           "variants": {v: t for v, t in tables.items() if v != "base"},
+           "base_primary": {n: {"metric": m, "value": v}
+                            for n, (m, v) in base_primary.items()},
+           "deltas_vs_base": deltas,
+           "nondegenerate": nondegenerate,
+           "degenerate_sets": bad}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    print(f"wrote {args.out}")
+    print(f"wrote {args.out}; degenerate rows: {len(bad)}/18")
 
 
 if __name__ == "__main__":

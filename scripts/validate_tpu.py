@@ -402,6 +402,7 @@ def main():
         with open(args.json, "w") as f:
             _json.dump({"ok": not FAILURES, "device": str(jax.devices()[0]),
                         "checks": RESULTS}, f, indent=1)
+            f.write("\n")      # POSIX text file (round-3 advisor item)
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILED: {FAILURES}")
         sys.exit(1)

@@ -346,3 +346,37 @@ def test_fit_periodic_validation():
     want = tot / n
     got = float(vals[1].split("val_loss=")[1].split()[0])
     assert abs(got - want) < 5e-4, (got, want)
+
+
+def test_remat_modes_loss_identical():
+    """remat never changes math, only the backward-pass memory/FLOP
+    trade: the step's loss and updates must be identical across 'full'
+    (per-layer jax.checkpoint), 'none', and 'dots' (checkpoint_dots
+    policy). The 1.1B bench step runs remat=none (1.34x measured,
+    BENCH_NOTES round 5); this pins the equivalence at test scale."""
+    cfg = OpusConfig.tiny()
+    tcfg = TrainConfig(learning_rate=1e-3)
+    lcfg = LoRAConfig(rank=2)
+    frozen = opus.init(jax.random.PRNGKey(0), cfg)
+    batch = {k: jnp.asarray(v) for k, v in _mm_batch(cfg, 4).items()}
+    outs = {}
+    for mode in (True, False, "dots"):
+        state, tx = mmt.create_state(jax.random.PRNGKey(1), cfg, tcfg,
+                                     frozen, train_switch=True,
+                                     lora_cfg=lcfg)
+        step = mmt.make_train_step(cfg, tx, lora_cfg=lcfg, remat=mode,
+                                   donate=False)
+        state, metrics = step(state, frozen, batch)
+        outs[mode] = (float(metrics["loss"]),
+                      np.asarray(state.trainable["switch"]["layers"][0]
+                                 ["kernel"]))
+    for mode in (False, "dots"):
+        assert abs(outs[mode][0] - outs[True][0]) < 1e-5, mode
+        np.testing.assert_allclose(outs[mode][1], outs[True][1],
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_train_config_remat_mode_mapping():
+    assert TrainConfig(remat="full").remat_mode is True
+    assert TrainConfig(remat="none").remat_mode is False
+    assert TrainConfig(remat="dots").remat_mode == "dots"
