@@ -626,6 +626,15 @@ def _on_term(signum, frame):  # noqa: ARG001
 def main() -> None:
     from opus_pllm_tpu.core.util import enable_persistent_compilation_cache
 
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sections", default=None,
+                    help="comma-separated subset to run (encode,decode,"
+                    "train,train_8b,serve); default all — the driver runs "
+                    "everything, a session run can target one section")
+    cli = ap.parse_args()
+    only = set(cli.sections.split(",")) if cli.sections else None
+
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
     enable_persistent_compilation_cache()
@@ -644,6 +653,8 @@ def main() -> None:
     for name, fn in (("encode", bench_encode), ("decode", bench_decode),
                      ("train", bench_train), ("train_8b", bench_train_8b),
                      ("serve", bench_serve)):
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             fn(on_tpu)

@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from opus_pllm_tpu.core.util import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 FAILURES = []
 RESULTS = []
 
