@@ -91,14 +91,22 @@ def bench_encode(on_tpu: bool) -> None:
 
     # Chain each iteration through the previous result and fetch to host:
     # remote/async backends can otherwise overlap "independent" calls and
-    # make block_until_ready() under-report wall time.
+    # make block_until_ready() under-report wall time. The chain lives
+    # INSIDE the jit (t perturbed by prev[0,0]*0): iterations still
+    # serialize on-device through the data dependency, but each is ONE
+    # execute dispatch — the old host-side `toks + (acc[0,0]*0)` paid 3-4
+    # extra tiny-op round trips per iteration (~24 ms each through this
+    # tunnel, ~200 ms/encode of pure measurement overhead that no
+    # colocated host would pay; device time per encode is 614 ms).
     iters = 10 if on_tpu else 3
-    fn = jax.jit(lambda p, t: esm2.pooled_embedding(p, cfg, t))
-    acc = fn(params, toks)
+    fn = jax.jit(lambda p, t, prev: esm2.pooled_embedding(
+        p, cfg, t + (prev[0, 0] * 0).astype(jnp.int32)))
+    acc = jnp.zeros((batch, cfg.embed_dim), jnp.float32)
+    acc = fn(params, toks, acc)
     np.asarray(acc)                              # compile + sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        acc = fn(params, toks + (acc[0, 0] * 0).astype(jnp.int32))
+        acc = fn(params, toks, acc)
     np.asarray(acc)                              # host fetch = full sync
     dt = time.perf_counter() - t0
     seqs_per_sec = batch * iters / dt

@@ -145,6 +145,8 @@ def _flash_pairs_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
     v = v_ref[0, 0, 0].astype(jnp.float32)
     lo = _lane_iota(q.shape) < 64
 
+    # mask block is (BQ, BK) full, or (1, BK) key-validity rows that
+    # broadcast over the query rows (jnp.where broadcasts by shape)
     mask = mask_ref[0] if mask_ref is not None else None
     # two online-softmax states, one per packed head; head-h state lives in
     # the 64-lane half h of the (BQ, 128) scratch
@@ -181,8 +183,11 @@ def flash_attention_pairs(qkv, mask=None, *, block_q: int = 512,
 
     qkv: (3, B, HP, S, 128) packed — two 64-d heads per 128-lane tile
     (fused_ln_qkv_rope's output, indexed in place: j=0 q, 1 k, 2 v).
-    mask: (B, 1, S, S) or (B, S, S) bool, True = attend.
-    Returns (B, HP, S, 128)."""
+    mask: (B, S) bool key-validity rows (padding masks are key-only,
+    models/layers.py:254 — the (B, S, S) outer product then never
+    materializes in HBM, which cost ~11 GB of redundant block reads per
+    650M batch-128 encode), or (B, 1, S, S) / (B, S, S) full bool masks.
+    True = attend. Returns (B, HP, S, 128)."""
     _, b, hp, s, lanes = qkv.shape
     assert lanes == LANES
     bq, bk = min(block_q, s), min(block_k, s)
@@ -200,10 +205,17 @@ def flash_attention_pairs(qkv, mask=None, *, block_q: int = 512,
     ]
     args = [qkv, qkv, qkv]
     if mask is not None:
-        m3 = mask.reshape(b, s, s)
-        in_specs.append(
-            pl.BlockSpec((1, bq, bk), lambda ib, g, iq, ik: (ib, iq, ik)))
-        args.append(m3)
+        if mask.ndim == 2:                      # (B, S) key rows
+            in_specs.append(
+                pl.BlockSpec((1, 1, bk),
+                             lambda ib, g, iq, ik: (ib, 0, ik)))
+            args.append(mask[:, None, :])
+        else:
+            m3 = mask.reshape(b, s, s)
+            in_specs.append(
+                pl.BlockSpec((1, bq, bk),
+                             lambda ib, g, iq, ik: (ib, iq, ik)))
+            args.append(m3)
 
         def kern(qr, kr, vr, mr, o, m_s, l_s, a_s):
             _flash_pairs_kernel(qr, kr, vr, mr, o, m_s, l_s, a_s,

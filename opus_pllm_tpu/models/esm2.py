@@ -118,6 +118,9 @@ def _block(p, cfg: ESM2Config, x, mask, cos, sin, impl):
         # measured 1.83x on the 650M encode (BENCH_NOTES.md round 2)
         from ..kernels import fused_encoder
 
+        # a 2D mask is the (B, S) key-validity rows (padding masks are
+        # key-only, layers.padding_mask): the kernel consumes it directly
+        # so the (B, S, S) outer product never materializes in HBM
         a = fused_encoder.encoder_attention_packed(p, x, mask, cos, sin)
         if "kernel" in p["o_proj"]:
             # fused out-projection: consumes the pair-packed flash output
@@ -131,6 +134,8 @@ def _block(p, cfg: ESM2Config, x, mask, cos, sin, impl):
         return fused_encoder.fused_ffn(
             x, p["fc1"]["kernel"], p["fc1"]["bias"],
             p["fc2"]["kernel"], p["fc2"]["bias"], ln2)
+    if mask is not None and mask.ndim == 2:
+        mask = padding_mask(mask)          # XLA path wants (B, 1, S, S)
     r = layer_norm(p["attn_norm"], x)
     if "qkv_proj" in p:
         q, k, v = jnp.split(dense(p["qkv_proj"], r), 3, axis=-1)
@@ -200,16 +205,18 @@ def encode(params, cfg: ESM2Config, tokens, *, impl: str = "auto"):
         x = x * ((1.0 - MASK_RATIO_TRAIN) / (1.0 - ratio))[..., None].astype(x.dtype)
     x = jnp.where(pad_mask[..., None], x, 0.0)
 
-    mask4 = padding_mask(pad_mask)
+    # blocks receive the (B, S) key rows; the XLA attention path expands
+    # to (B, 1, S, S) per block (free under jit — same broadcast), the
+    # fused kernel reads the rows directly (no HBM outer product)
     positions = jnp.arange(tokens.shape[1])
     cos, sin = rope_cos_sin(positions, cfg.head_dim, theta=10000.0)
     if "layers_stacked" in params:
         def body(h, p):
-            return _block(p, cfg, h, mask4, cos, sin, impl), None
+            return _block(p, cfg, h, pad_mask, cos, sin, impl), None
         x, _ = jax.lax.scan(body, x, params["layers_stacked"])
     else:
         for p in params["layers"]:
-            x = _block(p, cfg, x, mask4, cos, sin, impl)
+            x = _block(p, cfg, x, pad_mask, cos, sin, impl)
     return layer_norm(params["final_norm"], x)
 
 

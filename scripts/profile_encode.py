@@ -43,11 +43,14 @@ def build(batch, seqlen):
 
 
 def run_traced(tag, fn, params, toks, outdir, iters=6):
-    acc = fn(params, toks)
+    # in-jit chaining, matching bench.py: one execute dispatch per
+    # iteration, serialized on-device by the prev-result dependency
+    acc = jnp.zeros((toks.shape[0], 1280), jnp.float32)
+    acc = fn(params, toks, acc)
     np.asarray(acc)  # warm + compile
     t0 = time.perf_counter()
     for _ in range(iters):
-        acc = fn(params, toks + (acc[0, 0] * 0).astype(jnp.int32))
+        acc = fn(params, toks, acc)
     np.asarray(acc)
     wall = time.perf_counter() - t0
     sps = toks.shape[0] * iters / wall
@@ -56,7 +59,7 @@ def run_traced(tag, fn, params, toks, outdir, iters=6):
     logdir = os.path.join(outdir, tag)
     os.makedirs(logdir, exist_ok=True)
     with jax.profiler.trace(logdir, create_perfetto_trace=True):
-        acc = fn(params, toks)
+        acc = fn(params, toks, acc)
         np.asarray(acc)
     return sps, logdir
 
@@ -103,16 +106,17 @@ def main():
 
     cfg, params, toks = build(args.batch, args.seqlen)
 
+    def chained(impl):
+        return jax.jit(lambda p, t, prev: esm2.pooled_embedding(
+            p, cfg, t + (prev[0, 0] * 0).astype(jnp.int32), impl=impl))
+
     runs = []
     if args.which in ("both", "xla", "all"):
-        runs.append(("xla", jax.jit(
-            lambda p, t: esm2.pooled_embedding(p, cfg, t, impl="xla"))))
+        runs.append(("xla", chained("xla")))
     if args.which in ("both", "flash", "all"):
-        runs.append(("flash", jax.jit(
-            lambda p, t: esm2.pooled_embedding(p, cfg, t, impl="flash"))))
+        runs.append(("flash", chained("flash")))
     if args.which in ("fused", "all"):
-        runs.append(("fused", jax.jit(
-            lambda p, t: esm2.pooled_embedding(p, cfg, t, impl="fused"))))
+        runs.append(("fused", chained("fused")))
 
     results = {}
     for tag, fn in runs:

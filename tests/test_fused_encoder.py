@@ -188,3 +188,47 @@ def test_flash_pairs_rejects_bad_seq():
     qkv = jnp.zeros((3, 1, 2, 12, 128))
     with pytest.raises(ValueError):
         fused_encoder.flash_attention_pairs(qkv, block_q=8, block_k=8)
+
+
+def test_flash_pairs_key_row_mask_matches_full_mask():
+    """(B, S) key-validity rows must equal the (B, 1, S, S) broadcast of
+    the same rows (the fused encode path hands the kernel the 2D form so
+    the outer product never reaches HBM)."""
+    cfg = _cfg()
+    s = 16
+    rng = np.random.default_rng(3)
+    params = esm2.init(jax.random.PRNGKey(1), cfg)
+    p = params["layers"][0]
+    x = jnp.asarray(rng.standard_normal((3, s, cfg.embed_dim)), jnp.float32)
+    am = np.ones((3, s), bool)
+    am[0, -4:] = False
+    am[2, -1:] = False
+    cos, sin = rope_cos_sin(jnp.arange(s), cfg.head_dim)
+    with pltpu.force_tpu_interpret_mode():
+        full = fused_encoder.encoder_attention_packed(
+            p, x, padding_mask(jnp.asarray(am)), cos, sin)
+        rows = fused_encoder.encoder_attention_packed(
+            p, x, jnp.asarray(am), cos, sin)
+    f, r = np.asarray(full), np.asarray(rows)
+    valid = am[:, None, :, None]  # (B, HP, S, 128) query-row validity
+    np.testing.assert_allclose(np.where(valid, r, 0.0),
+                               np.where(valid, f, 0.0), rtol=0, atol=1e-6)
+
+
+def test_esm2_encode_fused_key_rows_full_parity():
+    """esm2.encode now routes the 2D pad mask into the fused kernel; the
+    full-encode parity vs the XLA path must hold with ragged padding."""
+    cfg = _cfg(num_layers=2)
+    params = esm2.init(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(11)
+    toks = rng.integers(4, 24, (3, 16)).astype(np.int32)
+    toks[:, 0] = cfg.cls_idx
+    toks[0, -6:] = cfg.pad_idx
+    toks[1, -1] = cfg.eos_idx
+    ref = esm2.encode(params, cfg, jnp.asarray(toks), impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got = esm2.encode(params, cfg, jnp.asarray(toks), impl="fused")
+    valid = (toks != cfg.pad_idx)[..., None]
+    g = np.where(valid, np.asarray(got, np.float32), 0.0)
+    r = np.where(valid, np.asarray(ref, np.float32), 0.0)
+    np.testing.assert_allclose(g, r, rtol=0, atol=2e-4)
