@@ -90,14 +90,18 @@ for temp, top_p, lane in ((0.0, 1.0, "greedy"), (0.1, 0.7, "sampled")):
     for slots in (2, 8):
         spt = 8 if slots == 2 else 16
         kw = dict(temp=temp, top_p=top_p)
+        # spec ticks keep the FULL spt (an iteration emits >= 1 token, so
+        # min progress matches a plain tick): spt//4 spec ticks sank under
+        # the ~24 ms tunnel round trip (depth-1 pipeline overlaps one
+        # dispatch only) and capped the measured ceiling at 0.53x
         plain = run(params, slots, None, 0, spt,
                     f"{lane} plain      b{slots}", **kw)
-        floor = run(params, slots, N_DRAFT_LAYERS, 4, max(spt // 4, 1),
+        floor = run(params, slots, N_DRAFT_LAYERS, 4, spt,
                     f"{lane} spec floor b{slots} (random, ~0 acc)", **kw)
         ip = identity_upper(params, N_DRAFT_LAYERS)
         plain_i = run(ip, slots, None, 0, spt,
                       f"{lane} plain-id   b{slots}", **kw)
-        ceil = run(ip, slots, N_DRAFT_LAYERS, 4, max(spt // 4, 1),
+        ceil = run(ip, slots, N_DRAFT_LAYERS, 4, spt,
                    f"{lane} spec ceil  b{slots} (identity uppers)", **kw)
         print(f"{lane} b{slots}: floor {floor / plain:.2f}x, "
               f"ceiling {ceil / plain_i:.2f}x of plain", flush=True)

@@ -23,3 +23,22 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # exact fp32 matmuls in numerics/parity tests (default may downcast to bf16)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiler_state():
+    """Free compiled executables between test modules.
+
+    A full-suite run accumulates hundreds of XLA:CPU JIT executables in
+    one process; past ~70% of the suite the CPU compiler segfaults inside
+    backend_compile_and_load when the big serve-engine graphs compile
+    (reproduced twice at tests/test_serve_lora.py, 2026-08-21; every
+    module passes in its own process). Dropping jit caches per module
+    bounds the live-executable count; cross-module graph reuse is rare
+    (different shapes), so the recompile cost is small.
+    """
+    yield
+    jax.clear_caches()
