@@ -539,13 +539,16 @@ def bench_serve(on_tpu: bool) -> None:
             ps, cfg, max_slots=slots,
             max_len=((p + new + 127) // 128) * 128,
             prefill_buckets=(p,),
-            # spec ticks keep the FULL steps_per_tick: an iteration emits
-            # at least one token, so min progress matches a plain tick,
-            # and a spt//4 spec tick (~14 ms device at 1.1B) sinks under
-            # the ~24 ms tunnel round trip the depth-1 pipeline can only
-            # overlap one deep (measured: spt//4 capped the ceiling at
-            # 0.53x of plain; full-spt ticks are device-bound like plain)
-            steps_per_tick=spt,
+            # spec tick sizing is a trade: ticks must stay device-bound
+            # over the ~24 ms tunnel RTT (an iteration ~1.68 weight
+            # passes ≈ 5 ms device, so >= 8 iterations), but the depth-1
+            # pipeline always has one tick in flight when the batch
+            # finishes — at spt=32 that wasted tick is ~145 ms (a third
+            # of the ceiling run) and the measured ceiling fell BELOW
+            # plain; 8 iterations × up to spec_k=4 tokens ≈ one plain
+            # tick of progress per tick at high acceptance
+            steps_per_tick=(spt if draft_layers is None
+                            else max(spt // 4, 8)),
             admit_min_free=slots, draft_layers=draft_layers, spec_k=4,
             spec_adaptive=False)
         eng.warmup(group_sizes=[slots])
