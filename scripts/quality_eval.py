@@ -69,10 +69,10 @@ FN_POOL = [
     "Acts as a chaperone assisting the folding of nascent polypeptides.",
 ]
 
-TRAIN_N = 12   # per-set train items; the eval's items are their prefix
-#              (12 x 18 sets: small enough for the tiny model to memorize
-#              to near-exactness, large enough that the 6 eval items per
-#              set are a strict subset)
+TRAIN_N = 6    # per-set train items == the eval items (a memorization
+#              probe by design: the 2-layer model's capacity is the
+#              binding constraint — at 12 train items/set it plateaued at
+#              loss ~1.5 and 10/18 exact-match families scored 0)
 
 
 def _rng_for(name: str):
@@ -271,13 +271,24 @@ def _train_fixture(tok, *, epochs: int = 15):
                 if nxt is not None:
                     yield nxt
 
+    # train until the probe actually memorizes (EMA loss under the
+    # target) — a fixed epoch count either wastes CPU or, worse, stops
+    # short and leaves exact-match rows degenerate (the round-4 failure
+    # mode this script exists to prevent); `epochs` caps the loop
+    ema, target = None, 0.15
     for b in batches():
         state, m = step(state, params, {k: jnp.asarray(v)
                                         for k, v in b.items()})
         losses.append(float(m["loss"]))
+        ema = (losses[-1] if ema is None
+               else 0.95 * ema + 0.05 * losses[-1])
         if len(losses) % 100 == 0:
-            print(f"  train step {len(losses)}: loss {losses[-1]:.3f}",
+            print(f"  train step {len(losses)}: loss {losses[-1]:.3f} "
+                  f"(ema {ema:.3f})", flush=True)
+        if ema < target:
+            print(f"  memorized at step {len(losses)} (ema {ema:.3f})",
                   flush=True)
+            break
     os.unlink(sft_path)
 
     infer = dict(params)
@@ -365,7 +376,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="QUALITY_r05.json")
     ap.add_argument("--items-per-set", type=int, default=6)
-    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--epochs", type=int, default=400,
+                    help="CAP on training epochs; the loop stops early at the\n                    memorization target (EMA loss < 0.15)")
     args = ap.parse_args()
 
     # pin CPU (deterministic; the quality table must not depend on which
