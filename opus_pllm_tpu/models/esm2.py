@@ -102,7 +102,9 @@ def _fused_ok(cfg: ESM2Config, x, mask) -> bool:
     requires impl="xla"."""
     if jax.default_backend() != "tpu":
         return False
-    if mask is not None and mask.shape[1] != 1:
+    # padding-style masks only: (B, S) key rows (the encode path) or a
+    # (B, 1, S, S) broadcast; anything else (per-head masks) is XLA's
+    if mask is not None and mask.ndim != 2 and mask.shape[1] != 1:
         return False
     from ..kernels import fused_encoder
 

@@ -232,3 +232,19 @@ def test_esm2_encode_fused_key_rows_full_parity():
     g = np.where(valid, np.asarray(got, np.float32), 0.0)
     r = np.where(valid, np.asarray(ref, np.float32), 0.0)
     np.testing.assert_allclose(g, r, rtol=0, atol=2e-4)
+
+
+def test_auto_dispatch_guard_accepts_key_row_mask(monkeypatch):
+    """encode passes blocks a (B, S) key-row mask since round 5; the auto
+    guard must not bounce it back to XLA (regression: it compared
+    mask.shape[1] != 1, which read S on the 2D form and silently cost the
+    fused path — encode measured 105 instead of 208 seqs/s)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg = ESM2Config(num_layers=2, embed_dim=512, num_heads=8,
+                     dtype="bfloat16")
+    x = jnp.zeros((2, 512, 512), jnp.bfloat16)
+    rows = jnp.ones((2, 512), bool)
+    assert esm2._fused_ok(cfg, x, rows)
+    assert esm2._fused_ok(cfg, x, padding_mask(rows))
+    # per-head masks stay on XLA
+    assert not esm2._fused_ok(cfg, x, jnp.ones((2, 8, 512, 512), bool))
